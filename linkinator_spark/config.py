@@ -1,0 +1,89 @@
+"""Job configuration — the Spark-side equivalent of linkinator's CheckOptions.
+
+Reference: /root/reference/src/options.ts:13-45 (field inventory and defaults),
+/root/reference/src/index.ts:256-288 (runtime defaults: concurrency 100,
+retryErrorsCount 5, retryErrorsJitter 3000).
+
+The reference allows user *functions* for linksToSkip / fragmentsToSkip
+(options.ts:20,36-38). In the distributed engine those are regex lists by
+default; a user-supplied predicate is accepted as a plain Python callable and
+shipped inside the vectorized skip UDF (Arrow-batched, never per-row Spark
+Python UDF).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+
+class LinkState:
+    """Reference: /root/reference/src/index.ts:94-98 (same literals)."""
+
+    OK = "OK"
+    BROKEN = "BROKEN"
+    SKIPPED = "SKIPPED"
+
+
+# statusCodes action values — reference src/options.ts StatusCodeAction
+STATUS_ACTIONS = ("ok", "warn", "skip", "error")
+
+
+@dataclass
+class CheckOptions:
+    # seed URLs (already URL-form; the reference's glob/local-path expansion is
+    # a driver-side concern handled by sources.seeds)
+    paths: list[str] = field(default_factory=list)
+
+    concurrency: int = 100
+    recurse: bool = False
+    timeout: int = 0
+
+    # skip rules: list of regex strings OR a callable str->bool
+    links_to_skip: list[str] | Callable[[str], bool] | None = None
+    # fragment skip rules: list of regex OR callable (fragment, url)->bool
+    fragments_to_skip: list[str] | Callable[[str, str], bool] | None = None
+
+    # retry machinery (reference src/index.ts:1019-1109)
+    retry: bool = False                 # 429 + retry-after
+    retry_errors: bool = False          # 5xx / status-0 / 429-sans-header
+    retry_errors_count: int = 5
+    retry_errors_jitter: int = 3000     # ms
+
+    # 'allow' | 'warn' | 'error'  (reference src/options.ts:111, index.ts:524-576)
+    redirects: str = "allow"
+    # 'off' | 'warn' | 'error'    (reference src/index.ts:578-604)
+    require_https: str = "off"
+
+    check_css: bool = False
+    check_fragments: bool = False
+
+    # map of "403"/"4xx"-style pattern -> action (reference src/index.ts:1339-1361)
+    status_codes: dict[str, str] = field(default_factory=dict)
+
+    # [(search_regex, replacement)] (reference src/index.ts:310-318)
+    url_rewrite: list[tuple[str, str]] = field(default_factory=list)
+
+    # markdown handling: spans of kind 'markdown' compiled to HTML before
+    # extraction (reference serves md via marked: src/server.ts:147-165)
+    markdown: bool = True
+
+    # local static server host exemption for require_https
+    # (reference src/index.ts:580-583)
+    static_http_server_host: str | None = None
+
+    # engine knobs (ours — scale controls, no reference analog)
+    max_waves: int = 1000
+    per_host_budget: int | None = None   # max fetches per host per wave (politeness)
+    bloom_expected: int = 10_000_000     # URL-seen Bloom pre-filter sizing
+    bloom_fpp: float = 0.01
+    use_bloom: bool = True
+    salt_hot_host_threshold: int = 50_000  # frontier rows per host before salting
+    checkpoint_dir: str | None = None    # wave-state checkpoints (resume)
+    seed: int = 42                       # deterministic jitter seed
+
+    def has_skip_rules(self) -> bool:
+        """Reference src/index.ts:929-935."""
+        if callable(self.links_to_skip):
+            return True
+        return bool(self.links_to_skip)

@@ -1,0 +1,152 @@
+"""URL canonicalization + hashing.
+
+Re-creates the reference's WHATWG-URL-based link parsing (parseLink,
+/root/reference/src/links.ts:220-232): resolve against a base, keep the
+fragment-bearing form, split + percent-decode the fragment, and canonicalize
+(lowercase scheme/host, drop default port, root path for empty http(s) path).
+The fragmentless canonical href is the dedup key — the reference dedups its
+URL-seen cache on `url.href` after `url.hash=''` (src/index.ts:813-817).
+
+Driver/UDF side: plain-Python `parse_link` used inside Arrow-batched
+extraction UDFs (vectorized at batch level — never a row-at-a-time Spark UDF).
+Engine side: `url_hash` / `url_host` column helpers stay JVM-built-in.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443", "ftp": "21"}
+# WHATWG strips ASCII tab/newline anywhere, and leading/trailing C0-or-space.
+_CTRL_WS = re.compile(r"[\t\n\r]")
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z\d+\-.]*:")
+_WIN_PATH_RE = re.compile(r"^[a-zA-Z]:\\")
+
+
+def is_absolute_url(url: str) -> bool:
+    """RFC 3986 scheme test, excluding Windows drive paths.
+
+    Reference: /root/reference/src/links.ts:193-202.
+    """
+    if _WIN_PATH_RE.match(url):
+        return False
+    return bool(_SCHEME_RE.match(url))
+
+
+def _clean(raw: str) -> str:
+    return _CTRL_WS.sub("", raw.strip())
+
+
+def canonicalize(href: str) -> str:
+    """Normalize an absolute URL the way `new URL(x).href` would (subset):
+    lowercase scheme + host, strip default port, '' path -> '/' for special
+    schemes, encode spaces in path/query. Fragment is preserved if present.
+    """
+    parts = urlsplit(_clean(href))
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    userinfo = ""
+    if "@" in netloc:
+        userinfo = netloc.rsplit("@", 1)[0] + "@"
+    if port is not None and _DEFAULT_PORTS.get(scheme) == str(port):
+        port = None
+    netloc = userinfo + host + (f":{port}" if port is not None else "")
+    path = parts.path
+    if scheme in ("http", "https", "ws", "wss", "ftp"):
+        if not path:
+            path = "/"
+    # WHATWG percent-encodes spaces (and a few others) in paths; cover the
+    # common cases the fixtures exercise without re-encoding existing escapes.
+    path = quote(path, safe="/%:@!$&'()*+,;=~[]-._")
+    query = quote(parts.query, safe="=&%:@!$'()*+,;/?~[]-._")
+    return urlunsplit((scheme, netloc, path, query, parts.fragment))
+
+
+def parse_link(link: str, base: str | None) -> dict:
+    """Resolve `link` against `base`; mirror ParsedUrl
+    (/root/reference/src/links.ts:43-49,220-232).
+
+    Returns dict(raw_link, resolved_url, url_with_fragment, fragment,
+    parse_error) where resolved_url is canonical and fragmentless.
+    """
+    out = {
+        "raw_link": link,
+        "resolved_url": None,
+        "url_with_fragment": None,
+        "fragment": None,
+        "parse_error": None,
+    }
+    try:
+        cleaned = _clean(link)
+        resolved = urljoin(base, cleaned) if base else cleaned
+        if not _SCHEME_RE.match(resolved):
+            raise ValueError(f"cannot resolve relative URL without base: {link!r}")
+        parts = urlsplit(resolved)
+        scheme = parts.scheme.lower()
+        if scheme in ("http", "https", "ws", "wss", "ftp"):
+            if not parts.netloc or not parts.hostname:
+                raise ValueError(f"missing host in URL: {link!r}")
+        full = canonicalize(resolved)
+        frag_split = urlsplit(full)
+        fragment = frag_split.fragment or None
+        fragmentless = urlunsplit(
+            (frag_split.scheme, frag_split.netloc, frag_split.path, frag_split.query, "")
+        )
+        out["resolved_url"] = fragmentless
+        out["url_with_fragment"] = full
+        # reference decodes the fragment (decodeURIComponent, links.ts:224-226)
+        out["fragment"] = unquote(fragment) if fragment else None
+    except Exception as e:  # noqa: BLE001 - parse failure is a data value here
+        out["parse_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def url_host_py(url: str) -> str:
+    """WHATWG `.host` — lowercase hostname incl. non-default port
+    (the reference keys its per-host delay cache on this, src/index.ts:326)."""
+    try:
+        parts = urlsplit(url)
+        host = (parts.hostname or "").lower()
+        port = parts.port
+        if port is not None and _DEFAULT_PORTS.get(parts.scheme.lower()) != str(port):
+            return f"{host}:{port}"
+        return host
+    except ValueError:
+        return ""
+
+
+def url_protocol_py(url: str) -> str:
+    """Scheme with trailing ':' like WHATWG url.protocol."""
+    m = _SCHEME_RE.match(url or "")
+    return m.group(0).lower() if m else ""
+
+
+# ---------------------------------------------------------------------------
+# JVM-side column helpers (whole-stage-codegen friendly; no Python in the
+# engine hot path — these run on canonical URLs produced by the extraction
+# stage).
+# ---------------------------------------------------------------------------
+
+def url_hash(col: Column | str) -> Column:
+    """64-bit dedup key over the canonical fragmentless URL (J2 anti-join key)."""
+    return F.xxhash64(F.col(col) if isinstance(col, str) else col)
+
+
+def url_host(col: Column | str) -> Column:
+    """Host column for politeness partitioning. parse_url is JVM built-in;
+    ports are part of the key (WHATWG .host semantics), so fall back to a
+    regex capture that keeps `host:port`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z\d+\-.]*://(?:[^/@?#]*@)?([^/?#]+)", 1))
+
+
+def is_http_protocol(col: Column | str) -> Column:
+    """Reference skips non-http(s) protocols (src/index.ts:941-944)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike("^https?://")

@@ -1,0 +1,256 @@
+"""Fetch stage — test-mode network simulator.
+
+The reference issues real HTTP via undici with a manual redirect-follow loop
+(makeRequest, /root/reference/src/index.ts:1185-1286); its tests replace the
+network with scripted MockAgent interceptors (test/test.index.ts:26-46). We do
+the same thing as dataflow: a fetch is a broadcast hash join of the frontier
+against a scripted `pages` dimension keyed (url, method, attempt), and the
+redirect-follow loop is an iterative self-join capped at 20 hops
+(index.ts:1272, asserted by test/test.redirects.ts:595-653).
+
+Semantics mirrored here:
+* attempt selection: the highest scripted attempt <= the frontier row's
+  attempt counter wins (a MockAgent script that runs out persists its last
+  behavior).
+* HEAD->GET on 405 (index.ts:378-388) and last-gasp GET for non-2xx leaf
+  checks (index.ts:396-417) are handled by the caller re-invoking `request`.
+* redirect hops check skip rules per hop; a matching hop returns
+  redirect_skipped (index.ts:1267-1270).
+* hop 21 raises "redirect count exceeded" -> no response, status 0.
+
+At 100 TB scale this module is swapped for a live-HTTP `mapInPandas` stage
+(operators/http_fetch.py) — the surrounding dataflow is identical; per-host
+partition affinity comes from the frontier's host partitioning either way.
+
+Output columns appended to the frontier rows:
+  status INT, has_response BOOL, has_body BOOL, content_type STRING,
+  location STRING, retry_after STRING, cf_mitigated BOOL, final_url STRING,
+  body_doc_id STRING, redirect_skipped STRING, fetch_failures ARRAY<STRING>,
+  method_effective STRING
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from linkinator_spark.config import CheckOptions
+
+REDIRECT_STATUSES = (301, 302, 303, 307, 308)
+
+FETCH_COLS = [
+    "status", "has_response", "has_body", "content_type", "location",
+    "retry_after", "cf_mitigated", "final_url", "body_doc_id",
+    "redirect_skipped", "fetch_failures", "method_effective",
+]
+
+
+def prepare_pages_dim(pages: DataFrame) -> DataFrame:
+    """Project the scripted pages table to the fetch dimension."""
+    return pages.select(
+        F.col("url").alias("p_url"),
+        F.col("method").alias("p_method"),
+        F.col("attempt").alias("p_attempt"),
+        F.col("status").alias("p_status"),
+        F.lower(F.coalesce(F.element_at("headers", "location"), F.lit(""))).alias("_loc_lower"),
+        F.coalesce(F.element_at("headers", "location"), F.lit(None)).alias("p_location"),
+        F.element_at("headers", "retry-after").alias("p_retry_after"),
+        F.element_at("headers", "cf-mitigated").isNotNull().alias("p_cf_mitigated"),
+        F.coalesce(
+            F.element_at("headers", "content-type"), F.col("content_type"), F.lit("")
+        ).alias("p_content_type"),
+        F.coalesce(F.col("body_doc_id"), F.lit("")).alias("p_body_doc_id"),
+        F.col("final_url").alias("p_final_url"),
+    ).drop("_loc_lower")
+
+
+def resolve_location(base: Column, loc: Column) -> Column:
+    """Resolve a Location header against the request URL — JVM expressions
+    only (absolute, root-relative, and same-directory-relative forms)."""
+    origin = F.regexp_extract(base, r"^(https?://[^/?#]+)", 1)
+    dir_prefix = F.regexp_replace(F.regexp_replace(base, r"[?#].*$", ""), r"[^/]*$", "")
+    return (
+        F.when(loc.rlike(r"^[a-zA-Z][a-zA-Z\d+\-.]*:"), loc)
+        .when(loc.startswith("/"), F.concat(origin, loc))
+        .otherwise(F.concat(dir_prefix, loc))
+    )
+
+
+def request(df: DataFrame, pages_dim: DataFrame, method: Column) -> DataFrame:
+    """One simulated HTTP request for every row of `df`.
+
+    `df` must carry unique `url` values (the URL-seen invariant) and an
+    `attempt` counter. Joins are broadcast — the pages dim is the scripted
+    fixture web, always small; the live-mode replacement is an HTTP UDF.
+    """
+    req = df.withColumn("_req_method", method)
+    joined = req.join(
+        F.broadcast(pages_dim),
+        (req["url"] == pages_dim["p_url"]) & (req["_req_method"] == pages_dim["p_method"]),
+        "left",
+    )
+    # best scripted attempt: highest attempt <= our counter, else the lowest
+    le = F.col("p_attempt") <= F.col("attempt")
+    w = Window.partitionBy("url").orderBy(
+        le.desc(),
+        F.when(le, -F.col("p_attempt")).otherwise(F.col("p_attempt")).asc(),
+    )
+    picked = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "p_url", "p_method", "p_attempt")
+    )
+    return (
+        picked.withColumn("has_response", F.col("p_status").isNotNull())
+        .withColumn("status", F.coalesce(F.col("p_status"), F.lit(0)))
+        .withColumn("location", F.col("p_location"))
+        .withColumn("retry_after", F.col("p_retry_after"))
+        .withColumn("cf_mitigated", F.coalesce(F.col("p_cf_mitigated"), F.lit(False)))
+        .withColumn("content_type", F.coalesce(F.col("p_content_type"), F.lit("")))
+        .withColumn("body_doc_id", F.coalesce(F.col("p_body_doc_id"), F.lit("")))
+        .withColumn("final_url", F.col("p_final_url"))
+        .withColumn("method_effective", F.col("_req_method"))
+        .drop("p_status", "p_location", "p_retry_after", "p_cf_mitigated",
+              "p_content_type", "p_body_doc_id", "p_final_url", "_req_method")
+    )
+
+
+def follow_redirects(
+    fetched: DataFrame,
+    pages_dim: DataFrame,
+    skip_match,  # Callable[[Column], Column] | None — per-hop skip predicate
+) -> DataFrame:
+    """Iterative redirect-follow: at most 20 hops (21 requests), per-hop skip
+    check, 303 switches to GET. Mirrors makeRequest's loop
+    (index.ts:1218-1285)."""
+    cur = (
+        fetched.withColumn("_hops", F.lit(0))
+        .withColumn("_cur_url", F.col("url"))
+        .withColumn("redirect_skipped", F.lit(None).cast("string"))
+        .withColumn("fetch_failures", F.array().cast("array<string>"))
+    )
+    done_parts: list[DataFrame] = []
+
+    for _hop in range(22):
+        is_redir = (
+            F.col("has_response")
+            & F.col("status").isin(list(REDIRECT_STATUSES))
+            & F.col("location").isNotNull()
+            & F.col("redirect_skipped").isNull()
+        )
+        cur = cur.withColumn("_pending", is_redir).persist()
+        pending = cur.filter(F.col("_pending"))
+        done_parts.append(cur.filter(~F.col("_pending")).drop("_pending"))
+        if pending.isEmpty():
+            cur.unpersist()
+            break
+
+        target = resolve_location(F.col("_cur_url"), F.col("location"))
+        pending = pending.withColumn("_target", target)
+
+        if skip_match is not None:
+            skipped = pending.filter(skip_match(F.col("_target")))
+            pending = pending.filter(~skip_match(F.col("_target")))
+            done_parts.append(
+                skipped.withColumn("redirect_skipped", F.col("_target"))
+                .drop("_target", "_pending")
+            )
+
+        over_cap = pending.filter(F.col("_hops") >= 20)
+        done_parts.append(
+            over_cap.withColumn("has_response", F.lit(False))
+            .withColumn("status", F.lit(0))
+            .withColumn(
+                "fetch_failures",
+                F.array_union(
+                    F.col("fetch_failures"),
+                    F.array(F.lit("TypeError: redirect count exceeded")),
+                ),
+            )
+            .drop("_target", "_pending")
+        )
+        pending = pending.filter(F.col("_hops") < 20)
+
+        # 303 switches the method to GET (fetch spec); compute before the
+        # fetch columns are dropped for the next hop.
+        pending = pending.withColumn(
+            "_nxt_method",
+            F.when(F.col("status") == 303, F.lit("GET")).otherwise(F.col("method_effective")),
+        )
+        hop_req = (
+            pending.drop(*[c for c in FETCH_COLS if c not in
+                           ("redirect_skipped", "fetch_failures")])
+            .withColumn("_hops", F.col("_hops") + 1)
+            .withColumn("url", F.col("_target"))
+            .drop("_target", "_pending")
+        )
+        cur = (
+            request(hop_req, pages_dim, F.col("_nxt_method"))
+            .drop("_nxt_method")
+            .withColumn("_cur_url", F.col("url"))
+        )
+
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    # restore the original requested URL; record where we landed
+    return (
+        out.withColumn(
+            "final_url",
+            F.coalesce(
+                F.col("final_url"),
+                F.when(F.col("_cur_url") != F.col("_orig_url"), F.col("_cur_url")),
+            ),
+        )
+        .withColumn("url", F.col("_orig_url"))
+        .drop("_hops", "_cur_url")
+    )
+
+
+def fetch_once(
+    df: DataFrame,
+    pages_dim: DataFrame,
+    method: Column,
+    cfg: CheckOptions,
+    skip_match,
+) -> DataFrame:
+    """request + (conditionally) redirect following.
+
+    redirects='error' -> manual mode: the first 3xx is returned as-is
+    (index.ts:351-352). Otherwise follow with the 20-hop cap.
+    """
+    tagged = df.withColumn("_orig_url", F.col("url"))
+    first = request(tagged, pages_dim, method)
+    if cfg.redirects == "error":
+        return (
+            first.withColumn("redirect_skipped", F.lit(None).cast("string"))
+            .withColumn(
+                "fetch_failures",
+                F.when(
+                    ~F.col("has_response"),
+                    F.array(F.lit("FetchError: request failed")),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+            .withColumn("url", F.col("_orig_url"))
+            .drop("_orig_url")
+        )
+    followed = follow_redirects(first, pages_dim, skip_match)
+    return followed.withColumn(
+        "fetch_failures",
+        F.when(
+            ~F.col("has_response") & (F.size("fetch_failures") == 0),
+            F.array(F.lit("FetchError: request failed")),
+        ).otherwise(F.col("fetch_failures")),
+    ).drop("_orig_url")
+
+
+def with_body_flag(df: DataFrame) -> DataFrame:
+    """GET responses with a scripted body have a readable body; HEAD never
+    does (fetch semantics the reference relies on for recursion)."""
+    return df.withColumn(
+        "has_body",
+        F.col("has_response")
+        & (F.col("method_effective") == "GET")
+        & (F.col("body_doc_id") != ""),
+    )

@@ -1,0 +1,82 @@
+"""URL canonicalization unit tests.
+
+Golden behaviors from the reference's WHATWG URL usage
+(/root/reference/src/links.ts:220-232) and dedup-key semantics
+(/root/reference/src/index.ts:813-817).
+"""
+
+from linkinator_spark.functions.urls import (
+    canonicalize,
+    is_absolute_url,
+    parse_link,
+    url_host_py,
+    url_protocol_py,
+)
+
+
+def test_relative_resolution():
+    p = parse_link("first.html", "http://example.com/dir/index.html")
+    assert p["resolved_url"] == "http://example.com/dir/first.html"
+    assert p["parse_error"] is None
+
+
+def test_absolute_passthrough_and_default_port():
+    p = parse_link("HTTP://Example.COM:80/path", None)
+    assert p["resolved_url"] == "http://example.com/path"
+
+
+def test_fragment_split_and_decode():
+    p = parse_link("http://example.com/page#sec%20one", None)
+    assert p["resolved_url"] == "http://example.com/page"
+    assert p["url_with_fragment"] == "http://example.com/page#sec%20one"
+    assert p["fragment"] == "sec one"
+
+
+def test_fragment_only_link_resolves_to_page():
+    p = parse_link("#anchor", "http://example.com/a/b.html")
+    assert p["resolved_url"] == "http://example.com/a/b.html"
+    assert p["fragment"] == "anchor"
+
+
+def test_empty_path_gets_root():
+    assert parse_link("http://example.com", None)["resolved_url"] == "http://example.com/"
+
+
+def test_non_http_protocols_parse():
+    p = parse_link("mailto:nobody@example.com", "http://example.com/")
+    assert p["resolved_url"] == "mailto:nobody@example.com"
+    assert p["parse_error"] is None
+    assert url_protocol_py(p["resolved_url"]) == "mailto:"
+
+
+def test_malformed_is_error():
+    # 'https://' with no host fails new URL() in the reference (fixture
+    # test/fixtures/malformed) -> BROKEN status 0
+    assert parse_link("https://", None)["parse_error"] is not None
+    assert parse_link("relative/no/base", None)["parse_error"] is not None
+
+
+def test_host_includes_nondefault_port():
+    assert url_host_py("http://127.0.0.1:8080/x") == "127.0.0.1:8080"
+    assert url_host_py("https://Example.com:443/x") == "example.com"
+
+
+def test_query_preserved():
+    p = parse_link("/search?q=a+b&x=1", "http://example.com/dir/")
+    assert p["resolved_url"] == "http://example.com/search?q=a+b&x=1"
+
+
+def test_is_absolute_url():
+    assert is_absolute_url("https://x.com")
+    assert is_absolute_url("mailto:a@b.c")
+    assert not is_absolute_url("/relative")
+    assert not is_absolute_url("C:\\windows\\path")
+
+
+def test_dot_segment_normalization():
+    p = parse_link("../up.html", "http://example.com/a/b/c.html")
+    assert p["resolved_url"] == "http://example.com/a/up.html"
+
+
+def test_canonicalize_space_encoding():
+    assert canonicalize("http://example.com/a b") == "http://example.com/a%20b"
