@@ -1,38 +1,805 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
+training-data-pipeline extension); ``oracle_sql()`` gives the DuckDB twin run
+on the same parquet. Engine-portable primitives (60-bit md5 hash, shingles,
+stopword regexes, the derived link graph) are shared between both sides so
+values hash-match exactly.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from linkinator_spark.config import CheckOptions  # noqa: E402
+from linkinator_spark.functions import dedup as D  # noqa: E402
+from linkinator_spark.functions import media as M  # noqa: E402
+from linkinator_spark.functions import similarity as S  # noqa: E402
+from linkinator_spark.functions import text as T  # noqa: E402
+from linkinator_spark.operators.classify import classify  # noqa: E402
+from linkinator_spark.operators.crawler import LinkChecker  # noqa: E402
+from linkinator_spark.plans import graphgen as G  # noqa: E402
+
+MINHASH_N = 8
+MINHASH_BANDS = 4
+SHINGLE_K = 5
+SIMHASH_BITS = 16
+TOPK = 5
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# shared derivations (Spark side)
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ copies of doc_id%10==0 rows (shifted ids) — a corpus with
+    known exact/near duplicates for the dedup operators."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+_DOCS_WITH_DUPS_SQL = (
+    "(select doc_id, text from documents "
+    " union all "
+    " select doc_id + 1000000 as doc_id, text from documents where doc_id % 10 = 0)"
+)
+
+
+def _linked_text(col):
+    """Embed deterministic URLs into the document text so extraction has
+    something real to find (same concat on the DuckDB side)."""
+    return F.concat(
+        F.lit('<a href="http://site'),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/page/"),
+        F.col("doc_id").cast("string"),
+        F.lit('">doc</a> '),
+        col,
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(' see https://ref.example/r/'),
+                        (F.col("doc_id") % 50).cast("string"))).otherwise(F.lit("")),
+    )
+
+
+_LINKED_TEXT_SQL = (
+    "concat('<a href=\"http://site', cast(doc_id % 20 as varchar), "
+    "'.example/page/', cast(doc_id as varchar), '\">doc</a> ', text, "
+    "case when doc_id % 3 = 0 then concat(' see https://ref.example/r/', "
+    "cast(doc_id % 50 as varchar)) else '' end)"
+)
+
+_URL_RE = r"https?://[A-Za-z0-9./_%-]+"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full wave-loop crawl engine over the graph derived from
+    sf0.001 documents — fetch join, classify, URL-seen anti-join, BFS waves."""
+    return q_crawl_bfs_engine(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# crawl-core queries
+# ---------------------------------------------------------------------------
+
+def q_crawl_bfs_engine(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pages, sdocs = G.pages_from_documents(docs)
+    cfg = CheckOptions(paths=[G.ROOT], recurse=True)
+    res = LinkChecker(spark).check(cfg, pages, sdocs)
+    return (
+        res.results.groupBy("url")
+        .agg(
+            F.min("wave").alias("wave"),
+            F.min("status").alias("status"),
+            F.min("state").alias("state"),
+        )
+    )
+
+
+def q_frontier_bfs(spark, sf_dir):
+    """The wave join in isolation: iterative anti-join BFS over the derived
+    edge list (no fetch simulation) — the shape that runs at 10^10 scale."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = G.edges_df(docs)
+    ok_src = G.status_expr(F.col("src")) == 200
+    edges = edges.filter(ok_src).localCheckpoint(eager=True)
+
+    frontier = spark.createDataFrame([(0, 0)], "id long, wave int")
+    seen = frontier.select("id")
+    out = [frontier]
+    wave = 0
+    while True:
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(seen, "id", "left_anti")
+            .withColumn("wave", F.lit(wave + 1))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out.append(nxt)
+        seen = seen.unionByName(nxt.select("id"))
+        frontier = nxt
+        wave += 1
+        if wave > 60:
+            break
+    reach = out[0]
+    for p in out[1:]:
+        reach = reach.unionByName(p)
+    return reach.select(
+        G.url_expr(F.col("id")).alias("url"),
+        "wave",
+        G.status_expr(F.col("id")).alias("status"),
+        F.when(G.status_expr(F.col("id")) == 200, "OK").otherwise("BROKEN").alias("state"),
+    )
+
+
+def q_extract_links(spark, sf_dir):
+    """Regex URL extraction from (linked) document text -> exploded links."""
+    docs = _t(spark, sf_dir, "documents")
+    linked = docs.select("doc_id", _linked_text(F.col("text")).alias("body"))
+    return (
+        linked.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("body", F.lit(_URL_RE), 0)).alias("link"),
+        )
+        .select(
+            "doc_id", "link",
+            F.regexp_extract("link", r"^https?://([^/]+)", 1).alias("host"),
+        )
+    )
+
+
+def q_top_hosts(spark, sf_dir):
+    links = q_extract_links(spark, sf_dir)
+    return (
+        links.groupBy("host")
+        .agg(F.count("*").alias("n_links"), F.countDistinct("link").alias("n_urls"))
+        .orderBy(F.desc("n_links"), "host")
+        .limit(10)
+    )
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """JVM-side canonicalization of messy derived URLs: lowercase scheme+host,
+    strip default port, strip fragment, root empty path."""
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".Example:80/Path/"), F.col("doc_id").cast("string"),
+            F.lit("#frag"), (F.col("doc_id") % 7).cast("string"),
+        ).alias("raw"),
+    )
+    no_frag = F.regexp_replace("raw", r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z]+://([^/:]+)", 1))
+    port = F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/:]+:(\d+)", 1)
+    path = F.regexp_extract(no_frag, r"^[A-Za-z]+://[^/]+(/.*)?$", 1)
+    canon_port = F.when(
+        (port == "") | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    canon = F.concat(scheme, F.lit("://"), host, canon_port,
+                     F.when(path == "", "/").otherwise(path))
+    frag = F.regexp_extract("raw", r"#(.*)$", 1)
+    return messy.select("doc_id", canon.alias("canonical_url"), frag.alias("fragment"))
+
+
+def q_frontier_dedup(spark, sf_dir):
+    """J2: candidate URLs anti-joined against the seen set."""
+    links = q_extract_links(spark, sf_dir)
+    seen = links.filter(F.col("doc_id") % 3 == 0).select("link").distinct()
+    return (
+        links.select("link").distinct()
+        .join(seen, "link", "left_anti")
+        .select(F.col("link").alias("url"))
+    )
+
+
+def q_politeness_schedule(spark, sf_dir):
+    """Per-host FIFO politeness: rank within host, assign fetch wave by a
+    per-host budget of 4 — the window form of the min-heap scheduler."""
+    links = q_extract_links(spark, sf_dir).select("host", "link").distinct()
+    w = Window.partitionBy("host").orderBy("link")
+    return links.select(
+        "host", F.col("link").alias("url"),
+        F.row_number().over(w).alias("host_seq"),
+        F.floor((F.row_number().over(w) - 1) / 4).cast("int").alias("fetch_wave"),
+    )
+
+
+def q_host_delay_maxwins(spark, sf_dir):
+    """J3/A4: per-host retry-after delays merge max-wins."""
+    events = _t(spark, sf_dir, "events")
+    delays = events.filter(F.col("event_type") == "error").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")).alias("host"),
+        (F.col("value") * 10).alias("not_before"),
+    )
+    return delays.groupBy("host").agg(
+        F.round(F.max("not_before"), 6).alias("not_before")
+    )
+
+
+def q_retry_backoff(spark, sf_dir):
+    """Exponential backoff schedule with deterministic (hash-seeded) jitter
+    for the first 5 retries of every 404/503 node in the derived graph."""
+    docs = _t(spark, sf_dir, "documents")
+    status = G.status_expr(F.col("doc_id"))
+    broken = docs.select("doc_id").filter(status != 200)
+    retries = broken.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.lit(5))).alias("retry_n")
+    )
+    url = G.url_expr(F.col("doc_id"))
+    jitter_ms = F.pmod(
+        T.portable_hash64(F.concat(url, F.lit("#"), F.col("retry_n").cast("string"))),
+        F.lit(3000),
+    )
+    return retries.select(
+        url.alias("url"), "retry_n",
+        F.round(F.pow(F.lit(2.0), F.col("retry_n")) + jitter_ms / 1000.0, 6).alias("backoff_s"),
+    )
+
+
+def q_classify_taxonomy(spark, sf_dir):
+    """The classifier CASE chain over a synthetic status matrix (statusCodes
+    map with exact-beats-wildcard, bot-protection skips, redirect modes)."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    statuses = [200, 201, 301, 403, 404, 410, 429, 500, 503, 999]
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in statuses]), (i % len(statuses) + 1).cast("int")
+    )
+    frame = docs.select(
+        G.url_expr(i).alias("url"),
+        status.alias("status"),
+        F.lit(True).alias("has_response"),
+        (i % 2 == 0).alias("has_body"),
+        F.lit(False).alias("cf_mitigated"),
+        F.lit(None).cast("string").alias("final_url"),
+        F.lit(None).cast("string").alias("location"),
+        F.array().cast("array<string>").alias("fetch_failures"),
+    )
+    cfg = CheckOptions(status_codes={"403": "ok", "4xx": "skip", "5xx": "error"})
+    out = classify(frame, cfg)
+    return out.select("url", "status", "state")
+
+
+# ---------------------------------------------------------------------------
+# span / interleaved-document queries
+# ---------------------------------------------------------------------------
+
+def q_span_flatten(spark, sf_dir):
+    """Derive an interleaved span sequence from each document (fixed-width
+    40-char chunks, every 4th chunk a media_ref), explode with ordinality,
+    and emit rows that must survive byte-identical — the per-row
+    span-sequence invariant (kind, text, media_ref, order)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.greatest(F.length("text"), F.lit(1)) / 40).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.substring(F.col("text"), i * 40 + 1, 40),
+    )
+    spans = F.transform(
+        chunks,
+        lambda c, j: F.struct(
+            F.when(j % 4 == 3, F.lit("media_ref")).otherwise(F.lit("text")).alias("kind"),
+            F.when(j % 4 == 3, F.lit("")).otherwise(c).alias("text"),
+            F.when(j % 4 == 3,
+                   F.concat(F.lit("http://m.example/"), F.md5(c))).otherwise(F.lit("")).alias("media_ref"),
+            j.cast("int").alias("offset"),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(spans).alias("offset_check", "span"))
+        .select(
+            "doc_id",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+
+def q_span_roundtrip(spark, sf_dir):
+    """Span-sequence equality check: reassemble text spans in offset order
+    and compare with a direct chunking — count of intact documents."""
+    spans = q_span_flatten(spark, sf_dir)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("kind") == "media_ref", 1).otherwise(0)).alias("n_media"),
+            F.md5(F.concat_ws("", F.collect_list(
+                F.concat_ws("", "kind", "text", "media_ref", F.col("offset").cast("string"))
+            ))).alias("seq_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_docs_with_dups(spark, sf_dir)).select(
+        "content_key", "keeper_id", "n_copies"
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_candidate_pairs(
+        _docs_with_dups(spark, sf_dir),
+        n_hashes=MINHASH_N, bands=MINHASH_BANDS, k=SHINGLE_K,
+    )
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir)
+    cands = D.minhash_candidate_pairs(
+        docs, n_hashes=MINHASH_N, bands=MINHASH_BANDS, k=SHINGLE_K
+    )
+    return D.jaccard_pairs(docs, cands, threshold=0.5, k=SHINGLE_K)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir)
+    return docs.select(
+        "doc_id", D.simhash(F.col("text"), bits=SIMHASH_BITS).alias("simhash")
+    )
+
+
+def q_dedup_embedding(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding",
+        F.col("label"),
+    )
+    corpus = emb.unionByName(dup)
+    return D.embedding_near_dup_pairs(corpus, threshold=0.999, prefilter_bits=8)
+
+
+# ---------------------------------------------------------------------------
+# text analysis queries
+# ---------------------------------------------------------------------------
+
+def q_text_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    f = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(f["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.content_fingerprint(F.col("text")).alias("fingerprint"),
+        T.kgram_min_fingerprint(F.col("text"), k=8).alias("kgram_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity / media
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.cosine_topk(emb, queries, k=TOPK)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.lsh_topk(emb, queries, dim=64, k=TOPK, n_planes=8, multiprobe=2)
+
+
+def q_media_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    with_media = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(F.lit("text").alias("kind"), F.col("text").alias("text"),
+                     F.lit("").alias("media_ref"), F.lit(0).alias("offset")),
+            F.struct(F.lit("media_ref").alias("kind"), F.lit("").alias("text"),
+                     F.concat(F.lit("http://m.example/img"),
+                              (F.col("doc_id") % 40).cast("string"),
+                              F.lit(".png")).alias("media_ref"),
+                     F.lit(1).alias("offset")),
+            F.struct(F.lit("media_ref").alias("kind"), F.lit("").alias("text"),
+                     F.concat(F.lit("http://m.example/vid"),
+                              (F.col("doc_id") % 15).cast("string"),
+                              F.lit(".mp4")).alias("media_ref"),
+                     F.lit(2).alias("offset")),
+        ).alias("spans"),
+    )
+    media = M.media_from_documents(with_media)
+    return M.extract_media_features(media, out_dim=8).select(
+        "media_id", "kind", "feat_norm"
+    )
+
+
+# ---------------------------------------------------------------------------
+# events (streaming-analog) query
+# ---------------------------------------------------------------------------
+
+def q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour windowed aggregation over the events stream table —
+    the batch twin of the Structured Streaming path."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "crawl_bfs_engine": q_crawl_bfs_engine,
+        "frontier_bfs": q_frontier_bfs,
+        "extract_links": q_extract_links,
+        "top_hosts": q_top_hosts,
+        "url_canonicalize": q_url_canonicalize,
+        "frontier_dedup": q_frontier_dedup,
+        "politeness_schedule": q_politeness_schedule,
+        "host_delay_maxwins": q_host_delay_maxwins,
+        "retry_backoff": q_retry_backoff,
+        "classify_taxonomy": q_classify_taxonomy,
+        "span_flatten": q_span_flatten,
+        "span_roundtrip": q_span_roundtrip,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "media_features": q_media_features,
+        "events_windowed": q_events_windowed,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _hash_sql(expr: str, prefix: str = "") -> str:
+    return T.portable_hash64_sql(expr, prefix)
+
+
+def _shingles_sql(expr: str, k: int) -> str:
+    norm = f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length({norm}) - {k - 1}, 1) + 1), "
+        f"i -> substring({norm}, i, {k})))"
+    )
+
+
+def _minhash_sql(expr: str, n: int, k: int) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> {_hash_sql('s', prefix=f'{j}:')}))"
+        for j in range(n)
+    )
+    return f"(select [{mins}] from (select {_shingles_sql(expr, k)} as sh))"
+
+
+def _simhash_sql(expr: str, bits: int) -> str:
+    norm = f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+    tokens = f"list_distinct(regexp_extract_all({norm}, '[a-z0-9]+'))"
+    terms = " + ".join(
+        f"(case when 2 * len(list_filter(hs, h -> (h & {1 << b}) != 0)) >= len(hs) "
+        f"then {1 << b} else 0 end)"
+        for b in range(bits)
+    )
+    return (
+        f"(select case when len(hs) > 0 then {terms} else 0 end "
+        f"from (select list_transform({tokens}, t -> {_hash_sql('t')}) as hs))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    n_sf001 = 500  # documents rows at sf0.01 (driver compares at sf0.01)
+    url_re = _URL_RE
+
+    extract_links = f"""
+        with linked as (
+          select doc_id, {_LINKED_TEXT_SQL} as body from documents
+        )
+        select doc_id, link,
+               regexp_extract(link, '^https?://([^/]+)', 1) as host
+        from (
+          select doc_id, unnest(regexp_extract_all(body, '{url_re}')) as link
+          from linked
+        )
     """
-    return {}
+
+    seen_sql = f"""
+        (select distinct link from ({extract_links}) where doc_id % 3 = 0)
+    """
+
+    quality_parts = {
+        "n_chars": "length(text)",
+        "n_alpha": "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))",
+        "n_digit": "length(regexp_replace(text, '[^0-9]', '', 'g'))",
+        "n_punct": "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))",
+        "n_tokens": "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))",
+        "n_stop": ("len(regexp_extract_all(lower(text), "
+                   "'\\b(?:the|and|of|to|in|is|that|it|was|for)\\b'))"),
+    }
+    q = quality_parts
+    alpha_ratio = f"({q['n_alpha']}::double / greatest({q['n_chars']}, 1))"
+    punct_ratio = f"({q['n_punct']}::double / greatest({q['n_chars']}, 1))"
+    stop_ratio = f"({q['n_stop']}::double / greatest({q['n_tokens']}, 1))"
+    quality_score = (
+        f"round(least({alpha_ratio} * 1.25, 1.0) * 0.4"
+        f" + least({stop_ratio} * 5.0, 1.0) * 0.3"
+        f" + (1.0 - least({punct_ratio} * 4.0, 1.0)) * 0.2"
+        f" + (case when {q['n_chars']} between 100 and 100000 then 1.0 else 0.0 end) * 0.1, 6)"
+    )
+
+    lang_cases = []
+    for lg in sorted(T.LANG_STOPWORDS):
+        words = "|".join(T.LANG_STOPWORDS[lg])
+        lang_cases.append(
+            (lg, f"len(regexp_extract_all(lower(text), '\\b(?:{words})\\b'))")
+        )
+    best = "greatest(" + ", ".join(s for _, s in lang_cases) + ")"
+    chain = "'und'"
+    for lg, s in reversed(lang_cases):
+        chain = f"case when {s} = {best} then '{lg}' else {chain} end"
+    langid_sql = f"""
+        select doc_id,
+               case when {best} > 0 then {chain} else 'und' end as lang_pred
+        from documents
+    """
+
+    norm_text = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    kgram = (
+        f"list_min(list_transform("
+        f"range(1, greatest(length({norm_text}) - 7, 1) + 1), "
+        f"i -> {_hash_sql(f'substring({norm_text}, i, 8)')}))"
+    )
+
+    minhash_bands_sql = f"""
+        with corpus as (select * from {_DOCS_WITH_DUPS_SQL} c),
+        sigs as (
+          select doc_id, {_minhash_sql('text', MINHASH_N, SHINGLE_K)} as sig
+          from corpus
+        ),
+        bands as (
+          select doc_id, band_id,
+                 md5(concat_ws('|',
+                     cast(sig[band_id * {MINHASH_N // MINHASH_BANDS} + 1] as varchar),
+                     cast(sig[band_id * {MINHASH_N // MINHASH_BANDS} + 2] as varchar)
+                 )) as band_hash
+          from sigs, (select unnest(range(0, {MINHASH_BANDS})) as band_id)
+        )
+        select distinct l.doc_id as doc_a, r.doc_id as doc_b
+        from bands l join bands r
+          on l.band_id = r.band_id and l.band_hash = r.band_hash
+         and l.doc_id < r.doc_id
+    """
+
+    jaccard_sql = f"""
+        with corpus as (select * from {_DOCS_WITH_DUPS_SQL} c),
+        cands as ({minhash_bands_sql}),
+        sh as (select doc_id, {_shingles_sql('text', SHINGLE_K)} as s from corpus)
+        select doc_a, doc_b,
+               round(len(list_intersect(a.s, b.s))::double /
+                     greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) as jaccard
+        from cands join sh a on cands.doc_a = a.doc_id
+                   join sh b on cands.doc_b = b.doc_id
+        where len(list_intersect(a.s, b.s))::double /
+              greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5
+    """
+
+    return {
+        "frontier_bfs": G.bfs_oracle_sql(n_sf001),
+        "crawl_bfs_engine": G.bfs_oracle_sql(n_sf001),
+        "extract_links": extract_links,
+        "top_hosts": f"""
+            select host, count(*) as n_links, count(distinct link) as n_urls
+            from ({extract_links})
+            group by host
+            order by n_links desc, host
+            limit 10
+        """,
+        "url_canonicalize": """
+            select doc_id,
+                   concat('http://site', cast(doc_id % 20 as varchar),
+                          '.example/Path/', cast(doc_id as varchar)) as canonical_url,
+                   concat('frag', cast(doc_id % 7 as varchar)) as fragment
+            from documents
+        """,
+        "frontier_dedup": f"""
+            select distinct link as url from ({extract_links})
+            where link not in (select link from {seen_sql} s)
+        """,
+        "politeness_schedule": f"""
+            with links as (select distinct host, link from ({extract_links}))
+            select host, link as url,
+                   row_number() over (partition by host order by link) as host_seq,
+                   cast(floor((row_number() over (partition by host order by link) - 1) / 4) as int) as fetch_wave
+            from links
+        """,
+        "host_delay_maxwins": """
+            select concat('h', cast(user_id % 10 as varchar)) as host,
+                   round(max(value * 10), 6) as not_before
+            from events where event_type = 'error'
+            group by 1
+        """,
+        "retry_backoff": f"""
+            with broken as (
+              select doc_id from documents where ({G.status_sql('doc_id')}) != 200
+            ),
+            retries as (
+              select doc_id, unnest(range(1, 6)) as retry_n from broken
+            )
+            select {G.url_sql('doc_id')} as url,
+                   cast(retry_n as int) as retry_n,
+                   round(pow(2.0, retry_n) +
+                         ({_hash_sql(f"concat({G.url_sql('doc_id')}, '#', cast(retry_n as varchar))")} % 3000) / 1000.0,
+                         6) as backoff_s
+            from retries
+        """,
+        "classify_taxonomy": f"""
+            with frame as (
+              select {G.url_sql('doc_id')} as url,
+                     ([200, 201, 301, 403, 404, 410, 429, 500, 503, 999])[cast(doc_id % 10 as int) + 1] as status,
+                     (doc_id % 2 = 0) as has_body
+              from documents
+            )
+            select url, cast(status as int) as status,
+                   case
+                     when status = 403 then 'OK'
+                     when status >= 400 and status < 500 then 'SKIPPED'
+                     when status >= 500 and status < 600 then 'BROKEN'
+                     when status = 999 then 'SKIPPED'
+                     when status >= 200 and status < 300 then 'OK'
+                     when status >= 300 and status < 400 and has_body then 'OK'
+                     else 'BROKEN'
+                   end as state
+            from frame
+        """,
+        "span_flatten": """
+            with chunks as (
+              select doc_id, text,
+                     cast(ceil(greatest(length(text), 1) / 40.0) as int) as nc
+              from documents
+            ),
+            flat as (
+              select doc_id, substring(text, j * 40 + 1, 40) as c, j
+              from chunks, lateral (select unnest(range(0, nc)) as j)
+            )
+            select doc_id,
+                   case when j % 4 = 3 then 'media_ref' else 'text' end as kind,
+                   case when j % 4 = 3 then '' else c end as text,
+                   case when j % 4 = 3 then concat('http://m.example/', md5(c)) else '' end as media_ref,
+                   cast(j as int) as "offset"
+            from flat
+        """,
+        "dedup_exact": f"""
+            select md5({norm_text}) as content_key,
+                   min(doc_id) as keeper_id, count(*) as n_copies
+            from {_DOCS_WITH_DUPS_SQL} c
+            group by 1 having count(*) > 1
+        """,
+        "dedup_minhash_lsh": minhash_bands_sql,
+        "dedup_jaccard": jaccard_sql,
+        "dedup_simhash": f"""
+            select doc_id, {_simhash_sql('text', SIMHASH_BITS)} as simhash
+            from {_DOCS_WITH_DUPS_SQL} c
+        """,
+        "text_tokens": """
+            select doc_id,
+                   cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as int) as n_tokens,
+                   cast(len(regexp_split_to_array(trim(text), '\\s+')) as int) as n_ws_tokens
+            from documents
+        """,
+        "text_quality": f"""
+            select doc_id,
+                   round({alpha_ratio}, 6) as alpha_ratio,
+                   round({stop_ratio}, 6) as stopword_ratio,
+                   round({punct_ratio}, 6) as punct_ratio,
+                   {quality_score} as quality
+            from documents
+        """,
+        "text_langid": langid_sql,
+        "text_fingerprint": f"""
+            select doc_id,
+                   {_hash_sql(norm_text)} as fingerprint,
+                   {kgram} as kgram_fp
+            from documents
+        """,
+        "ann_cosine_topk": f"""
+            with q as (
+              select vec_id as query_id, embedding::DOUBLE[] as qv
+              from embeddings where vec_id % 100 = 0
+            ),
+            scored as (
+              select q.query_id, e.vec_id as neighbor_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv) as cos
+              from embeddings e, q
+            ),
+            ranked as (
+              select query_id, neighbor_id, cos,
+                     row_number() over (partition by query_id
+                                        order by cos desc, neighbor_id asc) as rank
+              from scored
+            )
+            select query_id, neighbor_id, cast(rank as int) as rank,
+                   round(cos, 4) as cosine
+            from ranked where rank <= {TOPK}
+        """,
+        "events_windowed": """
+            select strftime(time_bucket(interval '1 hour', ts), '%Y-%m-%d %H:%M:%S') as window_start,
+                   event_type, count(*) as n, round(sum(value), 4) as total_value
+            from events
+            group by 1, 2
+        """,
+    }

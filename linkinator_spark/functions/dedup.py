@@ -1,0 +1,249 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each a `queries()` entry with a DuckDB oracle where the math
+is engine-portable:
+
+* exact dedup            — hash-groupBy on normalized text
+* MinHash + LSH          — shingle -> n portable min-hashes -> band-bucket
+                           join -> candidate pairs (near-dup detection at
+                           10^10-doc scale: the band join is the only shuffle)
+* SimHash                — bit-majority over token hashes, Hamming buckets
+* n-gram Jaccard         — exact verify step for LSH candidates
+* embedding cosine       — near-dup by vector similarity
+
+Scale notes: MinHash signatures are computed in one projection (JVM
+`transform`/`array_min`, no Python); the LSH join shuffles only
+(band_id, band_hash) pairs, so candidate generation is O(docs x bands)
+rows — this is the standard shape that survives a 1000-executor run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linkinator_spark.functions.text import (
+    normalize_text, portable_hash64, shingles,
+)
+
+
+# ------------------------------------------------------------- exact dedup
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: keeper = min id."""
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("content_key"),
+    )
+    return (
+        keyed.groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+def _minhash_j(sh: Column, j: int) -> Column:
+    # NB: single-arg lambda — a (x, i) lambda would receive the array index
+    # as its second arg and clobber a `j=j` default
+    return F.array_min(F.transform(sh, lambda s: portable_hash64(s, prefix=f"{j}:")))
+
+
+def minhash_signature(text_col: Column, n_hashes: int = 16, k: int = 5) -> Column:
+    """n independent min-hashes over k-gram shingles; hash j keys the shingle
+    with a 'j:' prefix so every permutation is reproducible in DuckDB."""
+    sh = F.array_distinct(shingles(normalize_text(text_col), k))
+    return F.array(*[_minhash_j(sh, j) for j in range(n_hashes)])
+
+
+def minhash_band_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 16, bands: int = 4, k: int = 5,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): documents agreeing on all rows of a band
+    share a bucket. rows-per-band = n_hashes/bands."""
+    rows = n_hashes // bands
+    # build band hashes straight from the per-band min-hash expressions —
+    # going through an intermediate signature array makes Catalyst inline the
+    # whole signature computation once per element_at (bands x rows times)
+    sh = F.array_distinct(shingles(normalize_text(F.col(text_col)), k))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *[
+                _minhash_j(sh, b * rows + r).cast("string") for r in range(rows)
+            ])).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 16, bands: int = 4, k: int = 5,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (a < b) from any shared band bucket.
+    This is the LSH self-join: shuffle keyed on (band_id, band_hash)."""
+    # materialize buckets once — the self-join would otherwise recompute the
+    # full minhash on both sides
+    b = minhash_band_buckets(docs, id_col, text_col, n_hashes, bands, k) \
+        .localCheckpoint(eager=False)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+def jaccard_pairs(
+    docs: DataFrame, candidates: DataFrame, threshold: float = 0.7,
+    id_col: str = "doc_id", text_col: str = "text", k: int = 5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; the verify step after
+    LSH. Output: (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(normalize_text(F.col(text_col)), k)).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select(
+            "doc_a", "doc_b",
+            F.round(inter / F.greatest(union, F.lit(1.0)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash(text_col: Column, bits: int = 32) -> Column:
+    """Bit-majority SimHash over word-token hashes — pure expressions:
+    bit b is set when >= half the token hashes have bit b set."""
+    tokens = F.array_distinct(
+        F.regexp_extract_all(normalize_text(text_col), F.lit(r"[a-z0-9]+"), 0)
+    )
+    hashes = F.transform(tokens, lambda t: portable_hash64(t))
+    n = F.size(hashes)
+
+    def bit_term(b: int) -> Column:
+        bit_count = F.size(
+            F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0)
+        )
+        return F.when(bit_count * 2 >= n, F.lit(1 << b)).otherwise(0).cast("bigint")
+
+    acc = F.lit(0).cast("bigint")
+    for b in range(bits):
+        acc = acc + bit_term(b)
+    return F.when(n > 0, acc).otherwise(F.lit(0).cast("bigint"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 32, block_bits: int = 8, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block the fingerprint into bands (pigeonhole
+    — any pair within max_hamming agrees on >=1 block), bucket-join, then
+    exact popcount filter."""
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     simhash(F.col(text_col), bits).alias("sh"))
+    n_blocks = bits // block_bits
+    mask = (1 << block_bits) - 1
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("block_id"),
+            F.shiftright("sh", i * block_bits).bitwiseAND(F.lit(mask)).alias("block_val"),
+        )
+        for i in range(n_blocks)
+    ])
+    bl = sh.select("doc_id", "sh", F.explode(blocks).alias("b")).select(
+        "doc_id", "sh", "b.block_id", "b.block_val"
+    )
+    pairs = (
+        bl.alias("l").join(
+            bl.alias("r"),
+            (F.col("l.block_id") == F.col("r.block_id"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------- embedding near-dup
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over array<float/double> columns — JVM aggregate/zip_with."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    prefilter_bits: int = 12,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine >= threshold. Sign-sketch prefilter
+    (hyperplane LSH on the first `prefilter_bits` dims) bounds the self-join;
+    exact cosine verifies. At sf-test scale the prefilter is optional but the
+    plan shape is the 10^10 one."""
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    sketch = F.aggregate(
+        F.zip_with(
+            F.slice("v", 1, prefilter_bits),
+            F.sequence(F.lit(0), F.lit(prefilter_bits - 1)),
+            lambda x, i: F.when(x > 0, F.pow(F.lit(2.0), i).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v,
+    )
+    sk = e.withColumn("sk", sketch)
+    pairs = (
+        sk.alias("l").join(
+            sk.alias("r"),
+            (F.col("l.sk") == F.col("r.sk")) & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(
+            F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"),
+            cosine_similarity(F.col("l.v"), F.col("r.v")).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= threshold).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cosine")
+    )

@@ -1,0 +1,105 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, partitioning, UDF
+signatures) is real and tested; the codec step is STUBBED — this container
+has no image/audio libraries, so `decode` produces a deterministic fake
+derived from the bytes (or raises NotImplementedError in strict mode). On a
+real cluster you swap `_decode_image_stub` for PIL/libvips/ffmpeg calls —
+the dataflow does not change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, media bytes, width int, height int, "
+    "duration_ms int, mime string"
+)
+
+FEATURES_SCHEMA = "media_id string, kind string, feature array<float>, feat_norm double"
+
+FRAME_SCHEMA = "media_id string, frame_idx int, ts_ms int, frame_hash string"
+
+STRICT = False  # set True to surface NotImplementedError instead of the fake
+
+
+def _decode_image_stub(data: bytes, out_dim: int = 16) -> np.ndarray:
+    """STUB decoder: deterministic pseudo-features from a hash of the bytes.
+    Replace with a real codec (PIL.Image.open(io.BytesIO(data))) on a
+    cluster with the codec libraries installed."""
+    if STRICT:
+        raise NotImplementedError("image codec not available in this container")
+    digest = hashlib.sha256(data or b"").digest()
+    raw = np.frombuffer((digest * ((out_dim * 4) // len(digest) + 1))[: out_dim * 4],
+                        dtype=np.uint32)
+    return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+
+
+def extract_media_features(media: DataFrame, out_dim: int = 16) -> DataFrame:
+    """binary -> feature vector, one Arrow batch at a time (the real-cluster
+    shape: batch-decode, batch-embed)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_image_stub(m if m is not None else b"", out_dim)
+                for m in pdf["media"]
+            ]
+            norms = [float(np.linalg.norm(f)) for f in feats]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "feature": [f.tolist() for f in feats],
+                "feat_norm": norms,
+            })
+
+    return media.select("media_id", "kind", "media").mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """video -> frame records at a fixed sampling interval. The decode is
+    stubbed (frame_hash derives from (bytes, ts)); the row-explosion shape —
+    one input row to N frame rows per batch — is the real pipeline shape."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data, dur in zip(pdf["media_id"], pdf["media"], pdf["duration_ms"]):
+                dur = int(dur or 0)
+                for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
+                    h = hashlib.sha256((data or b"") + ts.to_bytes(8, "little")).hexdigest()[:16]
+                    rows.append((mid, i, ts, h))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "frame_hash"])
+
+    return media.filter(F.col("kind") == "video").select(
+        "media_id", "media", "duration_ms"
+    ).mapInPandas(fn, FRAME_SCHEMA)
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from `media_ref` spans: the opaque
+    binary is a hash-expansion of the ref (stand-in for fetched bytes)."""
+    refs = (
+        documents.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media_ref")
+        .select(F.col("s.media_ref").alias("media_id"))
+        .distinct()
+    )
+    return refs.select(
+        "media_id",
+        F.when(F.col("media_id").rlike(r"\.(mp4|webm)($|\?)"), "video")
+        .when(F.col("media_id").rlike(r"\.(mp3|wav|ogg)($|\?)"), "audio")
+        .otherwise("image").alias("kind"),
+        F.sha2(F.col("media_id"), 256).cast("binary").alias("media"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.pmod(F.xxhash64("media_id"), F.lit(10000)) + 1000).cast("int").alias("duration_ms"),
+        F.lit("application/octet-stream").alias("mime"),
+    )

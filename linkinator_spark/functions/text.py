@@ -1,0 +1,154 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is built from JVM-side `pyspark.sql.functions` expressions
+(whole-stage codegen, no Python in the hot path) and is deliberately
+*engine-portable*: each builder has an exact ANSI-SQL twin used as the DuckDB
+oracle in __spark_entry__.py. The shared primitive is a 60-bit hash derived
+from md5 hex — identical in Spark (`conv(substr(md5(x),1,15),16,10)`) and
+DuckDB (`cast('0x'||substr(md5(x),1,15) as ubigint)`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def portable_hash64(col: Column, prefix: str = "") -> Column:
+    """Deterministic 60-bit hash reproducible in DuckDB (see module doc)."""
+    keyed = F.concat(F.lit(prefix), col) if prefix else col
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash64_sql(expr: str, prefix: str = "") -> str:
+    """The DuckDB twin of portable_hash64 (for oracle construction)."""
+    keyed = f"concat('{prefix}', {expr})" if prefix else expr
+    return f"cast(('0x' || substr(md5({keyed}), 1, 15)) as ubigint)::bigint"
+
+
+# ---------------------------------------------------------------- tokenize
+
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(col: Column) -> Column:
+    """BPE-ish regex token count: words | number runs | punctuation marks."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0))
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+# ---------------------------------------------------------------- quality
+
+STOPWORDS_EN = ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"]
+
+
+def _word_matches(col: Column, words: list[str]) -> Column:
+    pat = r"(?i)\b(?:" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length/punctuation/stopword heuristics (C4/Gopher-style quality
+    signals), all as single-pass expressions."""
+    n_chars = F.length(col)
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    n_tokens = token_count(col)
+    n_stop = _word_matches(col, STOPWORDS_EN)
+    safe = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tok = F.greatest(n_tokens, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": (n_alpha / safe),
+        "digit_ratio": (n_digit / safe),
+        "punct_ratio": (n_punct / safe),
+        "stopword_ratio": (n_stop / safe_tok),
+        "mean_token_len": (n_alpha.cast("double") / safe_tok),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score; weights chosen so prose scores high and
+    boilerplate/noise scores low. Deterministic, portable."""
+    f = quality_features(col)
+    score = (
+        F.least(f["alpha_ratio"] * 1.25, F.lit(1.0)) * 0.4
+        + F.least(f["stopword_ratio"] * 5.0, F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(f["punct_ratio"] * 4.0, F.lit(1.0))) * 0.2
+        + F.when((f["n_chars"] >= 100) & (f["n_chars"] <= 100000), 1.0).otherwise(0.0) * 0.1
+    )
+    return F.round(score, 6)
+
+
+# ---------------------------------------------------------------- lang id
+
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "que", "pour", "pas"],
+    "es": ["el", "la", "los", "las", "es", "una", "por", "con", "para", "como"],
+}
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {lang: _word_matches(col, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of per-language stopword hits; ties break by language code
+    order; zero hits -> 'und'. n-gram-free but deterministic and portable."""
+    scores = lang_scores(col)
+    langs = sorted(scores)  # de, en, es, fr — deterministic tie order
+    best = F.greatest(*[scores[lg] for lg in langs])
+    expr = F.lit("und")
+    for lg in reversed(langs):
+        expr = F.when(scores[lg] == best, F.lit(lg)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def lang_id_sql(expr: str) -> str:
+    """DuckDB twin of lang_id."""
+    scores = {
+        lg: (
+            f"len(regexp_extract_all(lower({expr}), "
+            f"'\\b(?:{'|'.join(w)})\\b'))"
+        )
+        for lg, w in LANG_STOPWORDS.items()
+    }
+    langs = sorted(scores)
+    best = f"greatest({', '.join(scores[lg] for lg in langs)})"
+    chain = "'und'"
+    for lg in reversed(langs):
+        chain = f"case when {scores[lg]} = best then '{lg}' else {chain} end"
+    return f"(select case when best > 0 then {chain} else 'und' end from (select {best} as best))"
+
+
+# ------------------------------------------------------------- fingerprint
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical form for dedup keys."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def content_fingerprint(col: Column) -> Column:
+    """Whole-document fingerprint over normalized text."""
+    return portable_hash64(normalize_text(col))
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Character k-gram shingles, JVM-side: transform over a sequence."""
+    n = F.greatest(F.length(col) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(col, i, k))
+
+
+def kgram_min_fingerprint(col: Column, k: int = 8) -> Column:
+    """Min-hash over k-gram shingles of normalized text: a 1-permutation
+    rolling-hash document fingerprint (robust to small edits)."""
+    norm = normalize_text(col)
+    return F.array_min(F.transform(shingles(norm, k), lambda s: portable_hash64(s)))

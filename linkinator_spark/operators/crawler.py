@@ -31,11 +31,15 @@ clock jumps to the earliest pending deadline when a wave would otherwise be
 empty — the distributed equivalent of the reference queue's earliest-wakeup
 timer (src/queue.ts:115-145) and of its fake-timer tests.
 
-Scale posture: every shuffle is keyed on `host` (politeness partition = fetch
-affinity); hot hosts can be salted for the fetch stage; the seen anti-join is
-the only frontier-sized shuffle per wave; all custom logic (extraction,
-anchors) runs in Arrow-batched mapInPandas. State is checkpointed per wave
-(WaveStore) which both enables resume and truncates iterative lineage.
+Scale/efficiency posture:
+* one driver aggregate gates the whole wave (frontier stats) and one more
+  gates the fallback paths — no per-branch isEmpty() round-trips;
+* per-wave outputs are localCheckpoint'ed individually (small) and the
+  cumulative state is a union of checkpointed parts, so iterative lineage
+  stays O(waves) and nothing cumulative is re-materialized each wave;
+* every shuffle is keyed on `host` (politeness partition = fetch affinity);
+* all custom logic (extraction, anchors) is Arrow-batched mapInPandas;
+* with a checkpoint_dir, WaveStore commits give durable resume instead.
 """
 
 from __future__ import annotations
@@ -54,8 +58,7 @@ from linkinator_spark.config import CheckOptions, LinkState
 from linkinator_spark.functions.extract import (
     ANCHORS_SCHEMA, CANDIDATE_SCHEMA, make_anchors_udf, make_candidate_links_udf,
 )
-from linkinator_spark.functions.urls import parse_link, url_host_py
-from linkinator_spark.operators import fetch as fetchmod
+from linkinator_spark.functions.urls import parse_link, url_host, url_host_py
 from linkinator_spark.operators.classify import classify
 from linkinator_spark.operators.fetch import (
     FETCH_COLS, fetch_once, prepare_pages_dim, with_body_flag,
@@ -90,6 +93,10 @@ FRONTIER_SCHEMA = StructType([
 ])
 
 EVENT_SCHEMA = "kind string, url string, status int, detail string, wave int"
+REL_SCHEMA = "child_url string, parent_url string"
+DUP_SCHEMA = "url string, parent string"
+PENDING_SCHEMA = "target_url string, fragment string"
+DELAY_SCHEMA = "host string, not_before double"
 
 _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 _EPS = 1e-9
@@ -111,19 +118,36 @@ def retry_after_seconds(col, clock: float):
     '30s'/'1m30s'. Returns the absolute virtual deadline (seconds) or null.
     HTTP-dates are interpreted on the virtual epoch (1970-01-01 = t0)."""
     num = F.when(col.rlike(r"^\d+(\.\d+)?$"), col.cast("double") + F.lit(clock))
+    minutes = F.when(
+        col.rlike(r"^\d+m"), F.regexp_extract(col, r"^(\d+)m", 1).cast("double")
+    ).otherwise(F.lit(0.0))
     dur = F.when(
         col.rlike(r"^(\d+m)?\d+s$"),
-        F.coalesce(F.regexp_extract(col, r"^(\d+)m", 1).cast("double"), F.lit(0.0)) * 60
-        + F.regexp_extract(col, r"(\d+)s$", 1).cast("double")
-        + F.lit(clock),
+        minutes * 60 + F.regexp_extract(col, r"(\d+)s$", 1).cast("double") + F.lit(clock),
     )
-    date = F.to_timestamp(col, "EEE, dd MMM yyyy HH:mm:ss zzz").cast("double")
+    # HTTP-date ("Thu, 01 Jan 1970 00:00:09 GMT"): Spark's formatter rejects
+    # EEE-day patterns, so strip the weekday and parse the GMT remainder
+    date = F.try_to_timestamp(
+        F.regexp_extract(col, r"^[A-Za-z]{3}, (.+) GMT$", 1),
+        F.lit("dd MMM yyyy HH:mm:ss"),
+    ).cast("double")
     return F.coalesce(num, dur, date)
 
 
 class LinkChecker:
     def __init__(self, spark: SparkSession):
         self.spark = spark
+
+    def _empty(self, schema) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def _union(self, parts: list, schema) -> DataFrame:
+        if not parts:
+            return self._empty(schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ------------------------------------------------------------------ API
     def check(
@@ -136,51 +160,55 @@ class LinkChecker:
         spark = self.spark
         store = WaveStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
 
-        pages_dim = prepare_pages_dim(pages)
-        docs = documents.select(
-            F.col("doc_id").alias("body_doc_id"), F.col("spans")
-        )
-        skip_match = make_skip_match(cfg.links_to_skip)
-        frag_skip_match = make_fragment_skip_match(cfg.fragments_to_skip)
-        candidates_udf = make_candidate_links_udf(cfg.check_css, cfg.markdown)
-        anchors_udf = make_anchors_udf(cfg.markdown)
-
-        empty = lambda schema: spark.createDataFrame([], schema)  # noqa: E731
+        ctx = {
+            "pages_dim": prepare_pages_dim(pages),
+            "docs": documents.select(
+                F.col("doc_id").alias("body_doc_id"), F.col("spans")
+            ),
+            "skip_match": make_skip_match(cfg.links_to_skip),
+            "frag_skip_match": make_fragment_skip_match(cfg.fragments_to_skip),
+            "candidates_udf": make_candidate_links_udf(cfg.check_css, cfg.markdown),
+            "anchors_udf": make_anchors_udf(cfg.markdown),
+        }
 
         if resume and store and store.latest_wave() is not None:
             manifest, state = store.load(spark, store.latest_wave())
             clock = float(manifest["clock"])
             wave = int(manifest["wave"]) + 1
             frontier = state["frontier"]
-            seen = state["seen"]
-            results = state["results"]
-            relationships = state["relationships"]
-            dup_edges = state["dup_edges"]
-            pending_fragments = state["pending_fragments"]
+            seen_parts = [state["seen"]]
+            results_parts = [state["results"]]
+            rel_parts = [state["relationships"]]
+            dup_parts = [state["dup_edges"]]
+            events_parts = [state["events"]]
+            pending = state["pending_fragments"]
             host_delays = state["host_delays"]
-            events = state["events"]
         else:
             seeds = self._seed_frontier(cfg)
-            frontier = spark.createDataFrame(seeds, FRONTIER_SCHEMA)
-            seen = frontier.select("url").distinct()
-            results = empty(RESULT_SCHEMA)
-            relationships = empty("child_url string, parent_url string")
-            dup_edges = empty("url string, parent string")
-            pending_fragments = empty("target_url string, fragment string")
-            host_delays = empty("host string, not_before double")
-            events = empty(EVENT_SCHEMA)
+            frontier = (
+                spark.createDataFrame(seeds, FRONTIER_SCHEMA)
+                if seeds else self._empty(FRONTIER_SCHEMA)
+            )
+            seen_parts = [frontier.select("url")]
+            results_parts, events_parts, rel_parts, dup_parts = [], [], [], []
+            pending = self._empty(PENDING_SCHEMA)
+            host_delays = self._empty(DELAY_SCHEMA)
             clock = 0.0
             wave = 0
 
         while wave < cfg.max_waves:
-            if frontier.isEmpty():
+            # ---- one driver action: wave stats + earliest-wakeup clock
+            n_total, min_nb, n_ready = frontier.agg(
+                F.count("*"),
+                F.min("not_before"),
+                F.sum(F.when(F.col("not_before") <= clock + _EPS, 1).otherwise(0)),
+            ).collect()[0]
+            if not n_total:
                 break
-            # ---- virtual-clock advance (earliest-wakeup, queue.ts:115-145)
-            ready_cond = F.col("not_before") <= F.lit(clock + _EPS)
-            if frontier.filter(ready_cond).isEmpty():
-                clock = frontier.agg(F.min("not_before")).collect()[0][0]
-                ready_cond = F.col("not_before") <= F.lit(clock + _EPS)
+            if not n_ready:
+                clock = float(min_nb)
 
+            ready_cond = F.col("not_before") <= F.lit(clock + _EPS)
             ready = frontier.filter(ready_cond)
             deferred = frontier.filter(~ready_cond)
 
@@ -193,65 +221,79 @@ class LinkChecker:
                 )
                 ready = ranked.filter(F.col("_rk") <= cfg.per_host_budget).drop("_rk")
 
+            seen = self._union(seen_parts, "url string")
+            relationships = self._union(rel_parts, REL_SCHEMA)
+
             (wave_results, wave_events, requeued, new_frontier,
-             new_seen, new_rel, new_dups, pending_fragments, host_delays) = self._run_wave(
-                ready, pages_dim, docs, cfg, clock, wave,
-                skip_match, frag_skip_match, candidates_udf, anchors_udf,
-                seen, relationships, pending_fragments, host_delays,
+             new_rel, new_dups, pending, host_delays) = self._run_wave(
+                ready, cfg, clock, wave, ctx, seen, relationships,
+                pending, host_delays,
             )
 
-            results = results.unionByName(wave_results)
-            events = events.unionByName(wave_events)
-            relationships = relationships.unionByName(new_rel)
-            dup_edges = dup_edges.unionByName(new_dups)
-            seen = seen.unionByName(new_seen)
-            frontier = deferred.select(_FRONTIER_COLS).unionByName(
-                requeued.select(_FRONTIER_COLS)
-            ).unionByName(new_frontier.select(_FRONTIER_COLS))
+            # ---- materialize this wave's outputs (small), keep cumulative
+            # state as unions of checkpointed parts
+            new_frontier = new_frontier.select(_FRONTIER_COLS).localCheckpoint(eager=True)
+            frontier = (
+                deferred.select(_FRONTIER_COLS)
+                .unionByName(requeued.select(_FRONTIER_COLS))
+                .unionByName(new_frontier)
+                .localCheckpoint(eager=True)
+            )
+            results_parts.append(wave_results.localCheckpoint(eager=True))
+            events_parts.append(wave_events.localCheckpoint(eager=True))
+            rel_parts.append(new_rel.localCheckpoint(eager=True))
+            dup_parts.append(new_dups.localCheckpoint(eager=True))
+            seen_parts.append(new_frontier.select("url"))
+            if cfg.check_fragments:
+                pending = pending.localCheckpoint(eager=True)
+            if cfg.retry:
+                host_delays = host_delays.localCheckpoint(eager=True)
 
-            state = {
-                "frontier": frontier, "seen": seen, "results": results,
-                "relationships": relationships, "dup_edges": dup_edges,
-                "pending_fragments": pending_fragments,
-                "host_delays": host_delays, "events": events,
-            }
             if store:
+                full = {
+                    "frontier": frontier,
+                    "seen": self._union(seen_parts, "url string").distinct(),
+                    "results": self._union(results_parts, RESULT_SCHEMA),
+                    "relationships": self._union(rel_parts, REL_SCHEMA),
+                    "dup_edges": self._union(dup_parts, DUP_SCHEMA),
+                    "pending_fragments": pending,
+                    "host_delays": host_delays,
+                    "events": self._union(events_parts, EVENT_SCHEMA),
+                }
                 metrics = {
                     "wave": wave,
+                    "clock": clock,
                     "fetched_hosts": {
                         r["host"]: r["n"]
-                        for r in wave_results.groupBy("host").agg(
-                            F.count("*").alias("n")
-                        ).collect()
+                        for r in wave_results.groupBy("host")
+                        .agg(F.count("*").alias("n")).collect()
                     },
                 }
-                state = store.commit(wave, clock, state, metrics)
-            else:
-                # truncate iterative lineage even without durable checkpoints
-                state = {k: v.localCheckpoint(eager=True) for k, v in state.items()}
-            (frontier, seen, results, relationships, dup_edges,
-             pending_fragments, host_delays, events) = (
-                state["frontier"], state["seen"], state["results"],
-                state["relationships"], state["dup_edges"],
-                state["pending_fragments"], state["host_delays"], state["events"],
-            )
+                state = store.commit(wave, clock, full, metrics)
+                frontier = state["frontier"]
+                seen_parts = [state["seen"]]
+                results_parts = [state["results"]]
+                rel_parts = [state["relationships"]]
+                dup_parts = [state["dup_edges"]]
+                events_parts = [state["events"]]
+                pending = state["pending_fragments"]
+                host_delays = state["host_delays"]
             wave += 1
+
+        results = self._union(results_parts, RESULT_SCHEMA)
+        dup_edges = self._union(dup_parts, DUP_SCHEMA)
 
         # ---- duplicate-link BROKEN re-report (J1, src/index.ts:840-875)
         broken = results.filter(
             (F.col("state") == LinkState.BROKEN) & ~F.col("url").contains("#")
         ).select("url", "status", "state", "failure_details")
-        dup_broken = (
-            dup_edges.join(broken, "url", "inner")
-            .select(
-                "url", "status", "state",
-                F.col("parent"), "failure_details",
-                F.lit(wave).alias("wave"),
-                F.lit("").alias("host"),
-                F.lit(0).cast("long").alias("seq"),
-            )
+        dup_broken = dup_edges.join(broken, "url", "inner").select(
+            "url", "status", "state", F.col("parent"), "failure_details",
+            F.lit(wave).alias("wave"), F.lit("").alias("host"),
+            F.lit(0).cast("long").alias("seq"),
         )
-        results = results.unionByName(dup_broken)
+        results = results.unionByName(dup_broken).persist()
+        events = self._union(events_parts, EVENT_SCHEMA)
 
         passed = results.filter(F.col("state") == LinkState.BROKEN).isEmpty()
         return CrawlResult(passed=passed, results=results, events=events,
@@ -275,17 +317,14 @@ class LinkChecker:
 
     # ----------------------------------------------------------------- wave
     def _run_wave(
-        self, ready, pages_dim, docs, cfg: CheckOptions, clock: float, wave: int,
-        skip_match, frag_skip_match, candidates_udf, anchors_udf,
+        self, ready, cfg: CheckOptions, clock: float, wave: int, ctx: dict,
         seen, relationships, pending_fragments, host_delays,
     ):
-        spark = self.spark
-        empty_results = spark.createDataFrame([], RESULT_SCHEMA)
-        empty_events = spark.createDataFrame([], EVENT_SCHEMA)
-        empty_frontier = spark.createDataFrame([], FRONTIER_SCHEMA)
-        results_parts = [empty_results]
-        events_parts = [empty_events]
-        requeue_parts = [empty_frontier]
+        pages_dim = ctx["pages_dim"]
+        skip_match = ctx["skip_match"]
+        results_parts: list[DataFrame] = []
+        events_parts: list[DataFrame] = []
+        requeue_parts: list[DataFrame] = []
 
         # ---- URL rewrite (src/index.ts:310-318)
         for pattern, replacement in cfg.url_rewrite:
@@ -293,7 +332,6 @@ class LinkChecker:
                 "url", F.regexp_replace("url", pattern, replacement)
             )
         if cfg.url_rewrite:
-            from linkinator_spark.functions.urls import url_host
             ready = ready.withColumn("host", url_host(F.col("url")))
 
         # ---- pre-fetch skip (src/index.ts:320-323,973-985)
@@ -301,9 +339,8 @@ class LinkChecker:
         skip_cond = non_http
         if skip_match is not None:
             skip_cond = skip_cond | skip_match(F.col("url"))
-        skipped = ready.filter(skip_cond)
         results_parts.append(
-            skipped.select(
+            ready.filter(skip_cond).select(
                 "url",
                 F.when(non_http, F.lit(0)).otherwise(F.lit(None)).cast("int").alias("status"),
                 F.lit(LinkState.SKIPPED).alias("state"),
@@ -315,9 +352,11 @@ class LinkChecker:
         ready = ready.filter(~skip_cond)
 
         # ---- per-host delay gate (J3, src/index.ts:325-342)
-        if not host_delays.isEmpty():
-            gated = ready.join(F.broadcast(host_delays.withColumnRenamed(
-                "not_before", "_host_nb")), "host", "left")
+        if cfg.retry:
+            gated = ready.join(
+                F.broadcast(host_delays.withColumnRenamed("not_before", "_host_nb")),
+                "host", "left",
+            )
             blocked = gated.filter(F.col("_host_nb") > clock + _EPS)
             requeue_parts.append(
                 blocked.withColumn("not_before", F.col("_host_nb"))
@@ -329,46 +368,50 @@ class LinkChecker:
 
         # ---- fetch: HEAD for leaves, GET when crawling (src/index.ts:344-369)
         method = F.when(F.col("crawl"), F.lit("GET")).otherwise(F.lit("HEAD"))
-        cur = fetch_once(ready, pages_dim, method, cfg, skip_match)
+        cur = fetch_once(ready, pages_dim, method, cfg, skip_match).persist()
 
-        # 405 -> retry as GET (src/index.ts:378-388)
         c405 = (F.col("status") == 405) & F.col("redirect_skipped").isNull()
-        fb = cur.filter(c405)
-        if not fb.isEmpty():
-            fb_re = fetch_once(
-                fb.withColumn("_prev_failures", F.col("fetch_failures"))
-                .drop(*FETCH_COLS),
-                pages_dim, F.lit("GET"), cfg, skip_match,
-            )
-            fb_re = fb_re.withColumn(
-                "fetch_failures",
-                F.concat(F.col("_prev_failures"), F.col("fetch_failures")),
-            ).drop("_prev_failures")
-            cur = cur.filter(~c405).unionByName(fb_re)
-
-        # last-gasp GET for non-2xx leaf checks (src/index.ts:396-417)
         lg_cond = (
             (~F.col("has_response") | (F.col("status") < 200) | (F.col("status") >= 300))
             & ~F.col("crawl")
             & F.col("redirect_skipped").isNull()
+            & (F.col("status") != 405)
         )
-        lg = cur.filter(lg_cond)
-        if not lg.isEmpty():
-            lg_re = fetch_once(
-                lg.withColumn("_prev_failures", F.col("fetch_failures"))
+        # one action gates both fallback paths
+        n405, nlg = cur.agg(
+            F.sum(F.when(c405, 1).otherwise(0)),
+            F.sum(F.when(lg_cond, 1).otherwise(0)),
+        ).collect()[0]
+
+        def _refetch(subset: DataFrame) -> DataFrame:
+            re = fetch_once(
+                subset.withColumn("_prev_failures", F.col("fetch_failures"))
                 .drop(*FETCH_COLS),
                 pages_dim, F.lit("GET"), cfg, skip_match,
             )
-            lg_re = lg_re.withColumn(
+            return re.withColumn(
                 "fetch_failures",
                 F.concat(F.col("_prev_failures"), F.col("fetch_failures")),
             ).drop("_prev_failures")
-            cur = cur.filter(~lg_cond).unionByName(lg_re)
+
+        # 405 -> retry as GET (src/index.ts:378-388)
+        if n405:
+            cur = cur.filter(~c405).unionByName(_refetch(cur.filter(c405))).persist()
+            nlg = cur.agg(F.sum(F.when(lg_cond, 1).otherwise(0))).collect()[0][0]
+
+        # last-gasp GET for non-2xx leaf checks (src/index.ts:396-417);
+        # lg_cond excludes 405 rows (those took the fallback above), matching
+        # the reference's sequential flow
+        if nlg:
+            lg_full = (
+                (~F.col("has_response") | (F.col("status") < 200) | (F.col("status") >= 300))
+                & ~F.col("crawl") & F.col("redirect_skipped").isNull()
+            )
+            cur = cur.filter(~lg_full).unionByName(_refetch(cur.filter(lg_full))).persist()
 
         # ---- redirect-skipped -> SKIPPED (src/index.ts:370-373)
-        rs = cur.filter(F.col("redirect_skipped").isNotNull())
         results_parts.append(
-            rs.select(
+            cur.filter(F.col("redirect_skipped").isNotNull()).select(
                 "url", F.lit(None).cast("int").alias("status"),
                 F.lit(LinkState.SKIPPED).alias("state"), "parent",
                 F.array().cast("array<string>").alias("failure_details"),
@@ -377,36 +420,72 @@ class LinkChecker:
         )
         cur = cur.filter(F.col("redirect_skipped").isNull())
 
+        # ---- retry gating (single action for both retry families)
+        deadline = retry_after_seconds(F.col("retry_after"), clock)
+        c429 = (
+            (F.col("status") == 429) & F.col("retry_after").isNotNull()
+            & deadline.isNotNull()
+        ) if cfg.retry else F.lit(False)
+        err_base = (
+            (F.col("status") == 0) | (F.col("status") >= 500) | (F.col("status") == 429)
+        ) & (F.col("retry_errors_n") < cfg.retry_errors_count)
+        cerr = (err_base & ~c429) if cfg.retry_errors else F.lit(False)
+
+        if cfg.retry or cfg.retry_errors:
+            n429, nerr = cur.agg(
+                F.sum(F.when(c429, 1).otherwise(0)),
+                F.sum(F.when(cerr, 1).otherwise(0)),
+            ).collect()[0]
+        else:
+            n429 = nerr = 0
+
         # ---- 429 + retry-after -> host delay + requeue (src/index.ts:1019-1060)
-        if cfg.retry:
-            deadline = retry_after_seconds(F.col("retry_after"), clock)
-            r429 = cur.filter(
-                (F.col("status") == 429) & F.col("retry_after").isNotNull()
-            ).withColumn("_deadline", deadline).filter(F.col("_deadline").isNotNull())
-            r429 = r429.persist()
-            if not r429.isEmpty():
-                # max-wins per host (src/index.ts:1035-1043)
-                new_delays = r429.groupBy("host").agg(
-                    F.max("_deadline").alias("not_before")
+        if n429:
+            r429 = cur.filter(c429).withColumn("_deadline", deadline)
+            new_delays = r429.groupBy("host").agg(
+                F.max("_deadline").alias("not_before")
+            )
+            host_delays = (
+                host_delays.unionByName(new_delays)
+                .groupBy("host").agg(F.max("not_before").alias("not_before"))
+            )
+            requeue_parts.append(
+                r429.withColumn("not_before", F.col("_deadline"))
+                .withColumn("attempt", F.col("attempt") + 1)
+                .select(_FRONTIER_COLS)
+            )
+            events_parts.append(
+                r429.select(
+                    F.lit("retry").alias("kind"), "url", "status",
+                    F.round(F.col("_deadline") - clock).cast("string").alias("detail"),
+                    F.lit(wave).alias("wave"),
                 )
-                host_delays = (
-                    host_delays.unionByName(new_delays)
-                    .groupBy("host").agg(F.max("not_before").alias("not_before"))
+            )
+            cur = cur.filter(~c429)
+
+        # ---- error retry with exponential backoff (src/index.ts:1069-1109)
+        if nerr:
+            err = cur.filter(cerr)
+            n1 = F.col("retry_errors_n") + 1
+            jitter_s = (
+                F.pmod(F.xxhash64(F.col("url"), n1, F.lit(cfg.seed)), F.lit(10000))
+                / 10000.0 * cfg.retry_errors_jitter / 1000.0
+            )
+            backoff = F.pow(F.lit(2.0), n1.cast("double")) + jitter_s
+            requeue_parts.append(
+                err.withColumn("not_before", F.lit(clock) + backoff)
+                .withColumn("retry_errors_n", n1)
+                .withColumn("attempt", F.col("attempt") + 1)
+                .select(_FRONTIER_COLS)
+            )
+            events_parts.append(
+                err.select(
+                    F.lit("retry").alias("kind"), "url", "status",
+                    F.round(backoff).cast("string").alias("detail"),
+                    F.lit(wave).alias("wave"),
                 )
-                requeue_parts.append(
-                    r429.withColumn("not_before", F.col("_deadline"))
-                    .withColumn("attempt", F.col("attempt") + 1)
-                    .select(_FRONTIER_COLS)
-                )
-                events_parts.append(
-                    r429.select(
-                        F.lit("retry").alias("kind"), "url", "status",
-                        F.round(F.col("_deadline") - clock).cast("string").alias("detail"),
-                        F.lit(wave).alias("wave"),
-                    )
-                )
-                cur = cur.join(r429.select("url"), "url", "left_anti")
-            r429.unpersist()
+            )
+            cur = cur.filter(~cerr)
 
         # ---- content sniff
         cur = with_body_flag(cur).withColumn(
@@ -414,66 +493,26 @@ class LinkChecker:
         ).withColumn("_is_css", F.col("content_type").rlike(_CSS_RE))
 
         # ---- fragment-target body re-GET for HEAD-fetched pages
-        # (src/index.ts:450-473): a leaf page with pending fragments needs its
-        # body to validate them.
-        if cfg.check_fragments and not pending_fragments.isEmpty():
+        # (src/index.ts:450-473)
+        if cfg.check_fragments:
             frag_targets = pending_fragments.select(
                 F.col("target_url").alias("url")
             ).distinct()
-            need_body = (
-                cur.join(F.broadcast(frag_targets), "url", "semi")
-                .filter(F.col("_is_html") & ~F.col("has_body") & F.col("has_response"))
-            )
-            if not need_body.isEmpty():
-                re_got = fetch_once(
-                    need_body.withColumn("_prev_failures", F.col("fetch_failures"))
-                    .drop(*FETCH_COLS, "_is_html", "_is_css", "has_body"),
-                    pages_dim, F.lit("GET"), cfg, skip_match,
-                )
+            need_cond = F.col("_is_html") & ~F.col("has_body") & F.col("has_response")
+            need_body = cur.join(F.broadcast(frag_targets), "url", "semi").filter(need_cond)
+            n_need = need_body.count()
+            if n_need:
                 re_got = (
                     with_body_flag(
-                        re_got.withColumn(
-                            "fetch_failures",
-                            F.concat(F.col("_prev_failures"), F.col("fetch_failures")),
-                        ).drop("_prev_failures")
+                        _refetch(need_body.drop("_is_html", "_is_css", "has_body"))
                     )
                     .withColumn("_is_html", F.col("content_type").rlike(_HTML_RE))
                     .withColumn("_is_css", F.col("content_type").rlike(_CSS_RE))
                     .filter(F.col("redirect_skipped").isNull())
                 )
-                cur = cur.join(need_body.select("url"), "url", "left_anti").unionByName(
-                    re_got.select(*cur.columns)
-                )
-
-        # ---- error retry with exponential backoff (src/index.ts:1069-1109)
-        if cfg.retry_errors:
-            err_cond = (
-                ((F.col("status") == 0) | (F.col("status") >= 500) | (F.col("status") == 429))
-                & (F.col("retry_errors_n") < cfg.retry_errors_count)
-            )
-            err = cur.filter(err_cond).persist()
-            if not err.isEmpty():
-                n1 = F.col("retry_errors_n") + 1
-                jitter_s = (
-                    F.pmod(F.xxhash64(F.col("url"), n1, F.lit(cfg.seed)), F.lit(10000))
-                    / 10000.0 * cfg.retry_errors_jitter / 1000.0
-                )
-                backoff = F.pow(F.lit(2.0), n1.cast("double")) + jitter_s
-                requeued = (
-                    err.withColumn("not_before", F.lit(clock) + backoff)
-                    .withColumn("retry_errors_n", n1)
-                    .withColumn("attempt", F.col("attempt") + 1)
-                )
-                requeue_parts.append(requeued.select(_FRONTIER_COLS))
-                events_parts.append(
-                    err.select(
-                        F.lit("retry").alias("kind"), "url", "status",
-                        F.round(backoff).cast("string").alias("detail"),
-                        F.lit(wave).alias("wave"),
-                    )
-                )
-                cur = cur.filter(~err_cond)
-            err.unpersist()
+                cur = cur.join(
+                    need_body.select("url"), "url", "left_anti"
+                ).unionByName(re_got.select(*cur.columns))
 
         # ---- classification (src/index.ts:482-604)
         classified = classify(cur, cfg).persist()
@@ -509,60 +548,52 @@ class LinkChecker:
             F.col("seq").alias("parent_seq"),
         )
         candidates = (
-            ext_pages.join(docs, "body_doc_id", "left")
+            ext_pages.join(ctx["docs"], "body_doc_id", "left")
             .select("page_url", "base_url", "content_kind", "spans")
-            .mapInPandas(candidates_udf, CANDIDATE_SCHEMA)
+            .mapInPandas(ctx["candidates_udf"], CANDIDATE_SCHEMA)
             .join(
                 ext_pages.select("page_url", "root_path", "parent_seq"),
                 "page_url",
             )
         )
 
-        (cand_results, cand_events, new_frontier, new_seen, new_rel,
-         new_dups, new_pending) = self._process_candidates(
-            candidates, cfg, clock, wave, skip_match, frag_skip_match,
-            seen, relationships,
-        )
+        (cand_results, new_frontier, new_rel, new_dups, new_pending) = \
+            self._process_candidates(
+                candidates, cfg, clock, wave, skip_match,
+                ctx["frag_skip_match"], seen, relationships,
+            )
         results_parts.append(cand_results)
-        events_parts.append(cand_events)
 
         # ---- fragment validation (src/index.ts:616-673,878-920 + E9/E10)
         pending_all = pending_fragments.unionByName(new_pending)
-        if cfg.check_fragments and not pending_all.isEmpty():
+        if cfg.check_fragments:
             frag_results, pending_all = self._validate_fragments(
-                classified, docs, pending_all, anchors_udf, wave
+                classified, ctx["docs"], pending_all, ctx["anchors_udf"], wave
             )
             results_parts.append(frag_results)
 
-        wave_results = results_parts[0]
-        for p in results_parts[1:]:
-            wave_results = wave_results.unionByName(p)
-        wave_events = events_parts[0]
-        for p in events_parts[1:]:
-            wave_events = wave_events.unionByName(p)
-        requeued = requeue_parts[0]
-        for p in requeue_parts[1:]:
-            requeued = requeued.unionByName(p)
-
-        return (wave_results, wave_events, requeued, new_frontier,
-                new_seen, new_rel, new_dups, pending_all, host_delays)
+        return (
+            self._union(results_parts, RESULT_SCHEMA),
+            self._union(events_parts, EVENT_SCHEMA),
+            self._union(requeue_parts, FRONTIER_SCHEMA),
+            new_frontier,
+            new_rel,
+            new_dups,
+            pending_all,
+            host_delays,
+        )
 
     # ---------------------------------------------------- candidate pipeline
     def _process_candidates(
         self, candidates, cfg: CheckOptions, clock: float, wave: int,
         skip_match, frag_skip_match, seen, relationships,
     ):
-        spark = self.spark
-        empty_results = spark.createDataFrame([], RESULT_SCHEMA)
-        empty_events = spark.createDataFrame([], EVENT_SCHEMA)
-        results_parts = [empty_results]
-
+        results_parts: list[DataFrame] = []
         candidates = candidates.persist()
 
         # malformed hrefs -> BROKEN status 0 (src/index.ts:720-730)
-        malformed = candidates.filter(F.col("parse_error").isNotNull())
         results_parts.append(
-            malformed.select(
+            candidates.filter(F.col("parse_error").isNotNull()).select(
                 F.col("raw_link").alias("url"), F.lit(0).alias("status"),
                 F.lit(LinkState.BROKEN).alias("state"),
                 F.col("page_url").alias("parent"),
@@ -578,9 +609,8 @@ class LinkChecker:
             sk_cond = F.col("url_with_fragment").rlike("^https?://") & skip_match(
                 F.col("url_with_fragment")
             )
-            sk = cand.filter(sk_cond)
             results_parts.append(
-                sk.select(
+                cand.filter(sk_cond).select(
                     F.col("url_with_fragment").alias("url"),
                     F.lit(None).cast("int").alias("status"),
                     F.lit(LinkState.SKIPPED).alias("state"),
@@ -593,15 +623,14 @@ class LinkChecker:
             cand = cand.filter(~sk_cond)
 
         # fragment bookkeeping (src/index.ts:754-784)
-        new_pending = spark.createDataFrame([], "target_url string, fragment string")
+        new_pending = self._empty(PENDING_SCHEMA)
         if cfg.check_fragments:
             has_frag = F.col("fragment").isNotNull() & (F.length("fragment") > 0)
             frag_rows = cand.filter(has_frag)
             if frag_skip_match is not None:
                 fsk_cond = frag_skip_match(F.col("fragment"), F.col("url_with_fragment"))
-                fsk = frag_rows.filter(fsk_cond)
                 results_parts.append(
-                    fsk.select(
+                    frag_rows.filter(fsk_cond).select(
                         F.col("url_with_fragment").alias("url"),
                         F.lit(None).cast("int").alias("status"),
                         F.lit(LinkState.SKIPPED).alias("state"),
@@ -617,8 +646,6 @@ class LinkChecker:
             ).distinct()
 
         # recurse predicate (src/index.ts:786-798)
-        from linkinator_spark.functions.urls import url_host
-
         root_host = url_host(F.col("root_path"))
         child_host = url_host(F.col("resolved_url"))
         crawl_flag = (
@@ -642,7 +669,7 @@ class LinkChecker:
                 & (F.col("page_url") == relationships["parent_url"]),
                 "left_anti",
             )
-        ).persist()
+        )
         new_rel = edges.select(
             F.col("resolved_url").alias("child_url"),
             F.col("page_url").alias("parent_url"),
@@ -678,22 +705,12 @@ class LinkChecker:
             F.lit(0).alias("retry_errors_n"),
             F.lit(float(clock)).alias("not_before"),
             F.lit(wave + 1).alias("wave"),
-            (
-                F.lit((wave + 1) * 1_000_000_000)
-                + F.row_number().over(
-                    Window.partitionBy(F.col("_child_host")).orderBy(
-                        "parent_seq", "ordinal"
-                    )
-                )
-            ).cast("long").alias("seq"),
+            (F.lit((wave + 1) * 1_000_000_000) + F.row_number().over(w_host))
+            .cast("long").alias("seq"),
         )
-        new_seen = new_frontier.select("url").distinct()
 
-        out_results = results_parts[0]
-        for p in results_parts[1:]:
-            out_results = out_results.unionByName(p)
-        return (out_results, empty_events, new_frontier, new_seen, new_rel,
-                new_dups, new_pending)
+        out_results = self._union(results_parts, RESULT_SCHEMA)
+        return out_results, new_frontier, new_rel, new_dups, new_pending
 
     # ------------------------------------------------------------ fragments
     def _validate_fragments(self, classified, docs, pending_all, anchors_udf, wave: int):
@@ -726,7 +743,6 @@ class LinkChecker:
                 F.col("body_text").contains('content="noindex')
                 & F.col("body_text").contains("nofollow"),
             )
-            .persist()
         )
         missing = joined.filter(
             ~F.col("_soft404") & ~F.array_contains(F.col("anchors"), F.col("fragment"))

@@ -139,11 +139,17 @@ def follow_redirects(
             & F.col("location").isNotNull()
             & F.col("redirect_skipped").isNull()
         )
-        cur = cur.withColumn("_pending", is_redir).persist()
+        cur = cur.withColumn("_pending", is_redir)
+        if _hop > 0:
+            # hop rows are few; truncating lineage per hop keeps the plan
+            # O(1) deep — 20 chained join plans otherwise OOM the driver
+            # during plan stringification
+            cur = cur.localCheckpoint(eager=True)
+        else:
+            cur = cur.persist()
         pending = cur.filter(F.col("_pending"))
         done_parts.append(cur.filter(~F.col("_pending")).drop("_pending"))
         if pending.isEmpty():
-            cur.unpersist()
             break
 
         target = resolve_location(F.col("_cur_url"), F.col("location"))

@@ -1,0 +1,94 @@
+"""Bloom prefilter exactness + streaming surface + salting."""
+
+import tempfile
+
+import pyspark.sql.functions as F
+
+from linkinator_spark.operators.bloom import (
+    BloomFilter, build_bloom, dedup_with_bloom,
+)
+from linkinator_spark.sources.webgraph import (
+    hot_host_salts, synth_frontier, with_salt,
+)
+from linkinator_spark.streaming.frontier_stream import (
+    run_available_now, stream_candidates, stream_fetch_metrics,
+)
+
+
+def test_bloom_no_false_negatives():
+    import numpy as np
+
+    bloom = BloomFilter(expected=10_000, fpp=0.01)
+    added = np.arange(0, 10_000, dtype=np.int64) * 2_654_435_761
+    bloom.add_many(added)
+    assert bloom.might_contain(added).all()
+    probe = np.arange(1, 20_000, 2, dtype=np.int64) * 40_503 + 7
+    fp_rate = bloom.might_contain(probe).mean()
+    assert fp_rate < 0.05
+
+
+def test_dedup_with_bloom_equals_anti_join(spark):
+    frontier = synth_frontier(spark, 2000, n_hosts=50)
+    seen = frontier.filter(F.col("seq") % 3 == 0).select("url")
+    bloom = build_bloom(seen, expected=1000)
+    exact = frontier.join(seen, "url", "left_anti")
+    via_bloom = dedup_with_bloom(frontier, seen, bloom)
+    a = {r["url"] for r in exact.select("url").collect()}
+    b = {r["url"] for r in via_bloom.select("url").collect()}
+    assert a == b
+
+
+def test_hot_host_salting(spark):
+    frontier = synth_frontier(spark, 20_000, n_hosts=100, skew=5.0)
+    salts = hot_host_salts(frontier, threshold=500)
+    assert salts.count() >= 1  # skewed generator produces hot hosts
+    salted = with_salt(frontier, salts)
+    # salting splits hot hosts into multiple stripes
+    stripes = (
+        salted.join(salts, "host", "semi")
+        .select("host", "salt").distinct()
+        .groupBy("host").count()
+    )
+    assert stripes.filter("count > 1").count() >= 1
+    # cold hosts keep salt 0
+    cold = salted.join(salts, "host", "left_anti").select("salt").distinct().collect()
+    assert [r["salt"] for r in cold] == [0]
+
+
+def test_stream_candidates_dedup(spark):
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            ("http://a.test/x#frag", "2024-01-01 00:00:00"),
+            ("http://a.test/x", "2024-01-01 00:00:05"),
+            ("http://b.test/y", "2024-01-01 00:00:10"),
+        ]
+        df = spark.createDataFrame(rows, "url string, ts_s string").select(
+            "url", F.to_timestamp("ts_s").alias("ts")
+        )
+        df.write.parquet(f"{d}/in")
+        stream = stream_candidates(spark, f"{d}/in")
+        run_available_now(stream, f"{d}/ckpt")
+        out = spark.sql("select * from stream_out").collect()
+        urls = sorted(r["url"] for r in out)
+        assert urls == ["http://a.test/x", "http://b.test/y"]
+        assert all(r["host"] in ("a.test", "b.test") for r in out)
+
+
+def test_stream_fetch_metrics(spark):
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            ("http://a.test/1", "a.test", 200, "2024-01-01 00:00:10"),
+            ("http://a.test/2", "a.test", 404, "2024-01-01 00:00:20"),
+            ("http://b.test/1", "b.test", 0, "2024-01-01 00:01:10"),
+        ]
+        df = spark.createDataFrame(rows, "url string, host string, status int, ts_s string") \
+            .select("url", "host", "status", F.to_timestamp("ts_s").alias("ts"))
+        df.write.parquet(f"{d}/in")
+        stream = stream_fetch_metrics(spark, f"{d}/in")
+        # append mode would hold windows open until the watermark passes;
+        # complete mode emits the full aggregate on drain
+        run_available_now(stream, f"{d}/ckpt", mode="complete")
+        out = {(r["host"]): (r["n_fetched"], r["n_broken"])
+               for r in spark.sql("select * from stream_out").collect()}
+        assert out["a.test"] == (2, 1)
+        assert out["b.test"] == (1, 1)

@@ -1,0 +1,191 @@
+"""Training-data ops: text analysis, dedup families, similarity, media stubs."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from linkinator_spark.functions.dedup import (
+    cosine_similarity,
+    embedding_near_dup_pairs,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    minhash_signature,
+    simhash,
+    simhash_near_pairs,
+)
+from linkinator_spark.functions.media import (
+    extract_media_features,
+    media_from_documents,
+    sample_frames,
+)
+from linkinator_spark.functions.similarity import cosine_topk, lsh_topk
+from linkinator_spark.functions.text import (
+    content_fingerprint,
+    kgram_min_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and runs away into the forest."),
+        (2, "The quick brown fox jumps over the lazy dog and runs away into the forest."),
+        (3, "The quick brown fox jumps over the lazy dog and runs away into the woods."),
+        (4, "Der schnelle braune Fuchs springt und das ist ein guter Tag mit der Sonne."),
+        (5, "le chat est dans la maison et les oiseaux sont dans le jardin pour la nuit"),
+        (6, "completely different content about spark dataframes and shuffle partitions"),
+        (7, "  THE QUICK  brown fox jumps over the lazy dog and runs away into the forest. "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("hello world, 42 times!",)], "t string")
+    # tokens: hello, world, ',', 42, times, '!'
+    assert df.select(token_count(F.col("t")).alias("n")).collect()[0]["n"] == 6
+
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["lang"] for r in
+           docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[4] == "de"
+    assert got[5] == "fr"
+
+
+def test_quality_score_ranges(docs):
+    rows = docs.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_exact_duplicates(docs):
+    # 1, 2 and 7 normalize to the same text
+    dups = exact_duplicates(docs).collect()
+    assert len(dups) == 1
+    assert dups[0]["keeper_id"] == 1
+    assert dups[0]["n_copies"] == 3
+
+
+def test_fingerprint_stability(docs):
+    fp = docs.select(
+        "doc_id", content_fingerprint(F.col("text")).alias("fp"),
+        kgram_min_fingerprint(F.col("text")).alias("kfp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in fp}
+    assert by_id[1]["fp"] == by_id[2]["fp"] == by_id[7]["fp"]
+    assert by_id[1]["fp"] != by_id[6]["fp"]
+    # near-identical docs share the k-gram min fingerprint w.h.p.
+    assert by_id[1]["kfp"] == by_id[3]["kfp"]
+
+
+def test_minhash_signature_shape(docs):
+    sig = docs.select(minhash_signature(F.col("text"), 16, 5).alias("s")).collect()
+    assert all(len(r["s"]) == 16 for r in sig)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs        # exact dups always collide
+    assert (1, 3) in pairs        # near-dup (one word changed)
+    assert (1, 6) not in pairs    # unrelated content
+
+
+def test_jaccard_verify(docs, spark):
+    cand = spark.createDataFrame([(1, 2), (1, 3), (1, 6)], "doc_a long, doc_b long")
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_pairs(docs, cand, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.5 < out[(1, 3)] < 1.0
+    assert out[(1, 6)] < 0.1
+
+
+def test_simhash_near_pairs(docs):
+    # identical docs have hamming 0; near-dups small hamming. 8 blocks of 4
+    # bits guarantee (pigeonhole) that any pair within hamming 7 shares a
+    # block — hamming(1,3) is 4 for this corpus.
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_near_pairs(docs, block_bits=4, max_hamming=6).collect()}
+    assert out[(1, 2)] == 0
+    assert (1, 3) in out and 0 < out[(1, 3)] <= 6
+    assert (1, 6) not in out
+
+
+def test_simhash_empty_text(spark):
+    df = spark.createDataFrame([("",), ("   ",)], "t string")
+    rows = df.select(simhash(F.col("t")).alias("s")).collect()
+    assert all(r["s"] == 0 for r in rows)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # 20: a scaled copy of 0 — cosine exactly 1, all hyperplane signs equal
+    rows.append((20, [float(x * 1.001) for x in base[0]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_similarity_identity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])],
+                               "a array<float>, b array<float>")
+    val = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    assert abs(val - 1.0) < 1e-9
+
+
+def test_cosine_topk_exact(vecs):
+    queries = vecs.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(vecs, queries, k=3).collect()
+    assert [r["neighbor_id"] for r in top][:2] == [0, 20]  # self then near-dup
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_lsh_topk_recall(vecs):
+    queries = vecs.filter("vec_id in (0, 5)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(vecs, queries, k=3)
+    approx = lsh_topk(vecs, queries, dim=8, k=3, n_planes=4, multiprobe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # self-match always found; recall is non-trivial but bucketed
+    assert (0, 0) in a and (5, 5) in a
+    assert len(a & e) >= len(e) // 2
+
+
+def test_embedding_near_dup(vecs):
+    pairs = embedding_near_dup_pairs(vecs, threshold=0.95, prefilter_bits=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 20) in got
+
+
+def test_media_pipeline(spark):
+    docs = spark.createDataFrame(
+        [("d1", [("html", "<p>x</p>", "", 0),
+                 ("media_ref", "", "http://cdn.example/v.mp4", 1),
+                 ("media_ref", "", "http://cdn.example/i.png", 2)])],
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    media = media_from_documents(docs)
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    assert kinds["http://cdn.example/v.mp4"] == "video"
+    assert kinds["http://cdn.example/i.png"] == "image"
+
+    feats = extract_media_features(media, out_dim=8).collect()
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same input -> same features
+    feats2 = extract_media_features(media, out_dim=8).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == \
+           {r["media_id"]: r["feature"] for r in feats2}
+
+    frames = sample_frames(media, every_ms=500).collect()
+    assert len(frames) > 0
+    assert all(r["ts_ms"] % 500 == 0 for r in frames)
