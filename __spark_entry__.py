@@ -29,8 +29,8 @@ from linkinator_spark.operators.crawler import LinkChecker  # noqa: E402
 from linkinator_spark.plans import graphgen as G  # noqa: E402
 
 MINHASH_N = 8
-MINHASH_BANDS = 4
-SHINGLE_K = 5
+MINHASH_BANDS = 2   # 4 rows per band: the synthetic corpus has a tiny
+SHINGLE_K = 10      # vocabulary, so loose bands bucket half the corpus
 SIMHASH_BITS = 16
 TOPK = 5
 
@@ -541,11 +541,19 @@ def _shingles_sql(expr: str, k: int) -> str:
 
 
 def _minhash_sql(expr: str, n: int, k: int) -> str:
+    """DuckDB twin of dedup.minhash_signature: one 28-bit md5-derived hash
+    per shingle, n linear permutations (a_j*h + b_j) mod P."""
+    from linkinator_spark.functions.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    hash28 = "cast(('0x' || substr(md5(s), 1, 7)) as ubigint)::bigint"
     mins = ", ".join(
-        f"list_min(list_transform(sh, s -> {_hash_sql('s', prefix=f'{j}:')}))"
+        f"list_min(list_transform(hs, h -> (h * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MINHASH_P}))"
         for j in range(n)
     )
-    return f"(select [{mins}] from (select {_shingles_sql(expr, k)} as sh))"
+    return (
+        f"(select [{mins}] from "
+        f"(select list_transform({_shingles_sql(expr, k)}, s -> {hash28}) as hs))"
+    )
 
 
 def _simhash_sql(expr: str, bits: int) -> str:
@@ -634,8 +642,7 @@ def oracle_sql() -> dict[str, str]:
         bands as (
           select doc_id, band_id,
                  md5(concat_ws('|',
-                     cast(sig[band_id * {MINHASH_N // MINHASH_BANDS} + 1] as varchar),
-                     cast(sig[band_id * {MINHASH_N // MINHASH_BANDS} + 2] as varchar)
+                     {", ".join(f"cast(sig[band_id * {MINHASH_N // MINHASH_BANDS} + {r + 1}] as varchar)" for r in range(MINHASH_N // MINHASH_BANDS))}
                  )) as band_hash
           from sigs, (select unnest(range(0, {MINHASH_BANDS})) as band_id)
         )

@@ -72,6 +72,10 @@ class CheckOptions:
     # (reference src/index.ts:580-583)
     static_http_server_host: str | None = None
 
+    # robots.txt politeness (north_star addition; reference has none)
+    respect_robots: bool = False
+    user_agent: str = "linkinator-spark"
+
     # engine knobs (ours — scale controls, no reference analog)
     max_waves: int = 1000
     per_host_budget: int | None = None   # max fetches per host per wave (politeness)

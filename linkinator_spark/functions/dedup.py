@@ -48,17 +48,45 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 # ---------------------------------------------------------------- minhash
 
-def _minhash_j(sh: Column, j: int) -> Column:
-    # NB: single-arg lambda — a (x, i) lambda would receive the array index
-    # as its second arg and clobber a `j=j` default
-    return F.array_min(F.transform(sh, lambda s: portable_hash64(s, prefix=f"{j}:")))
+# one md5 per shingle -> 28-bit base hash; n permutations are linear maps
+# (a_j*h + b_j) mod P. ONE hash pass per document regardless of n — the
+# naive "md5 per (shingle, j)" form blows up codegen n-fold. Constants are
+# shared with the DuckDB oracle.
+MINHASH_P = 268435399  # prime < 2^28; a*h + b stays < 2^63
+MINHASH_A = [15485863, 32452843, 49979687, 67867967,
+             86028121, 104395301, 122949823, 141650939,
+             160481183, 179424673, 198491317, 217645177,
+             236887691, 256203161, 275604541, 295075147]
+MINHASH_B = [12345701, 23456791, 34567891, 45678929,
+             56789101, 67891099, 78910103, 89101103,
+             91011137, 10111409, 11121433, 12131453,
+             13141507, 14151511, 15161573, 16171621]
+
+
+def shingle_hash28(s: Column) -> Column:
+    """Portable 28-bit shingle hash (md5-hex prefix)."""
+    return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint")
 
 
 def minhash_signature(text_col: Column, n_hashes: int = 16, k: int = 5) -> Column:
-    """n independent min-hashes over k-gram shingles; hash j keys the shingle
-    with a 'j:' prefix so every permutation is reproducible in DuckDB."""
+    """n min-hashes over k-gram shingles via one aggregate pass."""
     sh = F.array_distinct(shingles(normalize_text(text_col), k))
-    return F.array(*[_minhash_j(sh, j) for j in range(n_hashes)])
+    hashes = F.transform(sh, shingle_hash28)
+    a_arr = F.array(*[F.lit(a).cast("bigint") for a in MINHASH_A[:n_hashes]])
+    b_arr = F.array(*[F.lit(b).cast("bigint") for b in MINHASH_B[:n_hashes]])
+    init = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), n_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.transform(
+            acc,
+            lambda ac, i: F.least(
+                ac,
+                F.pmod(h * F.element_at(a_arr, i + 1) + F.element_at(b_arr, i + 1),
+                       F.lit(MINHASH_P)),
+            ),
+        ),
+    )
 
 
 def minhash_band_buckets(
@@ -68,21 +96,20 @@ def minhash_band_buckets(
     """(doc_id, band_id, band_hash): documents agreeing on all rows of a band
     share a bucket. rows-per-band = n_hashes/bands."""
     rows = n_hashes // bands
-    # build band hashes straight from the per-band min-hash expressions —
-    # going through an intermediate signature array makes Catalyst inline the
-    # whole signature computation once per element_at (bands x rows times)
-    sh = F.array_distinct(shingles(normalize_text(F.col(text_col)), k))
+    sig = minhash_signature(F.col(text_col), n_hashes, k)
+    with_sig = docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
             F.md5(F.concat_ws("|", *[
-                _minhash_j(sh, b * rows + r).cast("string") for r in range(rows)
+                F.element_at("sig", b * rows + r + 1).cast("string")
+                for r in range(rows)
             ])).alias("band_hash"),
         )
         for b in range(bands)
     ]
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array(*band_cols)).alias("band")
+    return with_sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
 
 

@@ -169,7 +169,16 @@ class LinkChecker:
             "frag_skip_match": make_fragment_skip_match(cfg.fragments_to_skip),
             "candidates_udf": make_candidate_links_udf(cfg.check_css, cfg.markdown),
             "anchors_udf": make_anchors_udf(cfg.markdown),
+            "host_rules": None,
         }
+        if cfg.respect_robots:
+            # robots.txt fetched once per host up front (the wave-0 robots
+            # fetch, north_star politeness) and broadcast as a rules dim
+            from linkinator_spark.operators.robots import host_rules_from_pages
+
+            ctx["host_rules"] = host_rules_from_pages(
+                pages, documents, cfg.user_agent
+            ).localCheckpoint(eager=True)
 
         if resume and store and store.latest_wave() is not None:
             manifest, state = store.load(spark, store.latest_wave())
@@ -350,6 +359,20 @@ class LinkChecker:
             )
         )
         ready = ready.filter(~skip_cond)
+
+        # ---- robots.txt gate (north_star politeness; no reference analog)
+        if ctx.get("host_rules") is not None:
+            from linkinator_spark.operators.robots import robots_filter
+
+            ready, disallowed = robots_filter(ready, ctx["host_rules"])
+            results_parts.append(
+                disallowed.select(
+                    "url", F.lit(None).cast("int").alias("status"),
+                    F.lit(LinkState.SKIPPED).alias("state"), "parent",
+                    F.array(F.lit("robots.txt disallow")).alias("failure_details"),
+                    F.lit(wave).alias("wave"), "host", "seq",
+                )
+            )
 
         # ---- per-host delay gate (J3, src/index.ts:325-342)
         if cfg.retry:

@@ -1,0 +1,147 @@
+"""robots.txt politeness.
+
+The reference has no robots support; the north_star adds it ("per-host
+politeness priority queue ... robots.txt-aware"). Design: robots.txt is
+fetched once per host in wave 0 (here: joined from the scripted pages table,
+exactly like any other fetch), parsed into per-host prefix rules, and
+broadcast as a `host_rules` dimension. Frontier rows matching a Disallow
+prefix (and not a longer Allow prefix) are tagged SKIPPED before fetch;
+Crawl-delay feeds the per-host delay gate.
+
+Parsing follows the original robots exclusion protocol (user-agent sections,
+longest-prefix-match between Allow/Disallow, '*' wildcard suffix support is
+limited to trailing-* as in the classic spec).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RULES_SCHEMA = (
+    "host string, disallow array<string>, allow array<string>, crawl_delay double"
+)
+
+
+def parse_robots_txt(body: str, user_agent: str = "*") -> dict:
+    """-> {'disallow': [...], 'allow': [...], 'crawl_delay': float|None}.
+    Rules from the matching user-agent group(s); '*' group applies when no
+    specific group matches."""
+    groups: list[tuple[list[str], dict]] = []
+    cur_agents: list[str] = []
+    cur_rules: dict = {"disallow": [], "allow": [], "crawl_delay": None}
+    started_rules = False
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if started_rules and cur_agents:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], {"disallow": [], "allow": [], "crawl_delay": None}
+                started_rules = False
+            cur_agents.append(value.lower())
+        elif key in ("disallow", "allow", "crawl-delay"):
+            started_rules = True
+            if key == "disallow" and value:
+                cur_rules["disallow"].append(value)
+            elif key == "allow" and value:
+                cur_rules["allow"].append(value)
+            elif key == "crawl-delay":
+                try:
+                    cur_rules["crawl_delay"] = float(value)
+                except ValueError:
+                    pass
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+
+    ua = user_agent.lower()
+    # specific match beats the wildcard group
+    for agents, rules in groups:
+        if any(a != "*" and a in ua for a in agents):
+            return rules
+    for agents, rules in groups:
+        if "*" in agents:
+            return rules
+    return {"disallow": [], "allow": [], "crawl_delay": None}
+
+
+def robots_allowed(path: str, disallow: list[str], allow: list[str]) -> bool:
+    """Longest-prefix-match between allow and disallow rules."""
+    def best(rules: list[str]) -> int:
+        hit = -1
+        for r in rules or []:
+            prefix = r[:-1] if r.endswith("*") else r
+            if path.startswith(prefix) and len(prefix) > hit:
+                hit = len(prefix)
+        return hit
+
+    return best(allow) >= best(disallow)
+
+
+def host_rules_from_pages(pages: DataFrame, documents: DataFrame,
+                          user_agent: str = "*") -> DataFrame:
+    """Fetch+parse robots.txt for every host in the scripted web: join the
+    per-host robots URL against pages/documents (the wave-0 robots fetch),
+    parse in one Arrow batch pass."""
+    robots_pages = pages.filter(
+        F.col("url").rlike(r"^https?://[^/]+/robots\.txt$")
+        & (F.col("method") == "GET") & (F.col("status") == 200)
+    ).select("host", "body_doc_id")
+    with_body = robots_pages.join(
+        documents.select(F.col("doc_id").alias("body_doc_id"), "spans"), "body_doc_id"
+    ).select(
+        "host",
+        F.concat_ws("", F.transform(F.col("spans"), lambda s: s["text"])).alias("body"),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                rules = parse_robots_txt(body, user_agent)
+                rows.append((host, rules["disallow"], rules["allow"],
+                             rules["crawl_delay"]))
+            yield pd.DataFrame(
+                rows, columns=["host", "disallow", "allow", "crawl_delay"]
+            )
+
+    return with_body.mapInPandas(fn, RULES_SCHEMA)
+
+
+def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (allowed, disallowed) by broadcast rules join.
+    The prefix match runs as JVM expressions over the rule arrays."""
+    joined = frontier.join(F.broadcast(host_rules), "host", "left")
+    path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+
+    def best_len(rules_col):
+        return F.aggregate(
+            F.coalesce(rules_col, F.array().cast("array<string>")),
+            F.lit(-1),
+            lambda acc, r: F.greatest(
+                acc,
+                F.when(
+                    path.startswith(F.regexp_replace(r, r"\*$", "")),
+                    F.length(F.regexp_replace(r, r"\*$", "")),
+                ).otherwise(F.lit(-1)),
+            ),
+        )
+
+    allowed_cond = F.col("disallow").isNull() | (
+        best_len(F.col("allow")) >= best_len(F.col("disallow"))
+    )
+    tagged = joined.withColumn("_robots_ok", allowed_cond)
+    allowed = tagged.filter(F.col("_robots_ok")).drop(
+        "_robots_ok", "disallow", "allow", "crawl_delay"
+    )
+    disallowed = tagged.filter(~F.col("_robots_ok")).drop(
+        "_robots_ok", "disallow", "allow", "crawl_delay"
+    )
+    return allowed, disallowed
