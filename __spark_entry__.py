@@ -334,8 +334,13 @@ def q_span_roundtrip(spark, sf_dir):
         .agg(
             F.count("*").alias("n_spans"),
             F.sum(F.when(F.col("kind") == "media_ref", 1).otherwise(0)).alias("n_media"),
-            F.md5(F.concat_ws("", F.collect_list(
-                F.concat_ws("", "kind", "text", "media_ref", F.col("offset").cast("string"))
+            F.md5(F.concat_ws("", F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+                ),
+                lambda s: F.concat_ws(
+                    "|", s.kind, s.text, s.media_ref, s.offset.cast("string")
+                ),
             ))).alias("seq_hash"),
         )
     )
@@ -749,6 +754,32 @@ def oracle_sql() -> dict[str, str]:
                    case when j % 4 = 3 then concat('http://m.example/', md5(c)) else '' end as media_ref,
                    cast(j as int) as "offset"
             from flat
+        """,
+        "span_roundtrip": """
+            with chunks as (
+              select doc_id, text,
+                     cast(ceil(greatest(length(text), 1) / 40.0) as int) as nc
+              from documents
+            ),
+            flat as (
+              select doc_id, substring(text, j * 40 + 1, 40) as c, j
+              from chunks, lateral (select unnest(range(0, nc)) as j)
+            ),
+            spans as (
+              select doc_id,
+                     case when j % 4 = 3 then 'media_ref' else 'text' end as kind,
+                     case when j % 4 = 3 then '' else c end as text,
+                     case when j % 4 = 3 then concat('http://m.example/', md5(c)) else '' end as media_ref,
+                     j as off
+              from flat
+            )
+            select doc_id,
+                   count(*) as n_spans,
+                   sum(case when kind = 'media_ref' then 1 else 0 end) as n_media,
+                   md5(string_agg(
+                     kind || '|' || text || '|' || media_ref || '|' || cast(off as varchar),
+                     '' order by off)) as seq_hash
+            from spans group by doc_id
         """,
         "dedup_exact": f"""
             select md5({norm_text}) as content_key,

@@ -217,6 +217,11 @@ class LinkChecker:
             if not n_ready:
                 clock = float(min_nb)
 
+            # adaptive layout: tail waves (and fixture-sized crawls) collapse
+            # to one partition — scheduling 4+ tasks per 4-row stage costs
+            # more than the work; big waves keep the host-keyed partitioning
+            small_wave = n_total < 10_000
+
             ready_cond = F.col("not_before") <= F.lit(clock + _EPS)
             ready = frontier.filter(ready_cond)
             deferred = frontier.filter(~ready_cond)
@@ -240,23 +245,29 @@ class LinkChecker:
             )
 
             # ---- materialize this wave's outputs (small), keep cumulative
-            # state as unions of checkpointed parts
-            new_frontier = new_frontier.select(_FRONTIER_COLS).localCheckpoint(eager=True)
-            frontier = (
+            # state as unions of checkpointed parts; eager checkpoints keep
+            # every wave's planning window short (lazy ones defer whole-crawl
+            # lineage to the final action — measured 2x slower)
+            def _part(df):
+                return (df.coalesce(1) if small_wave else df).localCheckpoint(
+                    eager=True
+                )
+
+            new_frontier = _part(new_frontier.select(_FRONTIER_COLS))
+            frontier = _part(
                 deferred.select(_FRONTIER_COLS)
                 .unionByName(requeued.select(_FRONTIER_COLS))
                 .unionByName(new_frontier)
-                .localCheckpoint(eager=True)
             )
-            results_parts.append(wave_results.localCheckpoint(eager=True))
-            events_parts.append(wave_events.localCheckpoint(eager=True))
-            rel_parts.append(new_rel.localCheckpoint(eager=True))
-            dup_parts.append(new_dups.localCheckpoint(eager=True))
+            results_parts.append(_part(wave_results))
+            events_parts.append(_part(wave_events))
+            rel_parts.append(_part(new_rel))
+            dup_parts.append(_part(new_dups))
             seen_parts.append(new_frontier.select("url"))
             if cfg.check_fragments:
-                pending = pending.localCheckpoint(eager=True)
+                pending = _part(pending)
             if cfg.retry:
-                host_delays = host_delays.localCheckpoint(eager=True)
+                host_delays = _part(host_delays)
 
             if store:
                 full = {

@@ -12,8 +12,13 @@ def spark():
 
     spark = get_spark(
         app_name="linkinator-tests",
-        master="local[4]",
-        shuffle_partitions=4,
-        extra_conf={"spark.sql.warehouse.dir": "/tmp/lkspark-warehouse"},
+        master=os.environ.get("LK_TEST_MASTER", "local[4]"),
+        shuffle_partitions=int(os.environ.get("LK_TEST_SHUFFLE", "4")),
+        extra_conf={
+            "spark.sql.warehouse.dir": "/tmp/lkspark-warehouse",
+            # fixture crawls are a handful of rows over many waves: per-query
+            # planning overhead dominates, so AQE re-planning is pure cost here
+            "spark.sql.adaptive.enabled": os.environ.get("LK_TEST_AQE", "true"),
+        },
     )
     yield spark
