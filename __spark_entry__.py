@@ -220,6 +220,78 @@ def q_frontier_dedup(spark, sf_dir):
     )
 
 
+def q_dedup_bloom_exact(spark, sf_dir):
+    """J2 with the Bloom fast path (operators/bloom.py): candidates are split
+    by a broadcast Bloom filter over the seen set, definite-new rows skip the
+    anti-join shuffle, maybe-seen rows are verified exactly — output must be
+    identical to a plain anti-join (reference fetch-once semantics,
+    /root/reference/src/index.ts:813-817; the oracle IS the plain anti-join)."""
+    from linkinator_spark.operators.bloom import build_bloom, dedup_with_bloom
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("http://corpus.test/p/"), F.col("doc_id").cast("string"))
+    cand = docs.select(url.alias("url"))
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    bloom = build_bloom(seen, expected=max(seen.count(), 64), fpp=0.01)
+    return dedup_with_bloom(cand, seen, bloom).select("url")
+
+
+def q_dup_broken_rereport(spark, sf_dir):
+    """J1 (src/index.ts:840-875): a duplicate (child, parent) edge — any edge
+    whose child already has an earlier parent — re-reports the child's result
+    only when it is BROKEN (status >= 400)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = G.edges_df(docs).distinct()
+    w = Window.partitionBy("dst")
+    firsts = edges.withColumn("_min_src", F.min("src").over(w))
+    dup_broken = firsts.filter(
+        (F.col("src") != F.col("_min_src"))
+        & (G.status_expr(F.col("dst")) >= 400)
+    )
+    return dup_broken.select(
+        G.url_expr(F.col("dst")).alias("url"),
+        G.url_expr(F.col("src")).alias("parent"),
+        G.status_expr(F.col("dst")).cast("int").alias("status"),
+    )
+
+
+def q_robots_gate(spark, sf_dir):
+    """robots.txt politeness end-to-end: per-host robots bodies parsed by the
+    engine (parse_robots_txt via Arrow mapInPandas), frontier split by
+    longest-prefix Allow/Disallow JVM expressions (operators/robots.py); the
+    oracle reproduces the rule arithmetic directly in SQL. Even hosts
+    disallow /page/ but re-allow /page/special/."""
+    from linkinator_spark.operators.robots import (
+        host_rules_from_bodies, robots_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 20
+    host = F.concat(F.lit("site"), m.cast("string"), F.lit(".example"))
+    path = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("/page/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/page/special/"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("/other/"), F.col("doc_id").cast("string")))
+    )
+    frontier = docs.select(
+        F.concat(F.lit("http://"), host, path).alias("url"), host.alias("host")
+    )
+    bodies = frontier.select("host").distinct().withColumn(
+        "body",
+        F.when(
+            F.regexp_extract("host", r"site(\d+)", 1).cast("int") % 2 == 0,
+            F.lit("User-agent: *\nDisallow: /page/\nAllow: /page/special/\n"),
+        ).otherwise(F.lit("")),
+    )
+    rules = host_rules_from_bodies(bodies)
+    allowed, disallowed = robots_filter(frontier, rules)
+    return allowed.select("url", F.lit(True).alias("allowed")).unionByName(
+        disallowed.select("url", F.lit(False).alias("allowed"))
+    )
+
+
 def q_politeness_schedule(spark, sf_dir):
     """Per-host FIFO politeness: rank within host, assign fetch wave by a
     per-host budget of 4 — the window form of the min-heap scheduler."""
@@ -506,6 +578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hosts": q_top_hosts,
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
+        "dedup_bloom_exact": q_dedup_bloom_exact,
+        "dup_broken_rereport": q_dup_broken_rereport,
+        "robots_gate": q_robots_gate,
         "politeness_schedule": q_politeness_schedule,
         "host_delay_maxwins": q_host_delay_maxwins,
         "retry_backoff": q_retry_backoff,
@@ -691,6 +766,38 @@ def oracle_sql() -> dict[str, str]:
         "frontier_dedup": f"""
             select distinct link as url from ({extract_links})
             where link not in (select link from {seen_sql} s)
+        """,
+        "dedup_bloom_exact": """
+            select concat('http://corpus.test/p/', cast(doc_id as varchar)) as url
+            from documents where doc_id % 2 = 1
+        """,
+        "dup_broken_rereport": f"""
+            with e as (select distinct src, dst from {G.edges_sql(n_sf001)} t),
+            ranked as (
+              select src, dst, min(src) over (partition by dst) as min_src
+              from e
+            )
+            select {G.url_sql('dst')} as url,
+                   {G.url_sql('src')} as parent,
+                   cast({G.status_sql('dst')} as int) as status
+            from ranked
+            where src <> min_src and ({G.status_sql('dst')}) >= 400
+        """,
+        "robots_gate": """
+            with f as (
+              select doc_id,
+                     doc_id % 20 as m,
+                     case when doc_id % 5 = 0
+                          then concat('/page/', cast(doc_id as varchar))
+                          when doc_id % 5 = 1
+                          then concat('/page/special/', cast(doc_id as varchar))
+                          else concat('/other/', cast(doc_id as varchar)) end as path
+              from documents
+            )
+            select concat('http://site', cast(m as varchar), '.example', path) as url,
+                   not (m % 2 = 0 and path like '/page/%'
+                        and path not like '/page/special/%') as allowed
+            from f
         """,
         "politeness_schedule": f"""
             with links as (select distinct host, link from ({extract_links}))

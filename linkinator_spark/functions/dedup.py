@@ -89,6 +89,52 @@ def minhash_signature(text_col: Column, n_hashes: int = 16, k: int = 5) -> Colum
     )
 
 
+def minhash_signature_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 16, k: int = 5,
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) via explode -> groupBy(doc_id) with one
+    `min` aggregate per permutation. Same math as `minhash_signature`, but
+    min/pmod run inside whole-stage codegen with map-side partial
+    aggregation (Spark evaluates higher-order array functions interpreted —
+    the column form measured ~30x slower on multi-KB documents), and the
+    shuffle carries only n_hashes partial mins per doc."""
+    sh = F.array_distinct(shingles(normalize_text(F.col(text_col)), k))
+    # round-robin repartition before the shingle projection: a small parquet
+    # input arrives as 1-2 partitions, which would pin the whole corpus's
+    # shingling (an interpreted higher-order transform) onto one task.
+    # Deliberately NOT hash-partitioned on doc_id — pre-aligning with the
+    # groupBy key collapses the partial/final aggregate split and measured
+    # 10x slower than keeping map-side partial aggregation + tiny shuffle.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .repartition(n_parts)
+        .select("doc_id", F.explode(sh).alias("s"))
+    )
+    h = shingle_hash28(F.col("s"))
+    mins = [
+        F.min(F.pmod(h * F.lit(MINHASH_A[j]).cast("bigint")
+                     + F.lit(MINHASH_B[j]).cast("bigint"),
+                     F.lit(MINHASH_P))).alias(f"_m{j}")
+        for j in range(n_hashes)
+    ]
+    agg = ex.groupBy("doc_id").agg(*mins)
+    # empty/short docs (no shingles) drop out of the explode; restore them
+    # with the empty-set signature (all mins = P), matching the column form
+    empty_sig = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), n_hashes)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_m0").isNull(), empty_sig).otherwise(
+                F.array(*[F.col(f"_m{j}") for j in range(n_hashes)])
+            ).alias("sig"),
+        )
+    )
+
+
 def minhash_band_buckets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = 16, bands: int = 4, k: int = 5,
@@ -96,8 +142,7 @@ def minhash_band_buckets(
     """(doc_id, band_id, band_hash): documents agreeing on all rows of a band
     share a bucket. rows-per-band = n_hashes/bands."""
     rows = n_hashes // bands
-    sig = minhash_signature(F.col(text_col), n_hashes, k)
-    with_sig = docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    with_sig = minhash_signature_table(docs, id_col, text_col, n_hashes, k)
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -145,8 +190,13 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; the verify step after
     LSH. Output: (doc_a, doc_b, jaccard) with jaccard >= threshold."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
+    # same round-robin spread as minhash_signature_table: the interpreted
+    # shingle transform must not run on the raw 1-2 scan partitions
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)).repartition(
+        n_parts
+    ).select(
+        "doc_id",
         F.array_distinct(shingles(normalize_text(F.col(text_col)), k)).alias("sh"),
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -245,13 +245,20 @@ class LinkChecker:
             )
 
             # ---- materialize this wave's outputs (small), keep cumulative
-            # state as unions of checkpointed parts; eager checkpoints keep
-            # every wave's planning window short (lazy ones defer whole-crawl
-            # lineage to the final action — measured 2x slower)
+            # state as unions of checkpointed parts. Each part is a LAZY
+            # localCheckpoint; one union-count at the end of the wave
+            # materializes them all in a single job (an eager checkpoint per
+            # part costs a driver-blocking job each — the dominant wall-clock
+            # term on many-wave crawls), while still truncating lineage
+            # before the next wave plans on top.
+            wave_parts: list[DataFrame] = []
+
             def _part(df):
-                return (df.coalesce(1) if small_wave else df).localCheckpoint(
-                    eager=True
+                out = (df.coalesce(1) if small_wave else df).localCheckpoint(
+                    eager=False
                 )
+                wave_parts.append(out)
+                return out
 
             new_frontier = _part(new_frontier.select(_FRONTIER_COLS))
             frontier = _part(
@@ -268,6 +275,12 @@ class LinkChecker:
                 pending = _part(pending)
             if cfg.retry:
                 host_delays = _part(host_delays)
+
+            # the one forcing action: touch every lazy checkpoint
+            touch = wave_parts[0].select(F.lit(1).alias("_t"))
+            for p in wave_parts[1:]:
+                touch = touch.unionByName(p.select(F.lit(1).alias("_t")))
+            touch.count()
 
             if store:
                 full = {

@@ -85,21 +85,9 @@ def robots_allowed(path: str, disallow: list[str], allow: list[str]) -> bool:
     return best(allow) >= best(disallow)
 
 
-def host_rules_from_pages(pages: DataFrame, documents: DataFrame,
-                          user_agent: str = "*") -> DataFrame:
-    """Fetch+parse robots.txt for every host in the scripted web: join the
-    per-host robots URL against pages/documents (the wave-0 robots fetch),
-    parse in one Arrow batch pass."""
-    robots_pages = pages.filter(
-        F.col("url").rlike(r"^https?://[^/]+/robots\.txt$")
-        & (F.col("method") == "GET") & (F.col("status") == 200)
-    ).select("host", "body_doc_id")
-    with_body = robots_pages.join(
-        documents.select(F.col("doc_id").alias("body_doc_id"), "spans"), "body_doc_id"
-    ).select(
-        "host",
-        F.concat_ws("", F.transform(F.col("spans"), lambda s: s["text"])).alias("body"),
-    )
+def host_rules_from_bodies(with_body: DataFrame,
+                           user_agent: str = "*") -> DataFrame:
+    """(host, body) -> per-host rule arrays, parsed in one Arrow batch pass."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -113,6 +101,23 @@ def host_rules_from_pages(pages: DataFrame, documents: DataFrame,
             )
 
     return with_body.mapInPandas(fn, RULES_SCHEMA)
+
+
+def host_rules_from_pages(pages: DataFrame, documents: DataFrame,
+                          user_agent: str = "*") -> DataFrame:
+    """Fetch+parse robots.txt for every host in the scripted web: join the
+    per-host robots URL against pages/documents (the wave-0 robots fetch)."""
+    robots_pages = pages.filter(
+        F.col("url").rlike(r"^https?://[^/]+/robots\.txt$")
+        & (F.col("method") == "GET") & (F.col("status") == 200)
+    ).select("host", "body_doc_id")
+    with_body = robots_pages.join(
+        documents.select(F.col("doc_id").alias("body_doc_id"), "spans"), "body_doc_id"
+    ).select(
+        "host",
+        F.concat_ws("", F.transform(F.col("spans"), lambda s: s["text"])).alias("body"),
+    )
+    return host_rules_from_bodies(with_body, user_agent)
 
 
 def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> tuple[DataFrame, DataFrame]:
