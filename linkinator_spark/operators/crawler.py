@@ -282,6 +282,12 @@ class LinkChecker:
                 touch = touch.unionByName(p.select(F.lit(1).alias("_t")))
             touch.count()
 
+            # wave outputs are materialized — release the wave-scoped caches
+            # (fetch/classify/candidates), else a long crawl accumulates one
+            # set of persisted frames per wave
+            for df in ctx.pop("wave_cached", []):
+                df.unpersist(blocking=False)
+
             if store:
                 full = {
                     "frontier": frontier,
@@ -355,6 +361,7 @@ class LinkChecker:
     ):
         pages_dim = ctx["pages_dim"]
         skip_match = ctx["skip_match"]
+        wave_cached: list[DataFrame] = ctx.setdefault("wave_cached", [])
         results_parts: list[DataFrame] = []
         events_parts: list[DataFrame] = []
         requeue_parts: list[DataFrame] = []
@@ -416,6 +423,7 @@ class LinkChecker:
         # ---- fetch: HEAD for leaves, GET when crawling (src/index.ts:344-369)
         method = F.when(F.col("crawl"), F.lit("GET")).otherwise(F.lit("HEAD"))
         cur = fetch_once(ready, pages_dim, method, cfg, skip_match).persist()
+        wave_cached.append(cur)
 
         c405 = (F.col("status") == 405) & F.col("redirect_skipped").isNull()
         lg_cond = (
@@ -444,6 +452,7 @@ class LinkChecker:
         # 405 -> retry as GET (src/index.ts:378-388)
         if n405:
             cur = cur.filter(~c405).unionByName(_refetch(cur.filter(c405))).persist()
+            wave_cached.append(cur)
             nlg = cur.agg(F.sum(F.when(lg_cond, 1).otherwise(0))).collect()[0][0]
 
         # last-gasp GET for non-2xx leaf checks (src/index.ts:396-417);
@@ -455,6 +464,7 @@ class LinkChecker:
                 & ~F.col("crawl") & F.col("redirect_skipped").isNull()
             )
             cur = cur.filter(~lg_full).unionByName(_refetch(cur.filter(lg_full))).persist()
+            wave_cached.append(cur)
 
         # ---- redirect-skipped -> SKIPPED (src/index.ts:370-373)
         results_parts.append(
@@ -563,6 +573,7 @@ class LinkChecker:
 
         # ---- classification (src/index.ts:482-604)
         classified = classify(cur, cfg).persist()
+        wave_cached.append(classified)
 
         results_parts.append(
             classified.select(
@@ -604,6 +615,8 @@ class LinkChecker:
             )
         )
 
+        candidates = candidates.persist()
+        wave_cached.append(candidates)
         (cand_results, new_frontier, new_rel, new_dups, new_pending) = \
             self._process_candidates(
                 candidates, cfg, clock, wave, skip_match,
@@ -636,7 +649,6 @@ class LinkChecker:
         skip_match, frag_skip_match, seen, relationships,
     ):
         results_parts: list[DataFrame] = []
-        candidates = candidates.persist()
 
         # malformed hrefs -> BROKEN status 0 (src/index.ts:720-730)
         results_parts.append(

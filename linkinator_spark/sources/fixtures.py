@@ -133,6 +133,37 @@ class SiteBuilder:
         )
         return self
 
+    def directory(self, url: str, entries: list[str] | None = None,
+                  index_html: str | None = None, listing: bool = False):
+        """Static-server directory semantics (reference src/server.ts:
+        100-116 trailing-slash 301, :172-184 listing, :191-196 404): the
+        slashless URL 301-redirects to `url + '/'`; the slash URL serves
+        index_html if given, else a <ul><li><a> listing of `entries` when
+        listing=True (directoryListing option), else 404."""
+        base = url.rstrip("/")
+        self.redirect(base, base + "/", status=301)
+        if index_html is not None:
+            self.page(base + "/", html=index_html)
+        elif listing and entries is not None:
+            items = "\r\n".join(
+                f'<li><a href="{e}">{e}</a></li>' for e in entries
+            )
+            self.page(
+                base + "/",
+                html=f"<html><body><ul>{items}</ul></body></html>",
+            )
+        else:
+            self.page(base + "/", status=404, html="")
+        return self
+
+    def clean_page(self, url: str, html: str, **kw):
+        """cleanUrls semantics (reference src/server.ts:118-143): the
+        extensionless URL serves the .html file's content directly (no
+        redirect); the .html URL continues to exist too."""
+        self.page(url, html=html, **kw)
+        self.page(url + ".html", html=html, **kw)
+        return self
+
     def redirect(self, url: str, to: str, status: int = 301,
                  methods: tuple = ("GET", "HEAD")):
         for method in methods:
