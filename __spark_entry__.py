@@ -128,15 +128,17 @@ def q_frontier_bfs(spark, sf_dir):
     out = [frontier]
     wave = 0
     while True:
+        # one job per wave: the count() both materializes the lazy
+        # checkpoint (truncating lineage) and answers the emptiness gate
         nxt = (
             frontier.join(edges, frontier["id"] == edges["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(seen, "id", "left_anti")
             .withColumn("wave", F.lit(wave + 1))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if not nxt.count():
             break
         out.append(nxt)
         seen = seen.unionByName(nxt.select("id"))

@@ -99,6 +99,12 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         "events_windowed",      # tumbling-window agg
     ]
     qs = E.queries()
+    # warm pass at the smallest sf: JIT/codegen cold-start dominates a
+    # first run (measured up to 2.5x on the iterative BFS); the measured
+    # number should reflect steady-state execution, not JVM warm-up
+    warm_dir = sf_dir.replace("sf0.1", "sf0.001")
+    for name in headline:
+        qs[name](spark, warm_dir if os.path.isdir(warm_dir) else sf_dir).count()
     times: dict[str, float] = {}
     for name in headline:
         t0 = time.time()

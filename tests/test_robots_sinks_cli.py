@@ -93,6 +93,28 @@ def test_politeness_take_matches_naive_window(spark):
     assert a == b
 
 
+def test_politeness_heap_matches_window_form(spark):
+    # the min-heap applyInPandas scheduler (north-star form) selects the
+    # same rows with the same per-host ranks as the salted window form
+    from linkinator_spark.operators.politeness import politeness_take_heap
+
+    frontier = synth_frontier(spark, 5000, n_hosts=20, skew=3.0)
+    win = politeness_take(frontier, budget=7, salt_threshold=50)
+    heap = politeness_take_heap(frontier, budget=7, n_buckets=8)
+    a = {(r["url"], r["host_rank"]) for r in win.select("url", "host_rank").collect()}
+    b = {(r["url"], r["host_rank"]) for r in heap.select("url", "host_rank").collect()}
+    assert a == b
+    # deadline order: within a host, rank follows (not_before, seq)
+    rows = heap.select("host", "host_rank", "not_before", "seq").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    for host_rows in by_host.values():
+        host_rows.sort(key=lambda r: r["host_rank"])
+        keys = [(r["not_before"], r["seq"]) for r in host_rows]
+        assert keys == sorted(keys)
+
+
 # -------------------------------------------------------------------- sinks
 
 def _results_df(spark):
