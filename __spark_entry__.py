@@ -459,7 +459,11 @@ def q_dedup_embedding(spark, sf_dir):
         F.col("label"),
     )
     corpus = emb.unionByName(dup)
-    return D.embedding_near_dup_pairs(corpus, threshold=0.999, prefilter_bits=8)
+    # round to 4dp for the oracle compare: Spark sums float32 casts in array
+    # order, DuckDB's list_cosine_similarity may accumulate differently
+    return D.embedding_near_dup_pairs(
+        corpus, threshold=0.999, prefilter_bits=8
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 # ---------------------------------------------------------------------------
@@ -922,6 +926,30 @@ def oracle_sql() -> dict[str, str]:
                    {_hash_sql(norm_text)} as fingerprint,
                    {kgram} as kgram_fp
             from documents
+        """,
+        "dedup_embedding": """
+            with corpus as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 1000000 as vec_id, embedding
+              from embeddings where vec_id % 25 = 0
+            ),
+            sk as (
+              select vec_id as vid, embedding::DOUBLE[] as v,
+                     (case when embedding[1] > 0 then 1 else 0 end)
+                   + (case when embedding[2] > 0 then 2 else 0 end)
+                   + (case when embedding[3] > 0 then 4 else 0 end)
+                   + (case when embedding[4] > 0 then 8 else 0 end)
+                   + (case when embedding[5] > 0 then 16 else 0 end)
+                   + (case when embedding[6] > 0 then 32 else 0 end)
+                   + (case when embedding[7] > 0 then 64 else 0 end)
+                   + (case when embedding[8] > 0 then 128 else 0 end) as sk
+              from corpus
+            )
+            select l.vid as id_a, r.vid as id_b,
+                   round(list_cosine_similarity(l.v, r.v), 4) as cosine
+            from sk l join sk r on l.sk = r.sk and l.vid < r.vid
+            where list_cosine_similarity(l.v, r.v) >= 0.999
         """,
         "ann_cosine_topk": f"""
             with q as (

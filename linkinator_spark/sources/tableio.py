@@ -44,17 +44,24 @@ class WaveStore:
             shutil.rmtree(tmp_dir)
         os.makedirs(tmp_dir)
         spark = None
-        counts: dict[str, int] = {}
+        lineage: dict[str, dict] = {}
         for name, df in dfs.items():
             spark = df.sparkSession
             path = os.path.join(tmp_dir, name)
             df.write.mode("overwrite").parquet(path)
+            lineage[name] = self._partition_lineage(path)
         manifest = {
             "wave": wave,
             "clock": clock,
             "tables": sorted(dfs.keys()),
             "committed_at": time.time(),
             "metrics": metrics or {},
+            # per-partition lineage (north_rule): one entry per written
+            # parquet part with its row count and bytes, read from parquet
+            # footers — the manifest-level bookkeeping Iceberg snapshots
+            # carry natively; lets a resume (or an auditor) account for
+            # every row of every wave without rescanning data
+            "lineage": lineage,
         }
         with open(os.path.join(tmp_dir, MANIFEST), "w") as f:
             json.dump(manifest, f, indent=1)
@@ -69,6 +76,29 @@ class WaveStore:
                    os.path.join(self.root, "_latest.json"))
         assert spark is not None
         return {name: spark.read.parquet(os.path.join(wave_dir, name)) for name in dfs}
+
+    @staticmethod
+    def _partition_lineage(table_dir: str) -> dict:
+        """Per-part row/byte counts from parquet footers (driver-side
+        metadata pass, no Spark job)."""
+        parts: dict[str, dict] = {}
+        total_rows = 0
+        try:
+            import pyarrow.parquet as pq
+
+            for fn in sorted(os.listdir(table_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(table_dir, fn)
+                meta = pq.ParquetFile(fpath).metadata
+                parts[fn] = {
+                    "rows": meta.num_rows,
+                    "bytes": os.path.getsize(fpath),
+                }
+                total_rows += meta.num_rows
+        except Exception:  # lineage is advisory; never fail a commit on it
+            pass
+        return {"parts": parts, "rows": total_rows}
 
     def latest_wave(self) -> int | None:
         ptr = os.path.join(self.root, "_latest.json")
