@@ -205,16 +205,25 @@ class LinkChecker:
             clock = 0.0
             wave = 0
 
+        next_stats = None  # (n_total, min_nb, n_ready) piggybacked on touch
         while wave < cfg.max_waves:
-            # ---- one driver action: wave stats + earliest-wakeup clock
-            n_total, min_nb, n_ready = frontier.agg(
-                F.count("*"),
-                F.min("not_before"),
-                F.sum(F.when(F.col("not_before") <= clock + _EPS, 1).otherwise(0)),
-            ).collect()[0]
+            # ---- wave stats + earliest-wakeup clock: computed inside the
+            # previous wave's touch job; a standalone aggregate only on the
+            # first wave (or after a checkpoint-store reload)
+            if next_stats is None:
+                n_total, min_nb, n_ready = frontier.agg(
+                    F.count("*"),
+                    F.min("not_before"),
+                    F.sum(F.when(F.col("not_before") <= clock + _EPS, 1).otherwise(0)),
+                ).collect()[0]
+            else:
+                n_total, min_nb, n_ready = next_stats
+                next_stats = None
             if not n_total:
                 break
             if not n_ready:
+                # advance to the earliest deadline; its rows become ready by
+                # construction, no recount needed
                 clock = float(min_nb)
 
             # adaptive layout: tail waves (and fixture-sized crawls) collapse
@@ -276,11 +285,25 @@ class LinkChecker:
             if cfg.retry:
                 host_delays = _part(host_delays)
 
-            # the one forcing action: touch every lazy checkpoint
-            touch = wave_parts[0].select(F.lit(1).alias("_t"))
-            for p in wave_parts[1:]:
-                touch = touch.unionByName(p.select(F.lit(1).alias("_t")))
-            touch.count()
+            # the one forcing action: touch every lazy checkpoint AND
+            # compute the next wave's frontier stats in the same job (only
+            # the frontier part contributes non-null not_before rows; the
+            # ready count is evaluated at the clock the next wave starts
+            # with, which only advances when it reads zero)
+            touch = None
+            for p in wave_parts:
+                nb = (
+                    F.col("not_before") if p is frontier
+                    else F.lit(None).cast("double")
+                )
+                sel = p.select(nb.alias("nb"))
+                touch = sel if touch is None else touch.unionByName(sel)
+            srow = touch.agg(
+                F.count("nb"),
+                F.min("nb"),
+                F.sum(F.when(F.col("nb") <= clock + _EPS, 1).otherwise(0)),
+            ).collect()[0]
+            next_stats = (srow[0], srow[1], srow[2] or 0)
 
             # wave outputs are materialized — release the wave-scoped caches
             # (fetch/classify/candidates), else a long crawl accumulates one
@@ -432,10 +455,31 @@ class LinkChecker:
             & F.col("redirect_skipped").isNull()
             & (F.col("status") != 405)
         )
-        # one action gates both fallback paths
-        n405, nlg = cur.agg(
+        # retry-family conditions (src/index.ts:1019-1109), built up front so
+        # ONE aggregate gates the fallback paths AND both retry families;
+        # they are re-counted only when a fallback refetch changed statuses
+        no_rskip = F.col("redirect_skipped").isNull()
+        deadline = retry_after_seconds(F.col("retry_after"), clock)
+        c429 = (
+            (F.col("status") == 429) & F.col("retry_after").isNotNull()
+            & deadline.isNotNull() & no_rskip
+        ) if cfg.retry else F.lit(False)
+        err_base = (
+            (F.col("status") == 0) | (F.col("status") >= 500) | (F.col("status") == 429)
+        ) & (F.col("retry_errors_n") < cfg.retry_errors_count) & no_rskip
+        cerr = (err_base & ~c429) if cfg.retry_errors else F.lit(False)
+
+        def _retry_counts(df):
+            return df.agg(
+                F.sum(F.when(c429, 1).otherwise(0)),
+                F.sum(F.when(cerr, 1).otherwise(0)),
+            ).collect()[0]
+
+        n405, nlg, n429, nerr = cur.agg(
             F.sum(F.when(c405, 1).otherwise(0)),
             F.sum(F.when(lg_cond, 1).otherwise(0)),
+            F.sum(F.when(c429, 1).otherwise(0)),
+            F.sum(F.when(cerr, 1).otherwise(0)),
         ).collect()[0]
 
         def _refetch(subset: DataFrame) -> DataFrame:
@@ -466,6 +510,11 @@ class LinkChecker:
             cur = cur.filter(~lg_full).unionByName(_refetch(cur.filter(lg_full))).persist()
             wave_cached.append(cur)
 
+        if n405 or nlg:
+            # a refetch changed statuses; the retry counters must see them
+            if cfg.retry or cfg.retry_errors:
+                n429, nerr = _retry_counts(cur)
+
         # ---- redirect-skipped -> SKIPPED (src/index.ts:370-373)
         results_parts.append(
             cur.filter(F.col("redirect_skipped").isNotNull()).select(
@@ -477,24 +526,8 @@ class LinkChecker:
         )
         cur = cur.filter(F.col("redirect_skipped").isNull())
 
-        # ---- retry gating (single action for both retry families)
-        deadline = retry_after_seconds(F.col("retry_after"), clock)
-        c429 = (
-            (F.col("status") == 429) & F.col("retry_after").isNotNull()
-            & deadline.isNotNull()
-        ) if cfg.retry else F.lit(False)
-        err_base = (
-            (F.col("status") == 0) | (F.col("status") >= 500) | (F.col("status") == 429)
-        ) & (F.col("retry_errors_n") < cfg.retry_errors_count)
-        cerr = (err_base & ~c429) if cfg.retry_errors else F.lit(False)
-
-        if cfg.retry or cfg.retry_errors:
-            n429, nerr = cur.agg(
-                F.sum(F.when(c429, 1).otherwise(0)),
-                F.sum(F.when(cerr, 1).otherwise(0)),
-            ).collect()[0]
-        else:
-            n429 = nerr = 0
+        # ---- retry gating: counters were computed in the shared aggregate
+        # above (and re-counted after any fallback refetch)
 
         # ---- 429 + retry-after -> host delay + requeue (src/index.ts:1019-1060)
         if n429:
