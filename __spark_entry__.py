@@ -406,8 +406,8 @@ def q_span_roundtrip(spark, sf_dir):
     return (
         spans.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("kind") == "media_ref", 1).otherwise(0)).alias("n_media"),
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("kind") == "media_ref", 1).otherwise(0)).cast("long").alias("n_media"),
             F.md5(F.concat_ws("", F.transform(
                 F.array_sort(
                     F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
@@ -887,8 +887,8 @@ def oracle_sql() -> dict[str, str]:
               from flat
             )
             select doc_id,
-                   count(*) as n_spans,
-                   sum(case when kind = 'media_ref' then 1 else 0 end) as n_media,
+                   cast(count(*) as bigint) as n_spans,
+                   cast(sum(case when kind = 'media_ref' then 1 else 0 end) as bigint) as n_media,
                    md5(string_agg(
                      kind || '|' || text || '|' || media_ref || '|' || cast(off as varchar),
                      '' order by off)) as seq_hash

@@ -145,6 +145,21 @@ def one_leg(cpus: int, n_urls: int) -> dict:
             "runs": [round(r, 2) for r in runs]}
 
 
+def _git_head() -> str:
+    """Commit hash stamped into SCALING.json so stale N-vs-4N evidence is
+    detectable when the block is copied into later per-round bench output."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
+
+
 def main() -> None:
     args = set(sys.argv[1:])
 
@@ -195,6 +210,7 @@ def main() -> None:
             "n": legs[0], "four_n": legs[1],
             "efficiency": round(eff, 3),
             "measured": "this run",
+            "measured_at_commit": _git_head(),
         }
         try:
             os.makedirs(os.path.dirname(scaling_path), exist_ok=True)

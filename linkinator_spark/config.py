@@ -82,6 +82,10 @@ class CheckOptions:
     bloom_expected: int = 10_000_000     # URL-seen Bloom pre-filter sizing
     bloom_fpp: float = 0.01
     use_bloom: bool = True
+    # the pre-filter only pays once the frontier is large; below this many
+    # frontier rows the exact anti-join alone is cheaper (set 0 to force the
+    # Bloom path on, e.g. in tests)
+    bloom_min_frontier: int = 200_000
     salt_hot_host_threshold: int = 50_000  # frontier rows per host before salting
     checkpoint_dir: str | None = None    # wave-state checkpoints (resume)
     seed: int = 42                       # deterministic jitter seed

@@ -9,12 +9,10 @@ join-guaranteed — the reference semantics demand the exact set,
 /root/reference/src/index.ts:813-817).
 
 Implementation: a numpy bit array built from the 64-bit url hashes, k derived
-hash probes via splitmix64 remixing — vectorized construction (one pass over
-seen hashes per partition, OR-merged on the driver) and vectorized probing
-inside an Arrow-batched mapInPandas. No per-row Python.
-
-On a real cluster the same construction runs as `treeAggregate` over
-partitions; locally the partition bitmaps are OR-merged driver-side.
+hash probes via splitmix64 remixing — vectorized construction (one numpy
+bitmap per partition, OR-merged executor-side via ``treeAggregate``) and
+vectorized probing inside an Arrow-batched mapInPandas. No per-row Python,
+and no row ever reaches the driver — only bitmaps do.
 """
 
 from __future__ import annotations
@@ -61,28 +59,71 @@ class BloomFilter:
         return res
 
 
+def partition_bitmaps(hashed: DataFrame, n_bits: int, k: int) -> DataFrame:
+    """One summary row per partition: the partition's local Bloom bitmap.
+    Rows never reach the driver — only bitmaps do (via treeAggregate)."""
+    size = n_bits // 8
+
+    def fn(batches):
+        bits = np.zeros(size, dtype=np.uint8)
+        bf = BloomFilter.__new__(BloomFilter)
+        bf.bits, bf.n_bits, bf.k = bits, n_bits, k
+        seen_any = False
+        for pdf in batches:
+            if len(pdf):
+                bf.add_many(pdf["h"].to_numpy(dtype=np.int64))
+                seen_any = True
+        if seen_any:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    return hashed.mapInPandas(fn, "bits binary")
+
+
 def build_bloom(seen: DataFrame, url_col: str = "url",
                 expected: int = 1_000_000, fpp: float = 0.01) -> BloomFilter:
-    """One pass over the seen set: hash JVM-side (xxhash64), bitmap built per
-    Arrow batch. At cluster scale, replace collect with a treeAggregate of
-    per-partition bitmaps (same math, OR-merge)."""
+    """Distributed build: hash JVM-side (xxhash64), one numpy bitmap per
+    partition (Arrow-batched, vectorized), OR-merged executor-side via
+    ``treeAggregate`` (depth 2). The driver sees only bitmaps — never rows —
+    so a 10^10-key frontier builds without driver materialization."""
     bloom = BloomFilter(expected, fpp)
     hashed = seen.select(F.xxhash64(F.col(url_col)).alias("h"))
-    for batch in hashed.toPandas()["h"].to_numpy(dtype=np.int64, copy=False).reshape(1, -1):
-        bloom.add_many(batch)
+    maps = partition_bitmaps(hashed, bloom.n_bits, bloom.k)
+
+    size = bloom.n_bits // 8
+
+    def _or(acc: np.ndarray, other) -> np.ndarray:
+        # seqOp gets a Row(bits=bytes); combOp gets another ndarray
+        buf = other if isinstance(other, np.ndarray) else np.frombuffer(
+            other["bits"], dtype=np.uint8)
+        np.bitwise_or(acc, buf, out=acc)
+        return acc
+
+    merged = maps.rdd.treeAggregate(np.zeros(size, dtype=np.uint8), _or, _or, depth=2)
+    bloom.bits = merged
     return bloom
 
 
+def broadcast_bloom(spark, bloom: BloomFilter):
+    """Snapshot the filter into a Spark broadcast (copy the bits: the crawl
+    loop mutates its BloomFilter between waves, and local mode can alias
+    driver objects)."""
+    return spark.sparkContext.broadcast(
+        {"bits": bloom.bits.copy(), "n_bits": bloom.n_bits, "k": bloom.k}
+    )
+
+
 def bloom_prefilter(candidates: DataFrame, bloom: BloomFilter,
-                    url_col: str = "url") -> tuple[DataFrame, DataFrame]:
+                    url_col: str = "url",
+                    payload=None) -> tuple[DataFrame, DataFrame]:
     """Split candidates into (definitely_new, maybe_seen).
 
     definitely_new rows SKIP the anti-join shuffle entirely; maybe_seen rows
-    (a small slice at scale) go through the exact anti-join."""
+    (a small slice at scale) go through the exact anti-join. Pass `payload`
+    (from `broadcast_bloom`) to reuse one broadcast across several plans in
+    a wave instead of re-broadcasting per call."""
     spark = candidates.sparkSession
-    payload = spark.sparkContext.broadcast(
-        {"bits": bloom.bits, "n_bits": bloom.n_bits, "k": bloom.k}
-    )
+    if payload is None:
+        payload = broadcast_bloom(spark, bloom)
 
     def fn(batches):
         bf = BloomFilter.__new__(BloomFilter)

@@ -63,6 +63,10 @@ from linkinator_spark.operators.classify import classify
 from linkinator_spark.operators.fetch import (
     FETCH_COLS, fetch_once, prepare_pages_dim, with_body_flag,
 )
+from linkinator_spark.operators.bloom import (
+    BloomFilter, bloom_prefilter, broadcast_bloom, build_bloom,
+)
+from linkinator_spark.operators.politeness import politeness_budget_split
 from linkinator_spark.operators.skiprules import (
     make_fragment_skip_match, make_skip_match,
 )
@@ -170,6 +174,11 @@ class LinkChecker:
             "candidates_udf": make_candidate_links_udf(cfg.check_css, cfg.markdown),
             "anchors_udf": make_anchors_udf(cfg.markdown),
             "host_rules": None,
+            # URL-seen Bloom pre-filter: built lazily once the frontier
+            # crosses cfg.bloom_min_frontier, then maintained incrementally
+            # by the per-wave touch job (no extra barriers)
+            "bloom": None,
+            "bloom_bc": None,
         }
         if cfg.respect_robots:
             # robots.txt fetched once per host up front (the wave-0 robots
@@ -221,6 +230,25 @@ class LinkChecker:
                 next_stats = None
             if not n_total:
                 break
+
+            # ---- URL-seen Bloom pre-filter (J2 scale path). Built once the
+            # frontier crosses the activation threshold (one pass over the
+            # seen set, treeAggregate — no driver rows), then maintained
+            # incrementally by the touch job. Each wave broadcasts a bits
+            # snapshot; candidates the filter proves unseen skip the exact
+            # anti-join shuffle entirely (bloom.py docstring for why false
+            # positives stay exact).
+            if (cfg.use_bloom and ctx["bloom"] is None
+                    and n_total >= cfg.bloom_min_frontier):
+                ctx["bloom"] = build_bloom(
+                    self._union(seen_parts, "url string"),
+                    expected=cfg.bloom_expected, fpp=cfg.bloom_fpp,
+                )
+            if ctx["bloom"] is not None:
+                if ctx["bloom_bc"] is not None:
+                    ctx["bloom_bc"].unpersist(blocking=False)
+                ctx["bloom_bc"] = broadcast_bloom(spark, ctx["bloom"])
+
             if not n_ready:
                 # advance to the earliest deadline; its rows become ready by
                 # construction, no recount needed
@@ -235,14 +263,24 @@ class LinkChecker:
             ready = frontier.filter(ready_cond)
             deferred = frontier.filter(~ready_cond)
 
-            # ---- per-host politeness budget (window = the min-heap order)
+            # ---- per-host politeness budget. Small waves: plain window over
+            # one coalesced partition (cheap). Big waves: the skew-salted
+            # two-phase split — a Zipf-hot host would otherwise serialize the
+            # whole wave inside one window task (politeness.py docstring).
             if cfg.per_host_budget:
-                w = Window.partitionBy("host").orderBy("not_before", "seq")
-                ranked = ready.withColumn("_rk", F.row_number().over(w))
-                deferred = deferred.unionByName(
-                    ranked.filter(F.col("_rk") > cfg.per_host_budget).drop("_rk")
-                )
-                ready = ranked.filter(F.col("_rk") <= cfg.per_host_budget).drop("_rk")
+                if small_wave:
+                    w = Window.partitionBy("host").orderBy("not_before", "seq")
+                    ranked = ready.withColumn("_rk", F.row_number().over(w))
+                    deferred = deferred.unionByName(
+                        ranked.filter(F.col("_rk") > cfg.per_host_budget).drop("_rk")
+                    )
+                    ready = ranked.filter(
+                        F.col("_rk") <= cfg.per_host_budget).drop("_rk")
+                else:
+                    ready, overflow = politeness_budget_split(
+                        ready, cfg.per_host_budget, cfg.salt_hot_host_threshold
+                    )
+                    deferred = deferred.unionByName(overflow)
 
             seen = self._union(seen_parts, "url string")
             relationships = self._union(rel_parts, REL_SCHEMA)
@@ -275,7 +313,10 @@ class LinkChecker:
                 .unionByName(requeued.select(_FRONTIER_COLS))
                 .unionByName(new_frontier)
             )
-            results_parts.append(_part(wave_results))
+            # rebind: downstream consumers (store metrics) must read the
+            # checkpointed frame, not recompute the fetch/classify lineage
+            wave_results = _part(wave_results)
+            results_parts.append(wave_results)
             events_parts.append(_part(wave_events))
             rel_parts.append(_part(new_rel))
             dup_parts.append(_part(new_dups))
@@ -286,30 +327,36 @@ class LinkChecker:
                 host_delays = _part(host_delays)
 
             # the one forcing action: touch every lazy checkpoint AND
-            # compute the next wave's frontier stats in the same job (only
-            # the frontier part contributes non-null not_before rows; the
-            # ready count is evaluated at the clock the next wave starts
-            # with, which only advances when it reads zero)
+            # compute the next wave's frontier stats in the same job. The
+            # frontier part carries (not_before, marker); n_total counts the
+            # always-non-null marker so it cannot silently drop a row whose
+            # not_before is null. When the Bloom filter is active, the same
+            # job also folds the new-frontier url hashes into per-partition
+            # bitmaps (treeAggregate OR-merge) — incremental maintenance
+            # with zero extra barriers.
+            bloom = ctx["bloom"]
             touch = None
             for p in wave_parts:
-                nb = (
-                    F.col("not_before") if p is frontier
-                    else F.lit(None).cast("double")
+                is_frontier = p is frontier
+                is_new = p is new_frontier
+                sel = p.select(
+                    (F.col("not_before") if is_frontier
+                     else F.lit(None).cast("double")).alias("nb"),
+                    (F.lit(1) if is_frontier
+                     else F.lit(None).cast("int")).alias("isf"),
+                    (F.xxhash64("url") if (is_new and bloom is not None)
+                     else F.lit(None).cast("long")).alias("h"),
                 )
-                sel = p.select(nb.alias("nb"))
                 touch = sel if touch is None else touch.unionByName(sel)
-            srow = touch.agg(
-                F.count("nb"),
-                F.min("nb"),
-                F.sum(F.when(F.col("nb") <= clock + _EPS, 1).otherwise(0)),
-            ).collect()[0]
-            next_stats = (srow[0], srow[1], srow[2] or 0)
-
-            # wave outputs are materialized — release the wave-scoped caches
-            # (fetch/classify/candidates), else a long crawl accumulates one
-            # set of persisted frames per wave
-            for df in ctx.pop("wave_cached", []):
-                df.unpersist(blocking=False)
+            if bloom is None:
+                srow = touch.agg(
+                    F.count("isf"),
+                    F.min("nb"),
+                    F.sum(F.when(F.col("nb") <= clock + _EPS, 1).otherwise(0)),
+                ).collect()[0]
+                next_stats = (srow[0], srow[1], srow[2] or 0)
+            else:
+                next_stats = self._touch_stats_with_bloom(touch, bloom, clock)
 
             if store:
                 full = {
@@ -340,6 +387,13 @@ class LinkChecker:
                 events_parts = [state["events"]]
                 pending = state["pending_fragments"]
                 host_delays = state["host_delays"]
+
+            # wave outputs are materialized (touch + store both ran) —
+            # release the wave-scoped caches (fetch/classify/candidates),
+            # else a long crawl accumulates one set of persisted frames per
+            # wave
+            for df in ctx.pop("wave_cached", []):
+                df.unpersist(blocking=False)
             wave += 1
 
         results = self._union(results_parts, RESULT_SCHEMA)
@@ -362,6 +416,62 @@ class LinkChecker:
                            waves=wave, clock=clock)
 
     # ---------------------------------------------------------------- seeds
+    def _touch_stats_with_bloom(self, touch, bloom: BloomFilter, clock: float):
+        """Bloom-maintaining form of the wave's single forcing job: per
+        partition, fold the frontier stats AND the new-frontier url hashes
+        into a local numpy bitmap; a depth-2 ``treeAggregate`` merges
+        executor-side, so the driver receives a handful of bitmaps and zero
+        rows. Folds the merged bits into `bloom` (rebinding, not mutating —
+        broadcast snapshots of earlier waves stay valid) and returns
+        ``(n_total, min_nb, n_ready)``."""
+        import numpy as np
+        import pandas as pd
+
+        n_bits, k = bloom.n_bits, bloom.k
+        size = n_bits // 8
+        deadline = clock + _EPS
+
+        def fn(batches):
+            bf = BloomFilter.__new__(BloomFilter)
+            bf.bits = np.zeros(size, dtype=np.uint8)
+            bf.n_bits, bf.k = n_bits, k
+            n, mn, nr = 0, np.nan, 0
+            for pdf in batches:
+                n += int(pdf["isf"].count())
+                nb = pdf["nb"].to_numpy(dtype="float64", na_value=np.nan)
+                valid = nb[~np.isnan(nb)]
+                if len(valid):
+                    m = float(valid.min())
+                    mn = m if np.isnan(mn) else min(mn, m)
+                    nr += int((valid <= deadline).sum())
+                h = pdf["h"].dropna()
+                if len(h):
+                    bf.add_many(h.to_numpy(dtype=np.int64))
+            yield pd.DataFrame(
+                {"n": [n], "mn": [mn], "nr": [nr], "bits": [bf.bits.tobytes()]}
+            )
+
+        rows = touch.mapInPandas(fn, "n long, mn double, nr long, bits binary")
+
+        def seq(acc, row):
+            n, mn, nr, bits = acc
+            rmn = row["mn"]
+            if rmn is not None and rmn == rmn:  # non-null, non-NaN
+                mn = rmn if mn is None else min(mn, rmn)
+            np.bitwise_or(bits, np.frombuffer(row["bits"], dtype=np.uint8),
+                          out=bits)
+            return (n + row["n"], mn, nr + row["nr"], bits)
+
+        def comb(a, b):
+            mns = [x for x in (a[1], b[1]) if x is not None]
+            np.bitwise_or(a[3], b[3], out=a[3])
+            return (a[0] + b[0], min(mns) if mns else None, a[2] + b[2], a[3])
+
+        zero = (0, None, 0, np.zeros(size, dtype=np.uint8))
+        n, mn, nr, new_bits = rows.rdd.treeAggregate(zero, seq, comb, depth=2)
+        bloom.bits = np.bitwise_or(bloom.bits, new_bits)
+        return (n, mn, nr)
+
     def _seed_frontier(self, cfg: CheckOptions) -> list:
         rows = []
         seen_urls = set()
@@ -654,6 +764,7 @@ class LinkChecker:
             self._process_candidates(
                 candidates, cfg, clock, wave, skip_match,
                 ctx["frag_skip_match"], seen, relationships,
+                bloom_bc=ctx.get("bloom_bc"),
             )
         results_parts.append(cand_results)
 
@@ -679,7 +790,7 @@ class LinkChecker:
     # ---------------------------------------------------- candidate pipeline
     def _process_candidates(
         self, candidates, cfg: CheckOptions, clock: float, wave: int,
-        skip_match, frag_skip_match, seen, relationships,
+        skip_match, frag_skip_match, seen, relationships, bloom_bc=None,
     ):
         results_parts: list[DataFrame] = []
 
@@ -776,12 +887,30 @@ class LinkChecker:
             F.col("resolved_url").alias("url"), F.col("page_url").alias("parent")
         )
 
-        enqueue = primary.join(
-            seen, primary["resolved_url"] == seen["url"], "left_anti"
-        )
-        seen_dups = primary.join(
-            seen, primary["resolved_url"] == seen["url"], "semi"
-        ).select(F.col("resolved_url").alias("url"), F.col("page_url").alias("parent"))
+        if bloom_bc is not None:
+            # Bloom fast path: rows the filter proves unseen enqueue without
+            # touching the anti-join shuffle; the (small) maybe-seen slice
+            # goes through the exact join, which also restores exactness for
+            # false positives. Output set is identical to the plain path.
+            def_new, maybe = bloom_prefilter(
+                primary, None, url_col="resolved_url", payload=bloom_bc
+            )
+            enqueue = def_new.unionByName(
+                maybe.join(seen, maybe["resolved_url"] == seen["url"],
+                           "left_anti")
+            )
+            seen_dups = maybe.join(
+                seen, maybe["resolved_url"] == seen["url"], "semi"
+            ).select(F.col("resolved_url").alias("url"),
+                     F.col("page_url").alias("parent"))
+        else:
+            enqueue = primary.join(
+                seen, primary["resolved_url"] == seen["url"], "left_anti"
+            )
+            seen_dups = primary.join(
+                seen, primary["resolved_url"] == seen["url"], "semi"
+            ).select(F.col("resolved_url").alias("url"),
+                     F.col("page_url").alias("parent"))
         new_dups = extra_dups.unionByName(seen_dups)
 
         # politeness ordering: per-host FIFO sequence for the next wave

@@ -121,3 +121,42 @@ def politeness_split(
     take = politeness_take(frontier, budget, salt_threshold)
     deferred = frontier.join(take.select("url"), "url", "left_anti")
     return take.drop("host_rank", "url_hash"), deferred
+
+
+def politeness_budget_split(
+    ready: DataFrame,
+    budget: int,
+    salt_threshold: int,
+    order_cols: tuple = ("not_before", "seq"),
+) -> tuple[DataFrame, DataFrame]:
+    """Join-free (take, overflow) split used by the crawl loop's per-host
+    budget gate — the skew-safe replacement for a bare
+    ``row_number() OVER (PARTITION BY host)``.
+
+    Both outputs are derived from the same two-phase ranking, so no anti-join
+    is needed to recover the overflow set:
+
+      overflow = stripe rows ranked past `budget` in phase 1 (never winners,
+                 see module docstring) ∪ phase-2 rows ranked past `budget`.
+
+    The take set is exactly the naive single-window answer (asserted by
+    tests/test_politeness.py equivalence tests)."""
+    cols = ready.columns
+    # no persist here: the crawl loop's `ready` is a filter over a
+    # checkpointed frontier, so the three consumers (salt counts, phase-1
+    # rank, phase-2 rank) re-scan cheap materialized state
+    df = ready.withColumn("url_hash", F.xxhash64("url"))
+    salts = hot_host_salts(df, salt_threshold)
+    salted = with_salt(df, salts)
+
+    order = [F.col(c) for c in order_cols]
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
+    ranked1 = salted.withColumn("_r1", F.row_number().over(w1))
+    overflow1 = ranked1.filter(F.col("_r1") > budget).select(*cols)
+    survivors = ranked1.filter(F.col("_r1") <= budget)
+
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked2 = survivors.withColumn("_r2", F.row_number().over(w2))
+    take = ranked2.filter(F.col("_r2") <= budget).select(*cols)
+    overflow2 = ranked2.filter(F.col("_r2") > budget).select(*cols)
+    return take, overflow1.unionByName(overflow2)

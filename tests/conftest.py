@@ -18,7 +18,7 @@ def spark():
             "spark.sql.warehouse.dir": "/tmp/lkspark-warehouse",
             # fixture crawls are a handful of rows over many waves: per-query
             # planning overhead dominates, so AQE re-planning is pure cost here
-            "spark.sql.adaptive.enabled": os.environ.get("LK_TEST_AQE", "true"),
+            "spark.sql.adaptive.enabled": os.environ.get("LK_TEST_AQE", "false"),
         },
     )
     yield spark
