@@ -459,10 +459,15 @@ def q_dedup_embedding(spark, sf_dir):
         F.col("label"),
     )
     corpus = emb.unionByName(dup)
-    # round to 4dp for the oracle compare: Spark sums float32 casts in array
-    # order, DuckDB's list_cosine_similarity may accumulate differently
+    # Banded hyperplane LSH candidates + exact cosine verify. The oracle is
+    # ground truth (exact all-pairs): at threshold 0.999 the only qualifying
+    # pairs are the planted exact copies, whose sign signatures are
+    # identical, so every band matches and LSH recall is exactly 1 — the
+    # hash compare against the exact oracle verifies that.
+    # round to 4dp: Spark sums float32 casts in array order, DuckDB's
+    # list_cosine_similarity may accumulate differently
     return D.embedding_near_dup_pairs(
-        corpus, threshold=0.999, prefilter_bits=8
+        corpus, threshold=0.999, dim=64, bands=8, rows_per_band=8
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -509,6 +514,59 @@ def q_text_fingerprint(spark, sf_dir):
 # similarity / media
 # ---------------------------------------------------------------------------
 
+def _ann_corpus(spark, sf_dir):
+    """embeddings ∪ 4 deterministic near-dup perturbations of each query
+    vector (vec_id%100==0): copy j shifts each coordinate by
+    eps_j * v[(i+j) % 64] with eps_j = 0.05*j, giving planted neighbors at
+    cosine ≈ 0.999…0.98. The exact top-5 of every query is then provably
+    {self, 4 planted copies} — the near-duplicate-retrieval task ANN is for
+    — and the derivation is pure arithmetic, so DuckDB replicates it
+    bit-exactly (float32 → double casts on both sides)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    parts = [base]
+    v = F.col("embedding")
+
+    def _shift(j, eps):
+        # factory: F.transform counts lambda params, so no default-arg capture
+        def fn(i):
+            return (
+                F.element_at(v, i + 1).cast("double")
+                + F.lit(eps)
+                * F.element_at(v, F.pmod(i + F.lit(j), F.lit(64)) + 1)
+                .cast("double")
+            )
+        return fn
+
+    for j in range(1, 5):
+        pert = F.transform(F.sequence(F.lit(0), F.lit(63)), _shift(j, 0.05 * j))
+        parts.append(
+            emb.filter(F.col("vec_id") % 100 == 0).select(
+                (F.lit(2_000_000) + F.col("vec_id") * 10 + F.lit(j))
+                .alias("vec_id"),
+                pert.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_ANN_CORPUS_SQL = """
+    select vec_id, embedding::DOUBLE[] as v from embeddings
+    union all
+    select 2000000 + vec_id * 10 + j as vec_id,
+           list_transform(range(0, 64), i ->
+             embedding[i + 1]::DOUBLE
+             + 0.05 * j * embedding[((i + j) % 64) + 1]::DOUBLE) as v
+    from embeddings, (select unnest(range(1, 5)) as j) _j
+    where vec_id % 100 = 0
+"""
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -520,11 +578,22 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return S.lsh_topk(emb, queries, dim=64, k=TOPK, n_planes=8, multiprobe=2)
+    """ANN near-duplicate retrieval over the planted corpus (_ann_corpus):
+    each query's exact top-5 is itself + its 4 planted near-copies (cosine
+    0.98+). With 8 tables × 8 planes the per-neighbor miss probability is
+    < 1e-3 and, with the fixed seed, the realized recall on this data is
+    exactly 1 at every test scale — so the exact-SQL top-k is a valid
+    value-checked oracle for the LSH output (verified sf0.001/0.01/0.1)."""
+    corpus = _ann_corpus(spark, sf_dir)
+    queries = corpus.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2_000_000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.lsh_topk(corpus, queries, dim=64, k=TOPK, n_planes=8, n_tables=8)
+    # compare surface is (query, neighbor, rank): the retrieved set and its
+    # ranking. The raw cosine is value-checked by ann_cosine_topk; here a
+    # planted copy's cosine lands exactly on a 4dp rounding boundary
+    # (x.99875) where Spark HALF_UP vs DuckDB accumulation order disagree.
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 def q_media_features(spark, sf_dir):
@@ -928,27 +997,19 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         "dedup_embedding": """
+            -- ground truth: exact all-pairs at the threshold. The Spark
+            -- side prunes with banded hyperplane LSH; matching this hash
+            -- verifies the LSH found every qualifying pair (recall 1).
             with corpus as (
               select vec_id, embedding from embeddings
               union all
               select vec_id + 1000000 as vec_id, embedding
               from embeddings where vec_id % 25 = 0
             ),
-            sk as (
-              select vec_id as vid, embedding::DOUBLE[] as v,
-                     (case when embedding[1] > 0 then 1 else 0 end)
-                   + (case when embedding[2] > 0 then 2 else 0 end)
-                   + (case when embedding[3] > 0 then 4 else 0 end)
-                   + (case when embedding[4] > 0 then 8 else 0 end)
-                   + (case when embedding[5] > 0 then 16 else 0 end)
-                   + (case when embedding[6] > 0 then 32 else 0 end)
-                   + (case when embedding[7] > 0 then 64 else 0 end)
-                   + (case when embedding[8] > 0 then 128 else 0 end) as sk
-              from corpus
-            )
+            v as (select vec_id as vid, embedding::DOUBLE[] as v from corpus)
             select l.vid as id_a, r.vid as id_b,
                    round(list_cosine_similarity(l.v, r.v), 4) as cosine
-            from sk l join sk r on l.sk = r.sk and l.vid < r.vid
+            from v l join v r on l.vid < r.vid
             where list_cosine_similarity(l.v, r.v) >= 0.999
         """,
         "ann_cosine_topk": f"""
@@ -969,6 +1030,29 @@ def oracle_sql() -> dict[str, str]:
             )
             select query_id, neighbor_id, cast(rank as int) as rank,
                    round(cos, 4) as cosine
+            from ranked where rank <= {TOPK}
+        """,
+        "ann_lsh_topk": f"""
+            -- exact top-k over the planted near-dup corpus; valid as an
+            -- oracle for the LSH query because its realized recall on this
+            -- data is exactly 1 (q_ann_lsh_topk docstring)
+            with corpus as ({_ANN_CORPUS_SQL}),
+            q as (
+              select vec_id as query_id, v as qv from corpus
+              where vec_id % 100 = 0 and vec_id < 2000000
+            ),
+            scored as (
+              select q.query_id, c.vec_id as neighbor_id,
+                     list_cosine_similarity(c.v, q.qv) as cos
+              from corpus c, q
+            ),
+            ranked as (
+              select query_id, neighbor_id, cos,
+                     row_number() over (partition by query_id
+                                        order by cos desc, neighbor_id asc) as rank
+              from scored
+            )
+            select query_id, neighbor_id, cast(rank as int) as rank
             from ranked where rank <= {TOPK}
         """,
         "events_windowed": """

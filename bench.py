@@ -114,6 +114,33 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def ann_lsh_recall(spark, sf_dir: str) -> dict:
+    """Accuracy contract for the approximate ANN operator: recall@5 of
+    multi-table LSH vs the exact cosine baseline on the planted near-dup
+    corpus, at a leaner table count than the oracle configuration (the
+    oracle runs L=8 / recall 1.0; this measures the scale-path tradeoff)."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from linkinator_spark.functions.similarity import cosine_topk, lsh_topk
+
+    corpus = E._ann_corpus(spark, sf_dir)
+    queries = corpus.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2_000_000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(corpus, queries, k=5).collect()}
+    t0 = time.time()
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in lsh_topk(corpus, queries, dim=64, k=5,
+                                n_planes=8, n_tables=4).collect()}
+    return {
+        "recall_at_5": round(len(approx & exact) / max(len(exact), 1), 4),
+        "tables": 4, "planes": 8, "k": 5,
+        "lsh_sec": round(time.time() - t0, 3),
+    }
+
+
 def one_leg(cpus: int, n_urls: int) -> dict:
     """One scaling leg in a fresh Spark session pinned to `cpus` cores."""
     from linkinator_spark.session import get_spark
@@ -175,6 +202,7 @@ def main() -> None:
                       extra_conf={"spark.local.dir": "/dev/shm/spark-bench"})
 
     queries = run_headline(spark, SF_DIR)
+    ann = ann_lsh_recall(spark, SF_DIR)
 
     # frontier throughput at current parallelism (north-rule metric);
     # warm at real scale then best-of-3 — JIT/codegen keeps improving over
@@ -193,6 +221,7 @@ def main() -> None:
         "frontier_sec": round(fsec, 3),
         "frontier_urls_per_sec": round(FRONTIER_N / fsec, 1),
         "cpus": CPUS,
+        "ann_lsh": ann,
     }
 
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -76,19 +76,38 @@ def lsh_topk(
     n_planes: int = 10, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     query_id_col: str = "query_id", multiprobe: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """ANN top-k: join on shared sign-sketch bucket (+multi-probe: flip each
-    of the lowest `multiprobe` bits), exact cosine re-rank within candidates.
-    Recall < 1 by construction — the benchmark measures recall vs cosine_topk."""
-    cb = sign_buckets(corpus, dim, n_planes, seed, id_col, vec_col)
-    qb = sign_buckets(queries, dim, n_planes, seed, query_id_col, vec_col)
-    probes = [F.col("bucket")] + [
-        F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(multiprobe)
+    """ANN top-k: `n_tables` independent sign-sketch hash tables (one shared
+    matmul computes all of them), candidates = union over tables of
+    same-bucket rows (+multi-probe: flip each of the lowest `multiprobe`
+    bits), exact cosine re-rank within candidates.
+
+    Accuracy contract: recall@k vs `cosine_topk` depends on how similar the
+    true neighbors are — near 1.0 for near-duplicate retrieval (neighbor
+    cosine >= ~0.95, the 100-TB dedup/retrieval case; per-neighbor miss prob
+    is (1 - p^R)^L with p = 1 - arccos(c)/pi), but low when true neighbors
+    are weakly similar (random-vector corpora, where no sublinear method
+    helps). bench.py measures recall@k and candidate fraction vs the exact
+    baseline; tests/test_text_dedup.py asserts >= 0.9 on a planted
+    near-dup task, and the ann_lsh_topk driver oracle value-checks the
+    planted-retrieval configuration against exact SQL top-k."""
+    from linkinator_spark.functions.dedup import hyperplane_band_buckets
+
+    cb = hyperplane_band_buckets(
+        corpus, dim, n_tables, n_planes, seed, id_col, vec_col)
+    qb = hyperplane_band_buckets(
+        queries, dim, n_tables, n_planes, seed, query_id_col, vec_col)
+    probes = [F.col("band_hash")] + [
+        F.col("band_hash").bitwiseXOR(F.lit(1 << i)) for i in range(multiprobe)
     ]
-    qb = qb.select("vid", F.explode(F.array(*probes)).alias("bucket"))
+    qb = qb.select(
+        "vid", "band_id", F.explode(F.array(*probes)).alias("band_hash"))
 
     cand = cb.alias("c").join(
-        qb.alias("q"), F.col("c.bucket") == F.col("q.bucket")
+        qb.alias("q"),
+        (F.col("c.band_id") == F.col("q.band_id"))
+        & (F.col("c.band_hash") == F.col("q.band_hash")),
     ).select(
         F.col("q.vid").alias("query_id"), F.col("c.vid").alias("neighbor_id")
     ).distinct()

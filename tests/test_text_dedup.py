@@ -162,9 +162,58 @@ def test_lsh_topk_recall(vecs):
 
 
 def test_embedding_near_dup(vecs):
-    pairs = embedding_near_dup_pairs(vecs, threshold=0.95, prefilter_bits=4)
+    pairs = embedding_near_dup_pairs(vecs, threshold=0.95, dim=8,
+                                     bands=8, rows_per_band=4)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 20) in got
+
+
+def test_embedding_near_dup_banded_resists_prefix_skew(spark):
+    """Adversarial skew: every vector shares the same first 12 dims. A
+    prefix sign-sketch would put the whole corpus into ONE bucket
+    (unbounded in-bucket all-pairs); banded hyperplanes over all dims must
+    spread it."""
+    import numpy as np
+
+    from linkinator_spark.functions.dedup import hyperplane_band_buckets
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 32
+    mat = rng.standard_normal((n, dim))
+    mat[:, :12] = rng.standard_normal(12)  # identical prefix everywhere
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bb = hyperplane_band_buckets(df, dim=dim, bands=8, rows_per_band=8)
+    biggest = (
+        bb.groupBy("band_id", "band_hash").count()
+        .agg(F.max("count").alias("mx")).collect()[0]["mx"]
+    )
+    assert biggest < n / 4  # no band bucket degenerates toward all-pairs
+
+
+def test_lsh_topk_planted_recall(spark):
+    """The accuracy contract from similarity.lsh_topk's docstring: on a
+    near-duplicate retrieval task (planted neighbors at cosine >= ~0.95),
+    multi-table LSH recall@k vs the exact baseline is >= 0.9."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    dim, n_base, n_q = 32, 400, 8
+    base = rng.standard_normal((n_base, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_base)]
+    # plant 4 near-copies of each query vector
+    for q in range(n_q):
+        for j in range(1, 5):
+            v = base[q] + 0.08 * j * rng.standard_normal(dim) * 0.5
+            rows.append((10_000 + q * 10 + j, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(f"vec_id < {n_q}").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(corpus, queries, k=5)
+    approx = lsh_topk(corpus, queries, dim=dim, k=5, n_planes=8, n_tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.9
 
 
 def test_media_pipeline(spark):
