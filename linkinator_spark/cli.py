@@ -20,9 +20,15 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="linkinator-spark")
-    p.add_argument("paths", nargs="+", help="seed URLs")
-    p.add_argument("--pages", required=True, help="scripted pages parquet")
-    p.add_argument("--documents", required=True, help="span documents parquet")
+    p.add_argument("paths", nargs="+",
+                   help="seed URLs, or local paths/globs (served like the "
+                        "reference's static server)")
+    p.add_argument("--pages", help="scripted pages parquet (URL seeds only)")
+    p.add_argument("--documents", help="span documents parquet (URL seeds only)")
+    p.add_argument("--server-root", default=None,
+                   help="root dir for local-path mode (reference --server-root)")
+    p.add_argument("--directory-listing", action="store_true", default=None)
+    p.add_argument("--clean-urls", action="store_true", default=None)
     p.add_argument("--config", help="JSON config file (CLI flags win)")
     p.add_argument("--concurrency", type=int, default=100)
     p.add_argument("--recurse", "-r", action="store_true", default=None)
@@ -104,6 +110,9 @@ def merge_config(args: argparse.Namespace) -> dict:
         "respect_robots": args.respect_robots,
         "user_agent": args.user_agent,
         "checkpoint_dir": args.checkpoint_dir,
+        "server_root": args.server_root,
+        "directory_listing": args.directory_listing,
+        "clean_urls": args.clean_urls,
     }
     for k, v in cli.items():
         if v is not None:
@@ -128,11 +137,18 @@ def main(argv: list[str] | None = None) -> int:
     })
 
     spark = get_spark(app_name="linkinator-spark-cli", master=args.master)
-    pages = spark.read.parquet(args.pages)
-    documents = spark.read.parquet(args.documents)
 
     t0 = time.time()
-    result = LinkChecker(spark).check(cfg, pages, documents, resume=args.resume)
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+        documents = spark.read.parquet(args.documents)
+        result = LinkChecker(spark).check(cfg, pages, documents,
+                                          resume=args.resume)
+    else:
+        # local-path mode: model the static server from the directory tree
+        from linkinator_spark.operators.crawler import check_local
+
+        result = check_local(spark, cfg, resume=args.resume)
     elapsed = time.time() - t0
 
     if args.format == "csv":

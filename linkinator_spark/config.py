@@ -72,6 +72,15 @@ class CheckOptions:
     # (reference src/index.ts:580-583)
     static_http_server_host: str | None = None
 
+    # local-path mode (sources/localfs.py; reference src/options.ts:117-190
+    # + src/server.ts). server_root anchors glob expansion and the modeled
+    # static server; synthetic_server_root restores filesystem paths in
+    # reports (mapUrl, src/index.ts:1148-1176)
+    server_root: str | None = None
+    synthetic_server_root: str | None = None
+    directory_listing: bool = False
+    clean_urls: bool = False
+
     # robots.txt politeness (north_star addition; reference has none)
     respect_robots: bool = False
     user_agent: str = "linkinator-spark"

@@ -17,6 +17,9 @@ _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
 _IMG_RE = re.compile(r"!\[([^\]]*)\]\(([^)\s]+)(?:\s+\"[^\"]*\")?\)")
 _LINK_RE = re.compile(r"(?<!\!)\[([^\]]*)\]\(([^)\s]+)(?:\s+\"[^\"]*\")?\)")
 _AUTOLINK_RE = re.compile(r"<(https?://[^>\s]+)>")
+# gfm email autolink: <user@host> -> mailto (marked renders the reference's
+# LICENSE.md author email as a mailto link, reference test.index.ts:576-589)
+_EMAIL_AUTOLINK_RE = re.compile(r"<([\w.+-]+@[\w-]+(?:\.[\w-]+)+)>")
 _REF_DEF_RE = re.compile(r"^\s{0,3}\[([^\]]+)\]:\s*(\S+)\s*$")
 _REF_LINK_RE = re.compile(r"(?<!\!)\[([^\]]+)\]\[([^\]]*)\]")
 
@@ -71,4 +74,6 @@ def _render_inline(text: str, refs: dict[str, str]) -> str:
 
     text = _REF_LINK_RE.sub(ref_sub, text)
     text = _AUTOLINK_RE.sub(lambda m: f'<a href="{m.group(1)}">{m.group(1)}</a>', text)
+    text = _EMAIL_AUTOLINK_RE.sub(
+        lambda m: f'<a href="mailto:{m.group(1)}">{m.group(1)}</a>', text)
     return text

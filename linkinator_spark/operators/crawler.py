@@ -174,6 +174,9 @@ class LinkChecker:
             "candidates_udf": make_candidate_links_udf(cfg.check_css, cfg.markdown),
             "anchors_udf": make_anchors_udf(cfg.markdown),
             "host_rules": None,
+            # modeled static server: default any unscripted URL on its host
+            # to 404 (local-path mode, sources/localfs.py)
+            "host_defaults": _host_defaults(spark, cfg),
             # URL-seen Bloom pre-filter: built lazily once the frontier
             # crosses cfg.bloom_min_frontier, then maintained incrementally
             # by the per-wave touch job (no extra barriers)
@@ -408,7 +411,16 @@ class LinkChecker:
             F.lit(wave).alias("wave"), F.lit("").alias("host"),
             F.lit(0).cast("long").alias("seq"),
         )
-        results = results.unionByName(dup_broken).persist()
+        results = results.unionByName(dup_broken)
+        # P6 mapUrl: restore filesystem-path display for local-path crawls
+        # (reference src/index.ts:1148-1176, applied on result emission)
+        if cfg.static_http_server_host:
+            from linkinator_spark.sources.localfs import map_url_expr
+
+            results = results.withColumn(
+                "url", map_url_expr(F.col("url"), cfg)
+            ).withColumn("parent", map_url_expr(F.col("parent"), cfg))
+        results = results.persist()
         events = self._union(events_parts, EVENT_SCHEMA)
 
         passed = results.filter(F.col("state") == LinkState.BROKEN).isEmpty()
@@ -555,7 +567,8 @@ class LinkChecker:
 
         # ---- fetch: HEAD for leaves, GET when crawling (src/index.ts:344-369)
         method = F.when(F.col("crawl"), F.lit("GET")).otherwise(F.lit("HEAD"))
-        cur = fetch_once(ready, pages_dim, method, cfg, skip_match).persist()
+        cur = fetch_once(ready, pages_dim, method, cfg, skip_match,
+                         ctx.get("host_defaults")).persist()
         wave_cached.append(cur)
 
         c405 = (F.col("status") == 405) & F.col("redirect_skipped").isNull()
@@ -597,6 +610,7 @@ class LinkChecker:
                 subset.withColumn("_prev_failures", F.col("fetch_failures"))
                 .drop(*FETCH_COLS),
                 pages_dim, F.lit("GET"), cfg, skip_match,
+                ctx.get("host_defaults"),
             )
             return re.withColumn(
                 "fetch_failures",
@@ -994,3 +1008,24 @@ def check(spark: SparkSession, cfg: CheckOptions, pages: DataFrame,
           documents: DataFrame, resume: bool = False) -> CrawlResult:
     """Convenience wrapper (reference export `check`, src/index.ts:1116-1120)."""
     return LinkChecker(spark).check(cfg, pages, documents, resume=resume)
+
+
+def check_local(spark: SparkSession, cfg: CheckOptions,
+                resume: bool = False) -> CrawlResult:
+    """Local-path / glob mode (`linkinator ./docs --recurse`): expand glob
+    seeds, model the static file server from the directory tree as scripted
+    tables, crawl, and map result URLs back to filesystem paths (reference
+    src/options.ts:117-190 + src/index.ts:223-250,1148-1176)."""
+    from linkinator_spark.sources.localfs import (
+        process_local_paths, serve_directory,
+    )
+
+    cfg = process_local_paths(cfg)
+    pages, documents = serve_directory(spark, cfg.server_root, cfg)
+    return LinkChecker(spark).check(cfg, pages, documents, resume=resume)
+
+
+def _host_defaults(spark: SparkSession, cfg: CheckOptions):
+    from linkinator_spark.sources.localfs import host_defaults_for
+
+    return host_defaults_for(spark, cfg)

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from linkinator_spark.config import CheckOptions
+from linkinator_spark.functions.urls import url_host
 
 REDIRECT_STATUSES = (301, 302, 303, 307, 308)
 
@@ -77,7 +78,8 @@ def resolve_location(base: Column, loc: Column) -> Column:
     )
 
 
-def request(df: DataFrame, pages_dim: DataFrame, method: Column) -> DataFrame:
+def request(df: DataFrame, pages_dim: DataFrame, method: Column,
+            host_defaults: DataFrame | None = None) -> DataFrame:
     """One simulated HTTP request for every row of `df`.
 
     `df` must carry unique `url` values (the URL-seen invariant) and an
@@ -101,6 +103,26 @@ def request(df: DataFrame, pages_dim: DataFrame, method: Column) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn", "p_url", "p_method", "p_attempt")
     )
+    if host_defaults is not None:
+        # modeled static server: un-scripted URLs on the server host are
+        # 404s, not network errors (reference return404,
+        # src/server.ts:191-196). The default keys on the REQUESTED url's
+        # host so redirect hops off-host keep network-error semantics.
+        hd = host_defaults.withColumnRenamed("host", "_dh")
+        picked = (
+            picked.join(
+                F.broadcast(hd), url_host(F.col("url")) == F.col("_dh"), "left",
+            )
+            .drop("_dh")
+            .withColumn("p_status", F.coalesce("p_status", "d_status"))
+            .withColumn(
+                "p_content_type",
+                F.when(F.col("p_content_type").isNotNull(),
+                       F.col("p_content_type"))
+                .otherwise(F.col("d_content_type")),
+            )
+            .drop("d_status", "d_content_type")
+        )
     return (
         picked.withColumn("has_response", F.col("p_status").isNotNull())
         .withColumn("status", F.coalesce(F.col("p_status"), F.lit(0)))
@@ -120,6 +142,7 @@ def follow_redirects(
     fetched: DataFrame,
     pages_dim: DataFrame,
     skip_match,  # Callable[[Column], Column] | None — per-hop skip predicate
+    host_defaults: DataFrame | None = None,
 ) -> DataFrame:
     """Iterative redirect-follow: at most 20 hops (21 requests), per-hop skip
     check, 303 switches to GET. Mirrors makeRequest's loop
@@ -192,7 +215,7 @@ def follow_redirects(
             .drop("_target", "_pending")
         )
         cur = (
-            request(hop_req, pages_dim, F.col("_nxt_method"))
+            request(hop_req, pages_dim, F.col("_nxt_method"), host_defaults)
             .drop("_nxt_method")
             .withColumn("_cur_url", F.col("url"))
         )
@@ -220,6 +243,7 @@ def fetch_once(
     method: Column,
     cfg: CheckOptions,
     skip_match,
+    host_defaults: DataFrame | None = None,
 ) -> DataFrame:
     """request + (conditionally) redirect following.
 
@@ -227,7 +251,7 @@ def fetch_once(
     (index.ts:351-352). Otherwise follow with the 20-hop cap.
     """
     tagged = df.withColumn("_orig_url", F.col("url"))
-    first = request(tagged, pages_dim, method)
+    first = request(tagged, pages_dim, method, host_defaults)
     if cfg.redirects == "error":
         return (
             first.withColumn("redirect_skipped", F.lit(None).cast("string"))
@@ -241,7 +265,7 @@ def fetch_once(
             .withColumn("url", F.col("_orig_url"))
             .drop("_orig_url")
         )
-    followed = follow_redirects(first, pages_dim, skip_match)
+    followed = follow_redirects(first, pages_dim, skip_match, host_defaults)
     return followed.withColumn(
         "fetch_failures",
         F.when(

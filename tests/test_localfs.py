@@ -1,0 +1,169 @@
+"""Local-path / glob mode parity (S4 + P6).
+
+Replicates the reference's `local` and `markdown` fixtures in a temp tree
+and asserts the reference test suite's golden counts and URL displays
+(/root/reference/test/test.index.ts:451-612, fixtures under
+test/fixtures/{local,markdown}).
+"""
+
+import os
+
+import pytest
+
+from linkinator_spark.config import CheckOptions
+from linkinator_spark.operators.crawler import check_local
+from linkinator_spark.sources.localfs import process_local_paths
+
+README = """# Say hello to my README
+This has [a link](LICENSE.md) to something.
+
+Also here is my cat.
+![booboobadkitteh](boo.jpg)
+"""
+
+LICENSE = """The MIT License (MIT)
+
+Copyright (c) Justin Beckwith <justin.beckwith@gmail.com> (jbeckwith.com)
+"""
+
+DEEP = """# i am in a folder
+This has [a link](../LICENSE.md) to something.
+"""
+
+UNLINKED = """# just hanging out
+This has [a link](LICENSE.md) to something.
+"""
+
+LOCAL_INDEX = '<html><body><a href="page2.html">just follow a link</a></body></html>'
+LOCAL_PAGE2 = "<html><body>nothing to see here</body></html>"
+
+
+@pytest.fixture()
+def site_dir(tmp_path, monkeypatch):
+    md = tmp_path / "markdown"
+    (md / "deep").mkdir(parents=True)
+    (md / "README.md").write_text(README)
+    (md / "LICENSE.md").write_text(LICENSE)
+    (md / "unlinked.md").write_text(UNLINKED)
+    (md / "deep" / "deep.md").write_text(DEEP)
+    (md / "boo.jpg").write_bytes(b"\xff\xd8\xff\xe0fakejpg")
+    local = tmp_path / "local"
+    local.mkdir()
+    (local / "index.html").write_text(LOCAL_INDEX)
+    (local / "page2.html").write_text(LOCAL_PAGE2)
+    # the reference tests run with fixture paths relative to the repo cwd;
+    # mirror that so multi-path mode's serverRoot=cwd inference works
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _urls(res):
+    return sorted(r["url"] for r in res.results.select("url").collect())
+
+
+def test_markdown_single_file(spark, site_dir):
+    # test.index.ts:451-458 'should handle markdown' -> 3 links, passed
+    res = check_local(spark, CheckOptions(paths=["markdown/README.md"]))
+    assert res.passed
+    urls = _urls(res)
+    assert len(urls) == 3
+    assert any(u.endswith("README.md") for u in urls)
+    assert any(u.endswith("LICENSE.md") for u in urls)
+    assert any(u.endswith("boo.jpg") for u in urls)
+    # mapUrl restored filesystem-style paths (no synthetic host leaks)
+    assert not any(u.startswith("http://127.0.0.1") for u in urls)
+
+
+def test_server_root_override(spark, site_dir):
+    # test.index.ts:468-484: serverRoot + relative path, ±trailing slash
+    for root in ("markdown", "markdown/"):
+        res = check_local(
+            spark, CheckOptions(paths=["README.md"], server_root=root))
+        assert res.passed
+        assert len(_urls(res)) == 3
+
+
+def test_glob_expansion_counts(spark, site_dir):
+    # test.index.ts:566-590 'should respect globs' -> 6 links; LICENSE.md
+    # reported exactly once (OK links dedup across parents)
+    res = check_local(spark, CheckOptions(paths=["markdown/**/*.md"]))
+    assert res.passed
+    urls = _urls(res)
+    assert len(urls) == 6
+    assert sum(1 for u in urls if u.endswith("LICENSE.md")) == 1
+    assert any(u.startswith("mailto:") for u in urls)
+    rows = {(r["url"], r["state"]) for r in
+            res.results.select("url", "state").collect()}
+    mailto = [s for (u, s) in rows if u.startswith("mailto:")]
+    assert mailto == ["SKIPPED"]
+
+
+def test_glob_zero_results_raises(spark, site_dir):
+    with pytest.raises(ValueError, match="returned 0 results"):
+        check_local(spark, CheckOptions(paths=["markdown/*.nope"]))
+
+
+def test_mixed_paths_raise(site_dir):
+    with pytest.raises(ValueError, match="cannot be mixed"):
+        process_local_paths(
+            CheckOptions(paths=["https://jbeckwith.com", "markdown"]))
+    with pytest.raises(ValueError, match="cannot be defined"):
+        process_local_paths(
+            CheckOptions(paths=["https://jbeckwith.com"],
+                         server_root=os.getcwd()))
+    with pytest.raises(ValueError, match="At least one path"):
+        process_local_paths(CheckOptions(paths=[]))
+
+
+def test_local_directory_seed(spark, site_dir):
+    # directory seed: serverRoot=dir, path='/', index.html served for the
+    # root URL; recurse follows page2.html (fixtures/local)
+    res = check_local(spark, CheckOptions(paths=["local"], recurse=True))
+    assert res.passed
+    urls = _urls(res)
+    assert len(urls) == 2
+    # synthetic root restores the directory path in the display
+    assert "local" in urls
+    assert os.path.join("local", "page2.html") in urls
+
+
+def test_broken_local_link_is_404(spark, site_dir):
+    # the modeled server 404s unknown paths (return404) instead of the
+    # scripted-web 'network error' status 0
+    (site_dir / "broken").mkdir()
+    (site_dir / "broken" / "index.html").write_text(
+        '<a href="missing.html">gone</a>')
+    res = check_local(spark, CheckOptions(paths=["broken"], recurse=True))
+    assert not res.passed
+    by_url = {r["url"]: (r["status"], r["state"])
+              for r in res.results.select("url", "status", "state").collect()}
+    missing = [v for u, v in by_url.items() if u.endswith("missing.html")]
+    assert missing == [(404, "BROKEN")]
+
+
+def test_directory_listing_crawl(spark, site_dir):
+    # directoryListing=true serves <li><a> readdir listings
+    # (src/server.ts:172-184); nested dirs 301 to their slash form
+    d = site_dir / "listing"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.html").write_text("<p>a</p>")
+    (d / "sub" / "b.html").write_text("<p>b</p>")
+    res = check_local(spark, CheckOptions(
+        paths=["listing"], recurse=True, directory_listing=True))
+    assert res.passed
+    urls = _urls(res)
+    assert any(u.endswith("a.html") for u in urls)
+    assert any(u.endswith("b.html") for u in urls)
+
+
+def test_clean_urls(spark, site_dir):
+    d = site_dir / "clean"
+    d.mkdir()
+    (d / "index.html").write_text('<a href="about">about</a>')
+    (d / "about.html").write_text("<p>hi</p>")
+    ok = check_local(spark, CheckOptions(
+        paths=["clean"], recurse=True, clean_urls=True))
+    assert ok.passed
+    bad = check_local(spark, CheckOptions(
+        paths=["clean"], recurse=True, clean_urls=False))
+    assert not bad.passed
