@@ -37,7 +37,8 @@ class CheckOptions:
 
     concurrency: int = 100
     recurse: bool = False
-    timeout: int = 0
+    timeout: int = 0          # ms; live-HTTP request deadline (0 = 30s default)
+    insecure: bool = False    # live-HTTP: skip TLS verification
 
     # skip rules: list of regex strings OR a callable str->bool
     links_to_skip: list[str] | Callable[[str], bool] | None = None

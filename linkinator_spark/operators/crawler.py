@@ -61,7 +61,7 @@ from linkinator_spark.functions.extract import (
 from linkinator_spark.functions.urls import parse_link, url_host, url_host_py
 from linkinator_spark.operators.classify import classify
 from linkinator_spark.operators.fetch import (
-    FETCH_COLS, fetch_once, prepare_pages_dim, with_body_flag,
+    FETCH_COLS, build_chain_map, fetch_once, prepare_pages_dim, with_body_flag,
 )
 from linkinator_spark.operators.bloom import (
     BloomFilter, bloom_prefilter, broadcast_bloom, build_bloom,
@@ -164,11 +164,23 @@ class LinkChecker:
         spark = self.spark
         store = WaveStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
 
+        live = pages is None
+        if live:
+            from linkinator_spark.operators.http_fetch import make_live_requester
+
+            requester = make_live_requester(cfg)
         ctx = {
-            "pages_dim": prepare_pages_dim(pages),
-            "docs": documents.select(
+            "pages_dim": None if live else prepare_pages_dim(pages),
+            # live mode: page bodies arrive as _live_spans on the fetch rows
+            # and each wave derives its own docs dim (_run_wave)
+            "docs": None if live else documents.select(
                 F.col("doc_id").alias("body_doc_id"), F.col("spans")
             ),
+            "requester": requester if live else None,
+            # table mode: redirect chains resolve against this broadcast map
+            # in ONE batch per wave (no per-hop driver barriers)
+            "chain_bc": None if live else spark.sparkContext.broadcast(
+                build_chain_map(pages)),
             "skip_match": make_skip_match(cfg.links_to_skip),
             "frag_skip_match": make_fragment_skip_match(cfg.fragments_to_skip),
             "candidates_udf": make_candidate_links_udf(cfg.check_css, cfg.markdown),
@@ -183,7 +195,7 @@ class LinkChecker:
             "bloom": None,
             "bloom_bc": None,
         }
-        if cfg.respect_robots:
+        if cfg.respect_robots and not live:
             # robots.txt fetched once per host up front (the wave-0 robots
             # fetch, north_star politeness) and broadcast as a rules dim
             from linkinator_spark.operators.robots import host_rules_from_pages
@@ -261,6 +273,7 @@ class LinkChecker:
             # to one partition — scheduling 4+ tasks per 4-row stage costs
             # more than the work; big waves keep the host-keyed partitioning
             small_wave = n_total < 10_000
+            ctx["small_wave"] = small_wave
 
             ready_cond = F.col("not_before") <= F.lit(clock + _EPS)
             ready = frontier.filter(ready_cond)
@@ -422,6 +435,17 @@ class LinkChecker:
             ).withColumn("parent", map_url_expr(F.col("parent"), cfg))
         results = results.persist()
         events = self._union(events_parts, EVENT_SCHEMA)
+        # 'link' event per emitted result (reference src/index.ts:614,984 —
+        # every LinkResult is also observable as an event), with mapUrl
+        # already applied, matching the reference's emission point
+        events = events.unionByName(
+            results.select(
+                F.lit("link").alias("kind"), "url",
+                F.col("status").cast("int"),
+                F.col("state").alias("detail"),
+                F.col("wave").cast("int"),
+            )
+        )
 
         passed = results.filter(F.col("state") == LinkState.BROKEN).isEmpty()
         return CrawlResult(passed=passed, results=results, events=events,
@@ -568,7 +592,9 @@ class LinkChecker:
         # ---- fetch: HEAD for leaves, GET when crawling (src/index.ts:344-369)
         method = F.when(F.col("crawl"), F.lit("GET")).otherwise(F.lit("HEAD"))
         cur = fetch_once(ready, pages_dim, method, cfg, skip_match,
-                         ctx.get("host_defaults")).persist()
+                         ctx.get("host_defaults"),
+                         requester=ctx.get("requester"),
+                         chain_bc=ctx.get("chain_bc")).persist()
         wave_cached.append(cur)
 
         c405 = (F.col("status") == 405) & F.col("redirect_skipped").isNull()
@@ -610,7 +636,8 @@ class LinkChecker:
                 subset.withColumn("_prev_failures", F.col("fetch_failures"))
                 .drop(*FETCH_COLS),
                 pages_dim, F.lit("GET"), cfg, skip_match,
-                ctx.get("host_defaults"),
+                ctx.get("host_defaults"), requester=ctx.get("requester"),
+                chain_bc=ctx.get("chain_bc"),
             )
             return re.withColumn(
                 "fetch_failures",
@@ -762,8 +789,25 @@ class LinkChecker:
             "body_doc_id", "root_path", "host",
             F.col("seq").alias("parent_seq"),
         )
+        # live mode: the wave's own fetched bodies ARE the docs dim
+        docs_dim = ctx["docs"]
+        if docs_dim is None:
+            docs_dim = classified.filter(F.col("has_body")).select(
+                "body_doc_id", F.col("_live_spans").alias("spans")
+            )
+        # 'pagestart' event per page entering link extraction
+        # (reference src/index.ts:677)
+        events_parts.append(
+            ext_pages.select(
+                F.lit("pagestart").alias("kind"),
+                F.col("page_url").alias("url"),
+                F.lit(None).cast("int").alias("status"),
+                F.lit("").alias("detail"),
+                F.lit(wave).alias("wave"),
+            )
+        )
         candidates = (
-            ext_pages.join(ctx["docs"], "body_doc_id", "left")
+            ext_pages.join(docs_dim, "body_doc_id", "left")
             .select("page_url", "base_url", "content_kind", "spans")
             .mapInPandas(ctx["candidates_udf"], CANDIDATE_SCHEMA)
             .join(
@@ -779,6 +823,7 @@ class LinkChecker:
                 candidates, cfg, clock, wave, skip_match,
                 ctx["frag_skip_match"], seen, relationships,
                 bloom_bc=ctx.get("bloom_bc"),
+                small_wave=ctx.get("small_wave", True),
             )
         results_parts.append(cand_results)
 
@@ -786,7 +831,7 @@ class LinkChecker:
         pending_all = pending_fragments.unionByName(new_pending)
         if cfg.check_fragments:
             frag_results, pending_all = self._validate_fragments(
-                classified, ctx["docs"], pending_all, ctx["anchors_udf"], wave
+                classified, docs_dim, pending_all, ctx["anchors_udf"], wave
             )
             results_parts.append(frag_results)
 
@@ -805,6 +850,7 @@ class LinkChecker:
     def _process_candidates(
         self, candidates, cfg: CheckOptions, clock: float, wave: int,
         skip_match, frag_skip_match, seen, relationships, bloom_bc=None,
+        small_wave=True,
     ):
         results_parts: list[DataFrame] = []
 
@@ -928,9 +974,23 @@ class LinkChecker:
         new_dups = extra_dups.unionByName(seen_dups)
 
         # politeness ordering: per-host FIFO sequence for the next wave
-        # (SURVEY §2.6 — row_number over host partition)
-        w_host = Window.partitionBy("_child_host").orderBy("parent_seq", "ordinal")
-        new_frontier = enqueue.select(
+        # (SURVEY §2.6). Small waves: plain row_number window. Big waves:
+        # the exact two-level rank — a hot host enqueuing 10^7 URLs would
+        # serialize a whole stage inside one window task otherwise
+        # (politeness.hierarchical_row_number; values identical).
+        if small_wave:
+            w_host = Window.partitionBy("_child_host").orderBy(
+                "parent_seq", "ordinal")
+            ranked_enq = enqueue.withColumn(
+                "_hrn", F.row_number().over(w_host).cast("long"))
+        else:
+            from linkinator_spark.operators.politeness import (
+                hierarchical_row_number,
+            )
+
+            ranked_enq = hierarchical_row_number(
+                enqueue, "_child_host", "parent_seq", "ordinal")
+        new_frontier = ranked_enq.select(
             F.col("resolved_url").alias("url"),
             F.col("_child_host").alias("host"),
             F.col("page_url").alias("parent"),
@@ -940,7 +1000,7 @@ class LinkChecker:
             F.lit(0).alias("retry_errors_n"),
             F.lit(float(clock)).alias("not_before"),
             F.lit(wave + 1).alias("wave"),
-            (F.lit((wave + 1) * 1_000_000_000) + F.row_number().over(w_host))
+            (F.lit((wave + 1) * 1_000_000_000) + F.col("_hrn"))
             .cast("long").alias("seq"),
         )
 
@@ -1008,6 +1068,15 @@ def check(spark: SparkSession, cfg: CheckOptions, pages: DataFrame,
           documents: DataFrame, resume: bool = False) -> CrawlResult:
     """Convenience wrapper (reference export `check`, src/index.ts:1116-1120)."""
     return LinkChecker(spark).check(cfg, pages, documents, resume=resume)
+
+
+def check_live(spark: SparkSession, cfg: CheckOptions,
+               resume: bool = False) -> CrawlResult:
+    """Live-HTTP crawl: same engine, with the fetch join swapped for the
+    batched network stage (operators/http_fetch.py). Honors timeout, proxy
+    env, and insecure-cert options (reference src/index.ts:14-78,
+    src/cli.ts:118-119)."""
+    return LinkChecker(spark).check(cfg, None, None, resume=resume)
 
 
 def check_local(spark: SparkSession, cfg: CheckOptions,

@@ -138,15 +138,189 @@ def request(df: DataFrame, pages_dim: DataFrame, method: Column,
     )
 
 
+def build_chain_map(pages: DataFrame):
+    """Broadcastable {(url, method): [(attempt, status, location), ...]}
+    over the WHOLE scripted pages table — the redirect-chain resolver's
+    lookup dim. Non-redirect rows act as chain terminators so the resolver
+    picks exactly the row `request()` would (same best-attempt rule).
+
+    Test-mode only: the scripted table already broadcasts per wave, so this
+    is strictly smaller state; the live-HTTP mode keeps the iterative hop
+    loop (network hops can't be table-resolved)."""
+    rows = pages.select(
+        "url", "method", "attempt", "status",
+        F.element_at("headers", "location").alias("location"),
+    ).collect()
+    cmap: dict = {}
+    for r in rows:
+        cmap.setdefault((r["url"], r["method"]), []).append(
+            (r["attempt"], r["status"], r["location"]))
+    for v in cmap.values():
+        v.sort()
+    return cmap
+
+
+def _pick_attempt(behaviors, attempt):
+    """request()'s best-attempt rule: highest scripted attempt <= ours,
+    else the lowest scripted attempt."""
+    le = [b for b in behaviors if b[0] <= attempt]
+    return max(le) if le else min(behaviors)
+
+
+def _resolve_location_py(base: str, loc: str) -> str:
+    """Python twin of resolve_location (kept in lockstep; asserted equal by
+    tests/test_redirect_chain.py)."""
+    import re
+
+    if re.match(r"^[a-zA-Z][a-zA-Z\d+\-.]*:", loc):
+        return loc
+    if loc.startswith("/"):
+        m = re.match(r"^(https?://[^/?#]+)", base)
+        return (m.group(1) if m else "") + loc
+    return re.sub(r"[^/]*$", "", re.sub(r"[?#].*$", "", base)) + loc
+
+
+def _make_py_skip(rules):
+    import re
+
+    if rules is None:
+        return None
+    if callable(rules):
+        return lambda u: bool(rules(u))
+    if not rules:
+        return None
+    pats = [re.compile(p) for p in rules]
+    return lambda u: any(p.search(u) for p in pats)
+
+
+def follow_redirects_chain(
+    fetched: DataFrame,
+    requester,
+    chain_bc,          # broadcast of build_chain_map(pages)
+    skip_rules,        # cfg.links_to_skip (regex list / callable / None)
+) -> DataFrame:
+    """Barrier-free redirect follow for scripted tables: resolve each row's
+    ENTIRE hop chain (cap 20, per-hop skip, 303→GET) inside one Arrow batch
+    against the broadcast chain map, then issue ONE follow-up request for
+    the chain's landing URL. Semantics identical to `follow_redirects`
+    (tests assert equality); cost is O(1) extra plan nodes per wave instead
+    of 2 driver jobs per hop depth."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    init = (
+        fetched.withColumn("redirect_skipped", F.lit(None).cast("string"))
+        .withColumn("fetch_failures", F.array().cast("array<string>"))
+    )
+    is_redir = (
+        F.col("has_response")
+        & F.col("status").isin(list(REDIRECT_STATUSES))
+        & F.col("location").isNotNull()
+    )
+    done0 = init.filter(~is_redir).withColumn("_ch_stop", F.col("url"))
+    pending = init.filter(is_redir)
+
+    out_schema = StructType(
+        list(pending.schema.fields)
+        + [StructField("_ch_target", StringType()),
+           StructField("_ch_method", StringType()),
+           StructField("_ch_stop", StringType())]
+    )
+    skip_fn = _make_py_skip(skip_rules)
+
+    def fn(batches):
+        cmap = chain_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            skipped = [None] * n
+            failures = [
+                list(v) if v is not None else []
+                for v in pdf["fetch_failures"]
+            ]
+            has_resp = pdf["has_response"].tolist()
+            statuses = [int(s) for s in pdf["status"]]
+            locations = pdf["location"].tolist()
+            targets, methods, stops = [None] * n, [None] * n, [None] * n
+            for i in range(n):
+                cur = pdf["url"].iat[i]
+                status = statuses[i]
+                loc = pdf["location"].iat[i]
+                method = pdf["method_effective"].iat[i]
+                attempt = int(pdf["attempt"].iat[i])
+                hops = 0
+                while True:
+                    nxt = _resolve_location_py(cur, loc)
+                    if skip_fn is not None and skip_fn(nxt):
+                        # keep the current hop's (redirect) response
+                        skipped[i], stops[i] = nxt, cur
+                        statuses[i], locations[i] = status, loc
+                        break
+                    if hops >= 20:
+                        has_resp[i], statuses[i] = False, 0
+                        locations[i] = loc  # last hop's Location header
+                        failures[i].append(
+                            "TypeError: redirect count exceeded")
+                        stops[i] = cur
+                        break
+                    if status == 303:
+                        method = "GET"
+                    hops += 1
+                    beh = cmap.get((nxt, method))
+                    picked = _pick_attempt(beh, attempt) if beh else None
+                    if (picked is None or picked[1] not in REDIRECT_STATUSES
+                            or picked[2] is None):
+                        targets[i], methods[i], stops[i] = nxt, method, nxt
+                        break
+                    cur, status, loc = nxt, picked[1], picked[2]
+            out = pdf.copy()
+            out["redirect_skipped"] = skipped
+            out["fetch_failures"] = failures
+            out["has_response"] = has_resp
+            out["status"] = statuses
+            out["location"] = locations
+            out["_ch_target"] = targets
+            out["_ch_method"] = methods
+            out["_ch_stop"] = stops
+            yield out
+
+    resolved = pending.mapInPandas(fn, out_schema)
+    settled = resolved.filter(F.col("_ch_target").isNull()).drop(
+        "_ch_target", "_ch_method")
+    need = resolved.filter(F.col("_ch_target").isNotNull())
+    refetched = requester(
+        need.drop(*[c for c in FETCH_COLS
+                    if c not in ("redirect_skipped", "fetch_failures")])
+        .withColumn("url", F.col("_ch_target"))
+        .drop("_ch_target"),
+        F.col("_ch_method"),
+    ).drop("_ch_method")
+
+    out = done0.unionByName(settled).unionByName(
+        refetched.select(*settled.columns))
+    return (
+        out.withColumn(
+            "final_url",
+            F.coalesce(
+                F.col("final_url"),
+                F.when(F.col("_ch_stop") != F.col("_orig_url"),
+                       F.col("_ch_stop")),
+            ),
+        )
+        .withColumn("url", F.col("_orig_url"))
+        .drop("_ch_stop")
+    )
+
+
 def follow_redirects(
     fetched: DataFrame,
-    pages_dim: DataFrame,
+    requester,  # Callable[[DataFrame, Column], DataFrame] — one HTTP hop
     skip_match,  # Callable[[Column], Column] | None — per-hop skip predicate
-    host_defaults: DataFrame | None = None,
 ) -> DataFrame:
     """Iterative redirect-follow: at most 20 hops (21 requests), per-hop skip
     check, 303 switches to GET. Mirrors makeRequest's loop
-    (index.ts:1218-1285)."""
+    (index.ts:1218-1285). Requester-agnostic: the same loop drives the
+    table-join `request` and the live `http_fetch` stage."""
     cur = (
         fetched.withColumn("_hops", F.lit(0))
         .withColumn("_cur_url", F.col("url"))
@@ -215,7 +389,7 @@ def follow_redirects(
             .drop("_target", "_pending")
         )
         cur = (
-            request(hop_req, pages_dim, F.col("_nxt_method"), host_defaults)
+            requester(hop_req, F.col("_nxt_method"))
             .drop("_nxt_method")
             .withColumn("_cur_url", F.col("url"))
         )
@@ -244,14 +418,22 @@ def fetch_once(
     cfg: CheckOptions,
     skip_match,
     host_defaults: DataFrame | None = None,
+    requester=None,
+    chain_bc=None,
 ) -> DataFrame:
     """request + (conditionally) redirect following.
 
     redirects='error' -> manual mode: the first 3xx is returned as-is
-    (index.ts:351-352). Otherwise follow with the 20-hop cap.
+    (index.ts:351-352). Otherwise follow with the 20-hop cap. Pass
+    `requester` (e.g. http_fetch.make_live_requester) to fetch over the
+    network instead of the scripted tables.
     """
+    if requester is None:
+        def requester(d, m):
+            return request(d, pages_dim, m, host_defaults)
+
     tagged = df.withColumn("_orig_url", F.col("url"))
-    first = request(tagged, pages_dim, method, host_defaults)
+    first = requester(tagged, method)
     if cfg.redirects == "error":
         return (
             first.withColumn("redirect_skipped", F.lit(None).cast("string"))
@@ -265,7 +447,11 @@ def fetch_once(
             .withColumn("url", F.col("_orig_url"))
             .drop("_orig_url")
         )
-    followed = follow_redirects(first, pages_dim, skip_match, host_defaults)
+    if chain_bc is not None:
+        followed = follow_redirects_chain(first, requester, chain_bc,
+                                          getattr(cfg, "links_to_skip", None))
+    else:
+        followed = follow_redirects(first, requester, skip_match)
     return followed.withColumn(
         "fetch_failures",
         F.when(

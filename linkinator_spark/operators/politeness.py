@@ -114,6 +114,38 @@ def politeness_take_heap(
     )
 
 
+def hierarchical_row_number(
+    df: DataFrame,
+    part_col: str,
+    coarse_col: str,
+    fine_col: str,
+    out_col: str = "_hrn",
+) -> DataFrame:
+    """Exact `row_number() OVER (PARTITION BY part ORDER BY coarse, fine)`
+    with bounded task sizes: rank within (part, coarse) by fine (partitions
+    bounded by rows per coarse group — e.g. links per page), then add a
+    per-(part, coarse) offset computed as a prefix sum over the GROUP COUNT
+    table (one row per coarse group — orders of magnitude smaller than the
+    data, so its window task is tiny even for a host holding 10^7 new
+    URLs). Output values are IDENTICAL to the single-window form (asserted
+    by tests), without putting any whole `part` group in one task."""
+    w_fine = Window.partitionBy(part_col, coarse_col).orderBy(fine_col)
+    ranked = df.withColumn("_r_fine", F.row_number().over(w_fine))
+    counts = df.groupBy(part_col, coarse_col).agg(F.count("*").alias("_n"))
+    w_pre = (
+        Window.partitionBy(part_col).orderBy(coarse_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_pre), F.lit(0))
+    ).select(part_col, coarse_col, "_off")
+    return (
+        ranked.join(F.broadcast(offsets), [part_col, coarse_col])
+        .withColumn(out_col, (F.col("_off") + F.col("_r_fine")).cast("long"))
+        .drop("_r_fine", "_off")
+    )
+
+
 def politeness_split(
     frontier: DataFrame, budget: int, salt_threshold: int = 100_000,
 ) -> tuple[DataFrame, DataFrame]:

@@ -26,11 +26,34 @@ from __future__ import annotations
 import glob as _glob
 import os
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from linkinator_spark.config import CheckOptions
 from linkinator_spark.functions.urls import url_host_py
+
+# path quoting for synthetic URLs: primary form matches what
+# functions.urls.canonicalize produces for a raw link to the same name
+# (spaces/% encoded, sub-delims kept); the ALIAS form percent-encodes the
+# sub-delims too, modeling the server's decodeURIComponent — a link to
+# "funky%2Bpath.html" and one to "funky+path.html" both reach the file
+# funky+path.html (reference test/fixtures/urlpatterns,
+# src/server.ts:77-80 pathParts decodeURIComponent)
+_PRIMARY_SAFE = "/:@!$&'()*+,;=~[]-._"
+_ALIAS_SAFE = "/~[]-._"
+
+
+def _quote_udf(safe: str):
+    from urllib.parse import quote
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def q(rel: pd.Series) -> pd.Series:
+        return rel.map(lambda r: quote(r, safe=safe))
+
+    return q
 
 # deterministic synthetic origin (the reference binds an ephemeral port on
 # 127.0.0.1 and strips it back out of reports via mapUrl; with scripted
@@ -102,9 +125,13 @@ def process_local_paths(cfg: CheckOptions) -> CheckOptions:
                 paths = ["/"]
             synthetic_root = server_root
 
-    # path -> synthetic URL (src/index.ts:240-246)
+    # path -> synthetic URL (src/index.ts:240-246), quoted like a raw link
+    # to the same name would canonicalize
+    from urllib.parse import quote
+
     urls = [
-        STATIC_SERVER_BASE + "/" + p.replace(os.sep, "/").lstrip("/")
+        STATIC_SERVER_BASE + "/"
+        + quote(p.replace(os.sep, "/").lstrip("/"), safe=_PRIMARY_SAFE)
         for p in paths
     ]
     return dataclasses.replace(
@@ -162,9 +189,12 @@ def serve_directory(
         is_md = kind == F.lit("markdown")
         serve_mime = F.when(is_md, F.lit("text/html; charset=UTF-8")).otherwise(mime)
 
+    _q = _quote_udf(_PRIMARY_SAFE)
+    _qa = _quote_udf(_ALIAS_SAFE)
     f = files.select(
         rel.alias("rel"),
-        F.concat(F.lit(base + "/"), rel).alias("url"),
+        F.concat(F.lit(base + "/"), _q(rel)).alias("url"),
+        F.concat(F.lit(base + "/"), _qa(rel)).alias("url_alias"),
         serve_kind.alias("kind"),
         serve_mime.alias("ct"),
         F.col("content").cast("string").alias("text"),
@@ -179,14 +209,28 @@ def serve_directory(
         )).alias("spans"),
     )
 
-    # ---- per-file 200 rows
-    file_pages = f.select(
-        "url",
-        F.col("ct").alias("content_type"),
-        F.when(F.col("kind").isNotNull(), F.col("url")).otherwise(F.lit(""))
-        .alias("body_doc_id"),
-        F.lit(200).alias("status"),
-        F.lit(None).cast("string").alias("location"),
+    # ---- per-file 200 rows (plus the encoded-alias spelling when distinct)
+    def _file_rows(url_col):
+        return f.select(
+            F.col(url_col).alias("url"),
+            F.col("ct").alias("content_type"),
+            F.when(F.col("kind").isNotNull(), F.col("url"))
+            .otherwise(F.lit("")).alias("body_doc_id"),
+            F.lit(200).alias("status"),
+            F.lit(None).cast("string").alias("location"),
+        )
+
+    file_pages = _file_rows("url").unionByName(
+        f.filter(F.col("url_alias") != F.col("url"))
+        .select("url_alias", "ct", "kind", "url")
+        .select(
+            F.col("url_alias").alias("url"),
+            F.col("ct").alias("content_type"),
+            F.when(F.col("kind").isNotNull(), F.col("url"))
+            .otherwise(F.lit("")).alias("body_doc_id"),
+            F.lit(200).alias("status"),
+            F.lit(None).cast("string").alias("location"),
+        )
     )
 
     # ---- (dir, child) pairs at every depth; dirs include "" (the root)
@@ -205,16 +249,17 @@ def serve_directory(
 
     # trailing-slash 301 for every non-root directory (src/server.ts:100-116)
     redirect_pages = dirs.filter(F.col("dir") != "").select(
-        F.concat(F.lit(base + "/"), F.col("dir")).alias("url"),
+        F.concat(F.lit(base + "/"), _q(F.col("dir"))).alias("url"),
         F.lit("").alias("content_type"),
         F.lit("").alias("body_doc_id"),
         F.lit(301).alias("status"),
-        F.concat(F.lit(base + "/"), F.col("dir"), F.lit("/")).alias("location"),
+        F.concat(F.lit(base + "/"), _q(F.col("dir")), F.lit("/"))
+        .alias("location"),
     )
 
     # directory-slash URLs: index.html > listing (if enabled) > 404
     dir_url = F.when(F.col("dir") == "", F.lit(base + "/")).otherwise(
-        F.concat(F.lit(base + "/"), F.col("dir"), F.lit("/")))
+        F.concat(F.lit(base + "/"), _q(F.col("dir")), F.lit("/")))
     index_rel = F.when(F.col("dir") == "", F.lit("index.html")).otherwise(
         F.concat(F.col("dir"), F.lit("/index.html")))
     with_index = dirs.join(
@@ -287,7 +332,7 @@ def serve_directory(
             .join(f.select(F.col("rel").alias("crel")), "crel", "left_anti")
             .join(dirs.select(F.col("dir").alias("crel")), "crel", "left_anti")
             .select(
-                F.concat(F.lit(base + "/"), F.col("crel")).alias("url"),
+                F.concat(F.lit(base + "/"), _q(F.col("crel"))).alias("url"),
                 F.lit("text/html; charset=UTF-8").alias("content_type"),
                 F.col("doc").alias("body_doc_id"),
                 F.lit(200).alias("status"),

@@ -16,9 +16,10 @@ def spark():
         shuffle_partitions=int(os.environ.get("LK_TEST_SHUFFLE", "4")),
         extra_conf={
             "spark.sql.warehouse.dir": "/tmp/lkspark-warehouse",
-            # fixture crawls are a handful of rows over many waves: per-query
-            # planning overhead dominates, so AQE re-planning is pure cost here
-            "spark.sql.adaptive.enabled": os.environ.get("LK_TEST_AQE", "false"),
+            # measured (round 2): AQE ON is ~10% faster even for fixture-
+            # sized many-wave crawls (empty-relation propagation prunes the
+            # fallback branches faster than its re-planning costs)
+            "spark.sql.adaptive.enabled": os.environ.get("LK_TEST_AQE", "true"),
         },
     )
     yield spark

@@ -253,3 +253,19 @@ def test_status_zero_when_unscripted(spark):
     assert not res.passed
     got = {(r["url"], r["state"], r["status"]) for r in res.results.collect()}
     assert ("http://no.route/x", "BROKEN", 0) in got
+
+
+def test_pagestart_and_link_events(spark):
+    # reference src/index.ts:677 (pagestart) and :614,984 (link per result)
+    site = SiteBuilder()
+    site.page("http://fake.local/", html='<a href="a.html">a</a>')
+    site.page("http://fake.local/a.html", html="<p>leaf</p>")
+    res = run(spark, CheckOptions(paths=["http://fake.local/"], recurse=True),
+              site)
+    ev = {(r["kind"], r["url"])
+          for r in res.events.select("kind", "url").collect()}
+    assert ("pagestart", "http://fake.local/") in ev
+    assert ("pagestart", "http://fake.local/a.html") in ev
+    assert ("link", "http://fake.local/") in ev
+    assert ("link", "http://fake.local/a.html") in ev
+    assert res.events.filter("kind='link'").count() == res.results.count()

@@ -156,6 +156,25 @@ def test_directory_listing_crawl(spark, site_dir):
     assert any(u.endswith("b.html") for u in urls)
 
 
+def test_encoded_url_patterns(spark, site_dir):
+    # reference test/fixtures/urlpatterns + test.index.ts:953-959: a link
+    # to funky%2Bpath.html reaches the file funky+path.html (the server
+    # decodeURIComponents path parts); a raw funky+path.html link works too
+    d = site_dir / "urlpatterns"
+    d.mkdir()
+    (d / "index.html").write_text(
+        '<a href="funky%2Bpath.html">url with a +</a>'
+        '<a href="funky+path.html">raw</a>')
+    (d / "funky+path.html").write_text("<html><body>:waves:</body></html>")
+    res = check_local(spark, CheckOptions(
+        paths=["index.html"], server_root="urlpatterns"))
+    assert res.passed
+    states = {r["url"]: r["state"]
+              for r in res.results.select("url", "state").collect()}
+    assert all(s == "OK" for s in states.values())
+    assert len(states) == 3  # index + both spellings of the funky link
+
+
 def test_clean_urls(spark, site_dir):
     d = site_dir / "clean"
     d.mkdir()

@@ -1,0 +1,100 @@
+"""The barrier-free redirect-chain resolver must be output-identical to the
+iterative hop loop (operators/fetch.py follow_redirects_chain vs
+follow_redirects) on every redirect shape the reference tests:
+chains, caps, per-hop skips, relative Locations, 303→GET
+(/root/reference/test/test.redirects.ts)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from linkinator_spark.config import CheckOptions
+from linkinator_spark.operators.fetch import (
+    _resolve_location_py, build_chain_map, fetch_once, prepare_pages_dim,
+    resolve_location,
+)
+from linkinator_spark.operators.skiprules import make_skip_match
+from linkinator_spark.sources.fixtures import SiteBuilder
+
+
+def _site():
+    s = SiteBuilder()
+    base = "http://redir.local"
+    # 3-hop chain with a relative + root-relative Location
+    s.redirect(base + "/chain", "hop2", status=301)
+    s.redirect(base + "/hop2", "/hop3", status=302)
+    s.redirect(base + "/hop3", base + "/land", status=307)
+    s.page(base + "/land", html="<p>landed</p>")
+    # 303 switches to GET: target only scripted for GET
+    s.redirect(base + "/see-other", base + "/get-only", status=303)
+    s.script(base + "/get-only", "GET", 1, 200, html="<p>get</p>")
+    # over-cap loop
+    for i in range(25):
+        s.redirect(base + f"/loop{i}", base + f"/loop{i + 1}", status=301)
+    # skip target mid-chain
+    s.redirect(base + "/toskip", base + "/private/x", status=301)
+    s.redirect(base + "/toskip2", base + "/mid", status=301)
+    s.redirect(base + "/mid", base + "/private/deep", status=302)
+    # redirect into the void (unscripted target)
+    s.redirect(base + "/tovoid", base + "/nowhere", status=301)
+    s.page(base + "/plain", html="<p>no redirect</p>")
+    return s, base
+
+
+URLS = ["/chain", "/see-other", "/loop0", "/toskip", "/toskip2",
+        "/tovoid", "/plain", "/unscripted"]
+
+
+@pytest.mark.parametrize("method", ["GET", "HEAD"])
+def test_chain_resolver_equals_hop_loop(spark, method):
+    site, base = _site()
+    pages, _docs = site.build(spark)
+    pages_dim = prepare_pages_dim(pages)
+    cfg = CheckOptions(paths=[], links_to_skip=[r"/private/"])
+    skip = make_skip_match(cfg.links_to_skip)
+    df = spark.createDataFrame([(base + u, 1) for u in URLS],
+                               "url string, attempt int")
+
+    loop = fetch_once(df, pages_dim, F.lit(method), cfg, skip)
+    bc = spark.sparkContext.broadcast(build_chain_map(pages))
+    chain = fetch_once(df, pages_dim, F.lit(method), cfg, skip, chain_bc=bc)
+
+    cols = ["url", "status", "has_response", "final_url", "redirect_skipped",
+            "fetch_failures", "method_effective", "location"]
+
+    def rows(d):
+        return sorted(
+            tuple(r[c] if c != "fetch_failures" else tuple(r[c] or [])
+                  for c in cols)
+            for r in d.select(*cols).collect()
+        )
+
+    assert rows(loop) == rows(chain)
+    # sanity on the interesting shapes
+    by = {r["url"]: r for r in chain.collect()}
+    assert by[base + "/chain"]["status"] == 200
+    assert by[base + "/chain"]["final_url"] == base + "/land"
+    assert by[base + "/see-other"]["status"] == 200
+    assert by[base + "/see-other"]["method_effective"] == "GET"
+    assert by[base + "/loop0"]["status"] == 0
+    assert "TypeError: redirect count exceeded" in list(
+        by[base + "/loop0"]["fetch_failures"])
+    assert by[base + "/toskip"]["redirect_skipped"] == base + "/private/x"
+    assert by[base + "/toskip2"]["redirect_skipped"] == base + "/private/deep"
+    assert by[base + "/tovoid"]["status"] == 0
+    assert by[base + "/plain"]["status"] == 200
+
+
+def test_resolve_location_python_twin(spark):
+    cases = [
+        ("http://a.example/dir/page.html", "other.html"),
+        ("http://a.example/dir/page.html", "/rooted"),
+        ("http://a.example/dir/page.html", "https://b.example/abs"),
+        ("http://a.example/dir/sub/", "../up.html"),
+        ("http://a.example/p?q=1#f", "rel"),
+        ("http://a.example", "mailto:x@y.z"),
+    ]
+    df = spark.createDataFrame(cases, "base string, loc string")
+    jvm = [r["r"] for r in df.select(
+        resolve_location(F.col("base"), F.col("loc")).alias("r")).collect()]
+    py = [_resolve_location_py(b, l) for b, l in cases]
+    assert jvm == py

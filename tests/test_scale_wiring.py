@@ -126,3 +126,27 @@ def test_crawl_knobs_do_not_change_results(spark, skewed_site_tables):
         bloom_expected=50_000,
     )
     assert nobudget_rows == on_rows
+
+
+def test_hierarchical_row_number_equals_window(spark):
+    """Exactness of the bounded-partition frontier-seq rank: values must be
+    IDENTICAL to row_number() over (partition by part order by coarse,
+    fine), including on a hot part holding most rows."""
+    from pyspark.sql.window import Window
+
+    from linkinator_spark.operators.politeness import hierarchical_row_number
+
+    df = spark.range(0, 30_000).select(
+        # one hot part (~2/3 of rows) + many cold parts
+        F.when(F.col("id") % 3 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("p"), (F.col("id") % 97).cast("string")))
+        .alias("part"),
+        (F.col("id") % 211).alias("coarse"),
+        F.xxhash64("id").alias("fine"),
+    )
+    w = Window.partitionBy("part").orderBy("coarse", "fine")
+    naive = df.withColumn("_rn", F.row_number().over(w).cast("long"))
+    hrn = hierarchical_row_number(df, "part", "coarse", "fine")
+    joined = naive.join(hrn, ["part", "coarse", "fine"])
+    assert joined.filter(F.col("_rn") != F.col("_hrn")).count() == 0
+    assert joined.count() == 30_000

@@ -80,3 +80,22 @@ def test_dot_segment_normalization():
 
 def test_canonicalize_space_encoding():
     assert canonicalize("http://example.com/a b") == "http://example.com/a%20b"
+
+
+def test_encoded_urlpatterns_parity():
+    """Percent-encoding edge cases from the reference urlpatterns fixture
+    (test/fixtures/urlpatterns, test/test.index.ts:953-959): existing
+    escapes survive canonicalization un-double-encoded, sub-delims like '+'
+    stay raw, and the two spellings remain distinct URLs (the SERVER unifies
+    them, not the URL parser — src/server.ts:77-80)."""
+    enc = parse_link("funky%2Bpath.html", "http://h.local/dir/")
+    raw = parse_link("funky+path.html", "http://h.local/dir/")
+    assert enc["resolved_url"] == "http://h.local/dir/funky%2Bpath.html"
+    assert raw["resolved_url"] == "http://h.local/dir/funky+path.html"
+    assert enc["resolved_url"] != raw["resolved_url"]
+    # %20 is not re-encoded; a raw space is
+    assert canonicalize("http://h.local/a%20b") == "http://h.local/a%20b"
+    assert canonicalize("http://h.local/a b c") == "http://h.local/a%20b%20c"
+    # mixed: encoded fragment decodes (links.ts:224-226)
+    p = parse_link("page.html#se%C3%A7%C3%A3o", "http://h.local/")
+    assert p["fragment"] == "seção"
