@@ -616,8 +616,18 @@ def q_media_features(spark, sf_dir):
         ).alias("spans"),
     )
     media = M.media_from_documents(with_media)
-    return M.extract_media_features(media, out_dim=8).select(
-        "media_id", "kind", "feat_norm"
+    # exploded + floor-quantized (1e-9) feature values: the stub decoder is
+    # deterministic sha256 math, so DuckDB reproduces the float32 features
+    # bit-exactly and the driver value-checks the whole decode path
+    return (
+        M.extract_media_features(media, out_dim=8)
+        .select("media_id", "kind",
+                F.posexplode("feature").alias("dim", "f"))
+        .select(
+            "media_id", "kind", F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("f").cast("double") * 1e9)
+            .cast("long").alias("qval"),
+        )
     )
 
 
@@ -1060,5 +1070,40 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) as n, round(sum(value), 4) as total_value
             from events
             group by 1, 2
+        """,
+        "media_features": """
+            -- replays the whole media decode path in SQL: the stub decoder
+            -- is sha256(media_bytes) -> LE uint32 words -> /uint32_max ->
+            -- float32, and media_bytes is the ASCII hex of sha256(media_id),
+            -- so sha256(sha256(id)) + hex math reproduces it bit-exactly
+            with ids as (
+              select distinct 'http://m.example/img'
+                     || cast(doc_id % 40 as varchar) || '.png' as media_id
+              from documents
+              union
+              select distinct 'http://m.example/vid'
+                     || cast(doc_id % 15 as varchar) || '.mp4'
+              from documents
+            ),
+            m as (
+              select media_id,
+                     case when regexp_matches(media_id, '\\.(mp4|webm)($|\\?)')
+                            then 'video'
+                          when regexp_matches(media_id, '\\.(mp3|wav|ogg)($|\\?)')
+                            then 'audio'
+                          else 'image' end as kind,
+                     sha256(sha256(media_id)) as dg
+              from ids
+            ),
+            dims as (select unnest(range(0, 8)) as dim)
+            select m.media_id, m.kind, cast(dim as int) as dim,
+                   cast(floor(cast(cast(
+                       ('0x' || substr(dg, 8*dim+1, 2))::bigint
+                     + ('0x' || substr(dg, 8*dim+3, 2))::bigint * 256
+                     + ('0x' || substr(dg, 8*dim+5, 2))::bigint * 65536
+                     + ('0x' || substr(dg, 8*dim+7, 2))::bigint * 16777216
+                   as double) / 4294967295.0 as real)::double * 1e9) as bigint)
+                   as qval
+            from m cross join dims
         """,
     }
