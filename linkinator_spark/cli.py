@@ -48,9 +48,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CODE:ACTION pairs, e.g. 404:skip 4xx:warn")
     p.add_argument("--url-rewrite-search", default=None)
     p.add_argument("--url-rewrite-replace", default=None)
+    p.add_argument("--markdown", action=argparse.BooleanOptionalAction,
+                   default=None)
+    p.add_argument("--allow-insecure-certs", action="store_true", default=None)
+    p.add_argument("--header", action="append", default=None,
+                   help='extra request header, "Name: value" (repeatable)')
+    p.add_argument("--port", type=int, default=None,
+                   help="pin the modeled static-server port")
+    p.add_argument("--silent", action="store_true")
     p.add_argument("--format", choices=["text", "json", "csv"], default="text")
     p.add_argument("--output", help="output dir for csv/json formats")
-    p.add_argument("--verbosity", default="WARNING",
+    p.add_argument("--verbosity", default=None,
                    choices=["DEBUG", "INFO", "WARNING", "ERROR", "NONE"])
     p.add_argument("--respect-robots", action="store_true", default=None)
     p.add_argument("--user-agent", default=None)
@@ -87,6 +95,33 @@ def _parse_status_codes(values: list[str] | None) -> dict:
     return out
 
 
+def _parse_headers(values: list[str] | None) -> dict | None:
+    """--header "Name: value" pairs (reference src/cli.ts:220-233)."""
+    if not values:
+        return None
+    out: dict[str, str] = {}
+    for item in values:
+        name, colon, value = item.partition(":")
+        if not colon:
+            raise SystemExit(
+                f'Invalid header format: "{item}". '
+                'Use "Header-Name:value" format.')
+        out[name.strip()] = value.strip()
+    return out
+
+
+def resolve_verbosity(args: argparse.Namespace) -> str:
+    """--silent is verbosity=ERROR; mixing both is an error
+    (reference src/cli.ts:607-620)."""
+    if args.silent and args.verbosity:
+        raise SystemExit(
+            "The SILENT and VERBOSITY flags cannot both be defined. "
+            "Please consider using VERBOSITY only.")
+    if args.silent:
+        return "ERROR"
+    return args.verbosity or "WARNING"
+
+
 def merge_config(args: argparse.Namespace) -> dict:
     """config file ⊕ CLI, CLI wins (src/config.ts:50-60)."""
     cfg: dict = {}
@@ -113,6 +148,11 @@ def merge_config(args: argparse.Namespace) -> dict:
         "server_root": args.server_root,
         "directory_listing": args.directory_listing,
         "clean_urls": args.clean_urls,
+        "markdown": args.markdown,
+        "insecure": args.allow_insecure_certs,
+        "headers": _parse_headers(args.header),
+        "port": args.port,
+        "timeout": args.timeout,
     }
     for k, v in cli.items():
         if v is not None:
@@ -151,12 +191,13 @@ def main(argv: list[str] | None = None) -> int:
         result = check_local(spark, cfg, resume=args.resume)
     elapsed = time.time() - t0
 
+    verbosity = resolve_verbosity(args)
     if args.format == "csv":
-        sinks.write_csv(result.results, args.output, args.verbosity)
+        sinks.write_csv(result.results, args.output, verbosity)
     elif args.format == "json":
-        sinks.write_json(result.results, args.output, args.verbosity)
+        sinks.write_json(result.results, args.output, verbosity)
     else:
-        print(sinks.text_report(result.results, args.verbosity, elapsed))
+        print(sinks.text_report(result.results, verbosity, elapsed))
 
     # exit code semantics: passed ? 0 : 1 (src/cli.ts:446,578,589)
     return 0 if result.passed else 1

@@ -39,6 +39,12 @@ class CheckOptions:
     recurse: bool = False
     timeout: int = 0          # ms; live-HTTP request deadline (0 = 30s default)
     insecure: bool = False    # live-HTTP: skip TLS verification
+    # extra request headers, user keys win (reference options.ts:30 headers,
+    # cli.ts:220-233 --header "Name: value")
+    headers: dict[str, str] = field(default_factory=dict)
+    # pin the modeled static-server port (reference options.ts:15 port;
+    # the reference binds it for real, we bake it into the synthetic origin)
+    port: int | None = None
 
     # skip rules: list of regex strings OR a callable str->bool
     links_to_skip: list[str] | Callable[[str], bool] | None = None

@@ -111,7 +111,7 @@ class _HostConnections:
 
 
 def _fetch_one(url: str, method: str, conns: _HostConnections,
-               ua: str, proxies: dict):
+               ua: str, proxies: dict, extra_headers: dict | None = None):
     """One HTTP round-trip. Returns the _ADDED tuple (sans method)."""
     from urllib.parse import urlsplit
 
@@ -135,6 +135,10 @@ def _fetch_one(url: str, method: str, conns: _HostConnections,
 
         headers = {"User-Agent": ua, "Accept": "*/*",
                    "Host": parts.netloc, "Connection": "keep-alive"}
+        if extra_headers:
+            # user keys win over the defaults (reference src/index.ts spreads
+            # options.headers after its own)
+            headers.update(extra_headers)
         try:
             conn.request(method, path, headers=headers)
             resp = conn.getresponse()
@@ -183,6 +187,7 @@ def make_live_requester(cfg: CheckOptions):
     timeout = (cfg.timeout / 1000.0) if cfg.timeout else 30.0
     insecure = getattr(cfg, "insecure", False)
     ua = cfg.user_agent
+    extra_headers = dict(cfg.headers or {})
     workers = max(1, min(int(cfg.concurrency or 100), 64))
 
     def live_request(df: DataFrame, method: Column) -> DataFrame:
@@ -205,7 +210,8 @@ def make_live_requester(cfg: CheckOptions):
                     if len(pdf) == 0:
                         continue
                     results = list(pool.map(
-                        lambda t: _fetch_one(t[0], t[1], conns, ua, proxies),
+                        lambda t: _fetch_one(t[0], t[1], conns, ua, proxies,
+                                             extra_headers),
                         zip(pdf["url"], pdf["_req_method"]),
                     ))
                     out = pdf[in_names].copy()

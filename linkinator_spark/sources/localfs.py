@@ -61,6 +61,13 @@ def _quote_udf(safe: str):
 STATIC_SERVER_BASE = "http://127.0.0.1:5050"
 
 
+def server_base(cfg: CheckOptions) -> str:
+    """Synthetic static-server origin; honors `cfg.port` (reference
+    options.ts:15 — a user-pinned server port appears in every synthetic
+    URL exactly as the real bound port would)."""
+    return f"http://127.0.0.1:{cfg.port}" if cfg.port else STATIC_SERVER_BASE
+
+
 def is_url_path(p: str) -> bool:
     return p.startswith("http")
 
@@ -129,8 +136,9 @@ def process_local_paths(cfg: CheckOptions) -> CheckOptions:
     # to the same name would canonicalize
     from urllib.parse import quote
 
+    base = server_base(cfg)
     urls = [
-        STATIC_SERVER_BASE + "/"
+        base + "/"
         + quote(p.replace(os.sep, "/").lstrip("/"), safe=_PRIMARY_SAFE)
         for p in paths
     ]
@@ -140,7 +148,7 @@ def process_local_paths(cfg: CheckOptions) -> CheckOptions:
         markdown=markdown,
         server_root=server_root,
         synthetic_server_root=synthetic_root,
-        static_http_server_host=STATIC_SERVER_BASE + "/",
+        static_http_server_host=base + "/",
     )
 
 
@@ -164,7 +172,7 @@ def serve_directory(
     (src/server.ts:71-196). Distributed: one binaryFile scan, everything
     else is column ops + small aggregations."""
     root_abs = os.path.abspath(server_root)
-    base = STATIC_SERVER_BASE
+    base = server_base(cfg)
     host = url_host_py(base + "/")
 
     files = (

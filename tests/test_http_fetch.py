@@ -30,6 +30,7 @@ class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
     inflight = 0
     max_inflight = 0
+    seen_headers: list[dict] = []
     lock = threading.Lock()
 
     def log_message(self, *a):
@@ -42,6 +43,8 @@ class _Handler(BaseHTTPRequestHandler):
             _Handler.inflight += 1
             _Handler.max_inflight = max(_Handler.max_inflight,
                                         _Handler.inflight)
+            _Handler.seen_headers.append(
+                {k.lower(): v for k, v in self.headers.items()})
         try:
             time.sleep(0.05)  # widen the in-flight observation window
             if self.path in REDIRECTS:
@@ -152,6 +155,22 @@ def test_live_concurrency_cap_observed(spark, server):
     res = check_live(spark, cfg)
     assert res.results.count() >= 5
     assert _Handler.max_inflight <= 2
+
+
+def test_live_custom_headers_sent(spark, server):
+    """--header pairs ride every request, user keys override the defaults
+    (reference options.ts:30, cli.ts:220-233; test/test.index.ts headers)."""
+    _Handler.seen_headers = []
+    cfg = CheckOptions(paths=[server + "/a.html"], concurrency=2,
+                       timeout=10_000,
+                       headers={"X-Custom": "abc123",
+                                "User-Agent": "override-ua/1.0"})
+    res = check_live(spark, cfg)
+    assert res.passed
+    assert _Handler.seen_headers, "server saw no requests"
+    for h in _Handler.seen_headers:
+        assert h.get("x-custom") == "abc123"
+        assert h.get("user-agent") == "override-ua/1.0"
 
 
 def test_live_timeout_reads_as_broken(spark):

@@ -174,6 +174,46 @@ def test_cli_config_merge(tmp_path):
     assert cfg["status_codes"] == {"403": "ok", "4xx": "warn"}
 
 
+def test_cli_headers_silent_port_markdown():
+    """--header/--silent/--port/--no-markdown parity
+    (reference src/cli.ts:146-176,220-233,607-620)."""
+    import pytest
+
+    from linkinator_spark.cli import resolve_verbosity
+
+    args = build_parser().parse_args([
+        "http://seed/", "--header", "X-K: v1", "--header", "Auth:tok",
+        "--silent", "--port", "8080", "--no-markdown",
+        "--allow-insecure-certs",
+    ])
+    cfg = merge_config(args)
+    assert cfg["headers"] == {"X-K": "v1", "Auth": "tok"}
+    assert cfg["port"] == 8080
+    assert cfg["markdown"] is False
+    assert cfg["insecure"] is True
+    assert resolve_verbosity(args) == "ERROR"
+
+    bad = build_parser().parse_args(["http://seed/", "--header", "NoColon"])
+    with pytest.raises(SystemExit):
+        merge_config(bad)
+    both = build_parser().parse_args(
+        ["http://seed/", "--silent", "--verbosity", "INFO"])
+    with pytest.raises(SystemExit):
+        resolve_verbosity(both)
+
+
+def test_local_mode_port_in_synthetic_origin(tmp_path):
+    """cfg.port pins the modeled server origin (reference options.ts:15)."""
+    from linkinator_spark.config import CheckOptions
+    from linkinator_spark.sources.localfs import process_local_paths
+
+    (tmp_path / "index.html").write_text("<p>hi</p>")
+    cfg = process_local_paths(CheckOptions(
+        paths=[str(tmp_path)], port=9999))
+    assert cfg.paths == ["http://127.0.0.1:9999/"]
+    assert cfg.static_http_server_host == "http://127.0.0.1:9999/"
+
+
 def test_cli_end_to_end(spark, tmp_path):
     from linkinator_spark.cli import main
 
