@@ -141,6 +141,40 @@ def ann_lsh_recall(spark, sf_dir: str) -> dict:
     }
 
 
+def broken_link_recall(spark, sf_dir: str) -> dict:
+    """North-rule metric: broken-link recall of the full crawl engine vs the
+    graph's ground truth. The synthetic web graph is deterministic
+    (plans/graphgen.py), so the expected broken set is closed-form: nodes
+    reachable through 200-status pages whose own status != 200. Runs at the
+    smallest SF (the engine crawl is wave-count-bound, not data-bound)."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from linkinator_spark.plans import graphgen as G
+
+    small = sf_dir.replace("sf0.1", "sf0.001")
+    d = small if os.path.isdir(small) else sf_dir
+    t0 = time.time()
+    res = E.queries()["crawl_bfs_engine"](spark, d)
+    found = {r["url"] for r in
+             res.filter(F.col("state") == "BROKEN").collect()}
+    reach = E.queries()["frontier_bfs"](spark, d)
+    expected = {
+        r["url"]
+        for r in reach.filter(G.status_expr(F.col("id")) != 200)
+        .select(G.url_expr(F.col("id")).alias("url")).collect()
+    }
+    inter = len(found & expected)
+    return {
+        "recall": round(inter / max(len(expected), 1), 4),
+        "precision": round(inter / max(len(found), 1), 4),
+        "expected_broken": len(expected),
+        "found_broken": len(found),
+        "sec": round(time.time() - t0, 3),
+        "sf": _sf_label(d),
+    }
+
+
 def one_leg(cpus: int, n_urls: int) -> dict:
     """One scaling leg in a fresh Spark session pinned to `cpus` cores."""
     from linkinator_spark.session import get_spark
@@ -203,6 +237,7 @@ def main() -> None:
 
     queries = run_headline(spark, SF_DIR)
     ann = ann_lsh_recall(spark, SF_DIR)
+    broken = broken_link_recall(spark, SF_DIR)
 
     # frontier throughput at current parallelism (north-rule metric);
     # warm at real scale then best-of-3 — JIT/codegen keeps improving over
@@ -222,6 +257,7 @@ def main() -> None:
         "frontier_urls_per_sec": round(FRONTIER_N / fsec, 1),
         "cpus": CPUS,
         "ann_lsh": ann,
+        "broken_link": broken,
     }
 
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -326,6 +326,10 @@ def follow_redirects(
         .withColumn("_cur_url", F.col("url"))
         .withColumn("redirect_skipped", F.lit(None).cast("string"))
         .withColumn("fetch_failures", F.array().cast("array<string>"))
+        # once a hop crosses origins, authorization/cookie/proxy-authorization
+        # stop riding subsequent requests (stripSensitiveHeaders,
+        # index.ts:1277-1281; the live requester honors this flag)
+        .withColumn("_strip_sensitive", F.lit(False))
     )
     done_parts: list[DataFrame] = []
 
@@ -381,10 +385,17 @@ def follow_redirects(
             "_nxt_method",
             F.when(F.col("status") == 303, F.lit("GET")).otherwise(F.col("method_effective")),
         )
+        origin = lambda c: F.lower(  # noqa: E731 — scheme://authority
+            F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z\d+\-.]*://[^/?#]*)", 1))
         hop_req = (
             pending.drop(*[c for c in FETCH_COLS if c not in
                            ("redirect_skipped", "fetch_failures")])
             .withColumn("_hops", F.col("_hops") + 1)
+            .withColumn(
+                "_strip_sensitive",
+                F.col("_strip_sensitive")
+                | (origin(F.col("_cur_url")) != origin(F.col("_target"))),
+            )
             .withColumn("url", F.col("_target"))
             .drop("_target", "_pending")
         )
@@ -407,7 +418,7 @@ def follow_redirects(
             ),
         )
         .withColumn("url", F.col("_orig_url"))
-        .drop("_hops", "_cur_url")
+        .drop("_hops", "_cur_url", "_strip_sensitive")
     )
 
 

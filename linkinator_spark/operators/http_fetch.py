@@ -57,6 +57,10 @@ _ADDED = [
 
 MAX_BODY_BYTES = 10 * 1024 * 1024
 
+# dropped from user headers once a redirect chain crosses origins
+# (reference stripSensitiveHeaders, src/index.ts:1292-1305)
+SENSITIVE_HEADERS = {"authorization", "cookie", "proxy-authorization"}
+
 
 def _span_kind(content_type: str) -> str | None:
     ct = (content_type or "").lower()
@@ -79,14 +83,17 @@ class _HostConnections:
         self.timeout = timeout
         self.insecure = insecure
 
-    def get(self, scheme: str, host: str, port: int):
+    def get(self, scheme: str, host: str, port: int,
+            tunnel: tuple[str, int] | None = None):
+        """`tunnel=(target_host, target_port)` makes a CONNECT tunnel
+        through the proxy at (host, port) with TLS to the target."""
         import http.client
         import ssl
 
         pool = getattr(self._local, "pool", None)
         if pool is None:
             pool = self._local.pool = {}
-        key = (scheme, host, port)
+        key = (scheme, host, port, tunnel)
         conn = pool.get(key)
         if conn is None:
             if scheme == "https":
@@ -94,15 +101,18 @@ class _HostConnections:
                        else ssl.create_default_context())
                 conn = http.client.HTTPSConnection(
                     host, port, timeout=self.timeout, context=ctx)
+                if tunnel is not None:
+                    conn.set_tunnel(*tunnel)
             else:
                 conn = http.client.HTTPConnection(
                     host, port, timeout=self.timeout)
             pool[key] = conn
         return conn
 
-    def drop(self, scheme: str, host: str, port: int):
+    def drop(self, scheme: str, host: str, port: int,
+             tunnel: tuple[str, int] | None = None):
         pool = getattr(self._local, "pool", {})
-        conn = pool.pop((scheme, host, port), None)
+        conn = pool.pop((scheme, host, port, tunnel), None)
         if conn is not None:
             try:
                 conn.close()
@@ -127,11 +137,17 @@ def _fetch_one(url: str, method: str, conns: _HostConnections,
         proxy = proxies.get(scheme)
         if proxy and not _no_proxy(host, proxies):
             pparts = urlsplit(proxy if "://" in proxy else "http://" + proxy)
-            conn = conns.get("http", pparts.hostname or "",
-                             pparts.port or 80)
-            path = url  # absolute-form request line through the proxy
+            phost, pport = pparts.hostname or "", pparts.port or 80
+            if scheme == "https":
+                # CONNECT tunnel + TLS to the target (reference proxy agents,
+                # src/index.ts:37-55 HttpsProxyAgent)
+                conn_key = ("https", phost, pport, (host, port))
+            else:
+                conn_key = ("http", phost, pport, None)
+                path = url  # absolute-form request line through the proxy
         else:
-            conn = conns.get(scheme, host, port)
+            conn_key = (scheme, host, port, None)
+        conn = conns.get(*conn_key)
 
         headers = {"User-Agent": ua, "Accept": "*/*",
                    "Host": parts.netloc, "Connection": "keep-alive"}
@@ -145,8 +161,8 @@ def _fetch_one(url: str, method: str, conns: _HostConnections,
         except (OSError, Exception):
             # stale keep-alive or connect failure: drop and retry once on a
             # fresh connection (normal keep-alive race, not a crawl retry)
-            conns.drop(scheme, host, port)
-            conn = conns.get(scheme, host, port)
+            conns.drop(*conn_key)
+            conn = conns.get(*conn_key)
             conn.request(method, path, headers=headers)
             resp = conn.getresponse()
 
@@ -188,11 +204,17 @@ def make_live_requester(cfg: CheckOptions):
     insecure = getattr(cfg, "insecure", False)
     ua = cfg.user_agent
     extra_headers = dict(cfg.headers or {})
+    stripped_headers = {k: v for k, v in extra_headers.items()
+                        if k.lower() not in SENSITIVE_HEADERS}
     workers = max(1, min(int(cfg.concurrency or 100), 64))
+    # resolve HTTP(S)_PROXY/NO_PROXY on the driver and ship in the closure:
+    # executor worker processes may predate an env change, and the driver's
+    # env is the reference's behavior (proxy-from-env, src/index.ts:37-55)
+    import urllib.request
+
+    proxies = urllib.request.getproxies()
 
     def live_request(df: DataFrame, method: Column) -> DataFrame:
-        import urllib.request
-
         stale = [f.name for f in _ADDED if f.name in df.columns]
         req = df.drop(*stale).withColumn("_req_method", method)
         in_fields = [f for f in req.schema.fields if f.name != "_req_method"]
@@ -204,15 +226,18 @@ def make_live_requester(cfg: CheckOptions):
             from concurrent.futures import ThreadPoolExecutor
 
             conns = _HostConnections(timeout, insecure)
-            proxies = urllib.request.getproxies()
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
+                    strips = (pdf["_strip_sensitive"].tolist()
+                              if "_strip_sensitive" in pdf.columns
+                              else [False] * len(pdf))
                     results = list(pool.map(
-                        lambda t: _fetch_one(t[0], t[1], conns, ua, proxies,
-                                             extra_headers),
-                        zip(pdf["url"], pdf["_req_method"]),
+                        lambda t: _fetch_one(
+                            t[0], t[1], conns, ua, proxies,
+                            stripped_headers if t[2] else extra_headers),
+                        zip(pdf["url"], pdf["_req_method"], strips),
                     ))
                     out = pdf[in_names].copy()
                     cols = list(zip(*results))

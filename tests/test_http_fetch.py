@@ -22,6 +22,7 @@ PAGES = {
           '<a href="/missing">gone</a><a href="/headless">no head</a>'),
     "/a.html": (200, "text/html", "<p>leaf</p>"),
     "/target": (200, "text/html", "<p>landed</p>"),
+    "/landing": (200, "text/html", "<p>landed cross-origin</p>"),
 }
 REDIRECTS = {"/hop1": (301, "/hop2"), "/hop2": (302, "/target")}
 
@@ -31,6 +32,7 @@ class _Handler(BaseHTTPRequestHandler):
     inflight = 0
     max_inflight = 0
     seen_headers: list[dict] = []
+    extra_redirects: dict[str, str] = {}
     lock = threading.Lock()
 
     def log_message(self, *a):
@@ -47,6 +49,13 @@ class _Handler(BaseHTTPRequestHandler):
                 {k.lower(): v for k, v in self.headers.items()})
         try:
             time.sleep(0.05)  # widen the in-flight observation window
+            if self.path in _Handler.extra_redirects:
+                self.send_response(302)
+                self.send_header("Location",
+                                 _Handler.extra_redirects[self.path])
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             if self.path in REDIRECTS:
                 status, loc = REDIRECTS[self.path]
                 self.send_response(status)
@@ -171,6 +180,111 @@ def test_live_custom_headers_sent(spark, server):
     for h in _Handler.seen_headers:
         assert h.get("x-custom") == "abc123"
         assert h.get("user-agent") == "override-ua/1.0"
+
+
+def test_live_cross_origin_redirect_strips_sensitive_headers(spark, server):
+    """authorization/cookie stop riding once a hop crosses origins; other
+    custom headers keep going (stripSensitiveHeaders,
+    reference src/index.ts:1277-1305)."""
+    srv2 = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv2.serve_forever, daemon=True)
+    t.start()
+    base2 = f"http://127.0.0.1:{srv2.server_address[1]}"
+    _Handler.extra_redirects["/xorigin"] = base2 + "/landing"
+    _Handler.seen_headers = []
+    try:
+        cfg = CheckOptions(
+            paths=[server + "/xorigin"], timeout=10_000,
+            headers={"Authorization": "Bearer tok", "Cookie": "c=1",
+                     "X-Keep": "yes"})
+        res = check_live(spark, cfg)
+        assert res.passed
+        host1, host2 = server.split("//")[1], base2.split("//")[1]
+        h1 = [h for h in _Handler.seen_headers if h.get("host") == host1]
+        h2 = [h for h in _Handler.seen_headers if h.get("host") == host2]
+        assert h1 and h2, "both origins must see traffic"
+        for h in h1:  # same-origin: sensitive headers ride
+            assert h.get("authorization") == "Bearer tok"
+            assert h.get("cookie") == "c=1"
+        for h in h2:  # cross-origin hop: stripped, non-sensitive kept
+            assert "authorization" not in h and "cookie" not in h
+            assert h.get("x-keep") == "yes"
+    finally:
+        _Handler.extra_redirects.clear()
+        srv2.shutdown()
+
+
+class _ProxyHandler(BaseHTTPRequestHandler):
+    """Minimal forwarding HTTP proxy: absolute-form request line in,
+    relayed origin response out (reference test/test.proxy.ts pattern)."""
+
+    protocol_version = "HTTP/1.1"
+    seen: list[str] = []
+
+    def log_message(self, *a):
+        pass
+
+    def _relay(self, method):
+        import urllib.request
+
+        _ProxyHandler.seen.append(self.path)  # absolute-form URL
+        req = urllib.request.Request(self.path, method=method)
+        # the relay must NOT honor HTTP_PROXY itself (infinite self-relay)
+        opener = urllib.request.build_opener(
+            urllib.request.ProxyHandler({}))
+        with opener.open(req) as r:
+            body = r.read() if method == "GET" else b""
+            self.send_response(r.status)
+            ct = r.headers.get("Content-Type")
+            if ct:
+                self.send_header("Content-Type", ct)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if body:
+                self.wfile.write(body)
+
+    def do_GET(self):
+        self._relay("GET")
+
+    def do_HEAD(self):
+        self._relay("HEAD")
+
+
+def test_live_proxy_env_is_honored(spark, server):
+    """HTTP_PROXY routes requests through the proxy in absolute form;
+    NO_PROXY exempts hosts (reference src/index.ts:37-78 proxy agents,
+    test/test.proxy.ts)."""
+    import os
+
+    proxy = ThreadingHTTPServer(("127.0.0.1", 0), _ProxyHandler)
+    threading.Thread(target=proxy.serve_forever, daemon=True).start()
+    proxy_url = f"http://127.0.0.1:{proxy.server_address[1]}"
+    _ProxyHandler.seen = []
+    old = {k: os.environ.get(k) for k in ("HTTP_PROXY", "http_proxy",
+                                          "NO_PROXY", "no_proxy")}
+    try:
+        os.environ["HTTP_PROXY"] = proxy_url
+        os.environ.pop("NO_PROXY", None)
+        os.environ.pop("no_proxy", None)
+        cfg = CheckOptions(paths=[server + "/a.html"], timeout=10_000)
+        res = check_live(spark, cfg)
+        assert res.passed
+        assert server + "/a.html" in _ProxyHandler.seen
+
+        # NO_PROXY exempts the host: the proxy must see no new traffic
+        _ProxyHandler.seen = []
+        os.environ["NO_PROXY"] = "127.0.0.1"
+        res = check_live(spark, CheckOptions(paths=[server + "/a.html"],
+                                             timeout=10_000))
+        assert res.passed
+        assert _ProxyHandler.seen == []
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        proxy.shutdown()
 
 
 def test_live_timeout_reads_as_broken(spark):
