@@ -150,20 +150,15 @@ def broken_link_recall(spark, sf_dir: str) -> dict:
     import __spark_entry__ as E
     from pyspark.sql import functions as F
 
-    from linkinator_spark.plans import graphgen as G
-
     small = sf_dir.replace("sf0.1", "sf0.001")
     d = small if os.path.isdir(small) else sf_dir
     t0 = time.time()
     res = E.queries()["crawl_bfs_engine"](spark, d)
     found = {r["url"] for r in
              res.filter(F.col("state") == "BROKEN").collect()}
-    reach = E.queries()["frontier_bfs"](spark, d)
-    expected = {
-        r["url"]
-        for r in reach.filter(G.status_expr(F.col("id")) != 200)
-        .select(G.url_expr(F.col("id")).alias("url")).collect()
-    }
+    reach = E.queries()["frontier_bfs"](spark, d)  # url/wave/status/state
+    expected = {r["url"] for r in
+                reach.filter(F.col("status") != 200).collect()}
     inter = len(found & expected)
     return {
         "recall": round(inter / max(len(expected), 1), 4),

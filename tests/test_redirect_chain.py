@@ -84,6 +84,38 @@ def test_chain_resolver_equals_hop_loop(spark, method):
     assert by[base + "/plain"]["status"] == 200
 
 
+def test_chain_resolver_job_count_independent_of_hop_depth(spark):
+    """The scale property itself: resolving a deep chain costs the same
+    number of Spark jobs as a shallow one (the old iterative loop paid ~2
+    driver jobs per hop; the chain resolver is pure plan nodes)."""
+
+    def jobs_for(depth):
+        s = SiteBuilder()
+        base = f"http://depth{depth}.local"
+        for i in range(depth):
+            s.redirect(base + f"/h{i}", base + f"/h{i + 1}", status=302)
+        s.page(base + f"/h{depth}", html="<p>land</p>")
+        pages, _docs = s.build(spark)
+        pages_dim = prepare_pages_dim(pages)
+        df = spark.createDataFrame([(base + "/h0", 1)],
+                                   "url string, attempt int")
+        bc = spark.sparkContext.broadcast(build_chain_map(pages))
+        sc = spark.sparkContext
+        group = f"chainjobs-{depth}"
+        sc.setJobGroup(group, "count jobs", interruptOnCancel=False)
+        try:
+            out = fetch_once(df, pages_dim, F.lit("GET"),
+                             CheckOptions(paths=[]), None, chain_bc=bc)
+            rows = out.collect()
+        finally:
+            sc.setJobGroup("", "")
+        assert rows[0]["status"] == 200
+        assert rows[0]["final_url"] == base + f"/h{depth}"
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    assert jobs_for(15) == jobs_for(1)
+
+
 def test_resolve_location_python_twin(spark):
     cases = [
         ("http://a.example/dir/page.html", "other.html"),
