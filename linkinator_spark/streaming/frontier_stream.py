@@ -55,6 +55,49 @@ def stream_fetch_metrics(
     )
 
 
+def stream_politeness_gate(
+    candidates: DataFrame, min_delay_ms: int = 1000,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-host FIFO admission with a
+    minimum inter-fetch delay — the streaming twin of the batch host-delay
+    gate (operators/crawler.py host_delays; reference delay semantics
+    src/index.ts:1019-1070). State per host = the last scheduled fetch
+    time; each micro-batch's rows are admitted in event-time order at
+    `max(arrival, last + delay)`. Implemented with
+    `applyInPandasWithState` (Arrow-batched, one state row per host —
+    state size is O(hosts), not O(urls), so 10^7 hosts ≈ hundreds of MB
+    across the cluster's state store, partitioned by the groupBy key)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    delay_s = min_delay_ms / 1000.0
+    out_schema = ("url string, host string, ts timestamp, "
+                  "not_before timestamp")
+
+    def gate(key, pdf_iter, state):
+        last = state.get[0] if state.exists else None
+        frames = [p for p in pdf_iter if len(p)]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(["ts", "url"])
+        sched = []
+        for t in rows["ts"]:
+            t_s = t.timestamp()
+            nxt = t_s if last is None else max(t_s, last + delay_s)
+            sched.append(nxt)
+            last = nxt
+        state.update((float(last),))
+        out = rows[["url", "host", "ts"]].copy()
+        out["not_before"] = pd.to_datetime(
+            pd.Series(sched, index=rows.index), unit="s")
+        yield out
+
+    return candidates.groupBy("host").applyInPandasWithState(
+        gate, out_schema, "last double", "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, mode: str = "append"):
     """Drain everything currently available into an in-memory table and stop
     — bounded execution of the unbounded plan (used by tests/benches)."""

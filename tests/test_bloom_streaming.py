@@ -92,3 +92,62 @@ def test_stream_fetch_metrics(spark):
                for r in spark.sql("select * from stream_out").collect()}
         assert out["a.test"] == (2, 1)
         assert out["b.test"] == (1, 1)
+
+
+def test_stream_politeness_gate_stateful(spark):
+    from linkinator_spark.streaming.frontier_stream import (
+        stream_politeness_gate,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        schema = "url string, host string, ts_s string"
+        rows = [
+            ("http://a.test/1", "a.test", "2024-01-01 00:00:00"),
+            ("http://a.test/2", "a.test", "2024-01-01 00:00:00"),
+            ("http://a.test/3", "a.test", "2024-01-01 00:00:00"),
+            ("http://b.test/1", "b.test", "2024-01-01 00:00:00"),
+            ("http://b.test/2", "b.test", "2024-01-01 00:00:00"),
+        ]
+        spark.createDataFrame(rows, schema).select(
+            "url", "host", F.to_timestamp("ts_s").alias("ts")
+        ).write.parquet(f"{d}/in")
+
+        def drain():
+            # parquet sink (not memory): the stateful query must RESUME
+            # from the checkpoint on the second drain, which the
+            # non-fault-tolerant memory sink rejects
+            cand = spark.readStream.schema(
+                "url string, host string, ts timestamp").parquet(f"{d}/in")
+            q = (stream_politeness_gate(cand, min_delay_ms=1000)
+                 .writeStream.format("parquet")
+                 .option("path", f"{d}/out")
+                 .option("checkpointLocation", f"{d}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            return spark.read.parquet(f"{d}/out").collect()
+
+        out = drain()
+        assert len(out) == 5
+        by_host = {}
+        for r in sorted(out, key=lambda r: (r["host"], r["not_before"])):
+            by_host.setdefault(r["host"], []).append(r)
+        for host, rs in by_host.items():
+            # FIFO by (ts, url) and >= 1s spacing within a host
+            assert [r["url"] for r in rs] == sorted(r["url"] for r in rs)
+            gaps = [(b["not_before"] - a["not_before"]).total_seconds()
+                    for a, b in zip(rs, rs[1:])]
+            assert all(g >= 0.999 for g in gaps), gaps
+        # hosts are independent: both start at their arrival time
+        assert by_host["a.test"][0]["not_before"].second == 0
+        assert by_host["b.test"][0]["not_before"].second == 0
+
+        # state survives across drains: a later arrival on a.test must be
+        # pushed past the last scheduled slot (00:00:02 + 1s)
+        spark.createDataFrame(
+            [("http://a.test/4", "a.test", "2024-01-01 00:00:00.5")], schema
+        ).select("url", "host", F.to_timestamp("ts_s").alias("ts")
+                 ).write.mode("append").parquet(f"{d}/in")
+        out2 = drain()
+        new = [r for r in out2 if r["url"] == "http://a.test/4"]
+        assert len(new) == 1
+        assert new[0]["not_before"].second == 3  # 00:00:02 last + 1s
