@@ -594,7 +594,8 @@ class LinkChecker:
         cur = fetch_once(ready, pages_dim, method, cfg, skip_match,
                          ctx.get("host_defaults"),
                          requester=ctx.get("requester"),
-                         chain_bc=ctx.get("chain_bc")).persist()
+                         chain_bc=ctx.get("chain_bc"),
+                         cache_into=wave_cached).persist()
         wave_cached.append(cur)
 
         c405 = (F.col("status") == 405) & F.col("redirect_skipped").isNull()
@@ -637,7 +638,7 @@ class LinkChecker:
                 .drop(*FETCH_COLS),
                 pages_dim, F.lit("GET"), cfg, skip_match,
                 ctx.get("host_defaults"), requester=ctx.get("requester"),
-                chain_bc=ctx.get("chain_bc"),
+                chain_bc=ctx.get("chain_bc"), cache_into=wave_cached,
             )
             return re.withColumn(
                 "fetch_failures",

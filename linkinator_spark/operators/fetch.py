@@ -431,13 +431,18 @@ def fetch_once(
     host_defaults: DataFrame | None = None,
     requester=None,
     chain_bc=None,
+    cache_into: list | None = None,
 ) -> DataFrame:
     """request + (conditionally) redirect following.
 
     redirects='error' -> manual mode: the first 3xx is returned as-is
     (index.ts:351-352). Otherwise follow with the 20-hop cap. Pass
     `requester` (e.g. http_fetch.make_live_requester) to fetch over the
-    network instead of the scripted tables.
+    network instead of the scripted tables. `cache_into`: a list the caller
+    drains/unpersists per wave; when given, the chain path persists the
+    first-hop fetch so its 3 plan branches (non-redirect bypass, settled
+    chains, landing refetch) scan the cache instead of re-running the
+    fetch join 3x.
     """
     if requester is None:
         def requester(d, m):
@@ -459,6 +464,9 @@ def fetch_once(
             .drop("_orig_url")
         )
     if chain_bc is not None:
+        if cache_into is not None:
+            first = first.persist()
+            cache_into.append(first)
         followed = follow_redirects_chain(first, requester, chain_bc,
                                           getattr(cfg, "links_to_skip", None))
     else:
