@@ -102,7 +102,10 @@ def _parse_headers(values: list[str] | None) -> dict | None:
     out: dict[str, str] = {}
     for item in values:
         name, colon, value = item.partition(":")
-        if not colon:
+        # empty name or empty value are rejected like the reference
+        # (test/test.cli.ts header validation); a colon IN the value is
+        # fine — only the first one splits
+        if not colon or not name.strip() or not value.strip():
             raise SystemExit(
                 f'Invalid header format: "{item}". '
                 'Use "Header-Name:value" format.')
@@ -176,6 +179,7 @@ def main(argv: list[str] | None = None) -> int:
         if k in CheckOptions.__dataclass_fields__
     })
 
+    verbosity = resolve_verbosity(args)  # flag conflicts fail before work
     spark = get_spark(app_name="linkinator-spark-cli", master=args.master)
 
     t0 = time.time()
@@ -184,14 +188,18 @@ def main(argv: list[str] | None = None) -> int:
         documents = spark.read.parquet(args.documents)
         result = LinkChecker(spark).check(cfg, pages, documents,
                                           resume=args.resume)
+    elif all(p.startswith("http") for p in args.paths):
+        # URL seeds without scripted tables: live-HTTP crawl
+        # (reference `linkinator https://...`)
+        from linkinator_spark.operators.crawler import check_live
+
+        result = check_live(spark, cfg, resume=args.resume)
     else:
         # local-path mode: model the static server from the directory tree
         from linkinator_spark.operators.crawler import check_local
 
         result = check_local(spark, cfg, resume=args.resume)
     elapsed = time.time() - t0
-
-    verbosity = resolve_verbosity(args)
     if args.format == "csv":
         sinks.write_csv(result.results, args.output, verbosity)
     elif args.format == "json":

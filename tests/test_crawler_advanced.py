@@ -38,6 +38,29 @@ def test_retry_429_with_retry_after(spark):
     assert res.clock >= 3.0
 
 
+def test_retry_applies_to_redirect_landing_response(spark):
+    """A 429 reached THROUGH a redirect chain is retried like a direct 429
+    (reference test.redirects.ts 'applies retry handling to the final
+    redirect response'): the retry refetch re-follows the chain at the
+    bumped attempt and lands on the 200."""
+    site = SiteBuilder()
+    site.page("http://fake.local/",
+              html='<a href="http://busy.example/hop">x</a>')
+    site.redirect("http://busy.example/hop", "http://busy.example/x")
+    site.script("http://busy.example/x", "HEAD", 1, 429,
+                headers={"retry-after": "2"})
+    site.script("http://busy.example/x", "GET", 1, 429,
+                headers={"retry-after": "2"})
+    site.script("http://busy.example/x", "HEAD", 2, 200)
+    site.script("http://busy.example/x", "GET", 2, 200, html="<p>ok</p>")
+    res = run(spark, CheckOptions(paths=["http://fake.local/"], retry=True),
+              site)
+    assert res.passed
+    assert states(res)["http://busy.example/hop"] == ("OK", 200)
+    assert res.events.filter("kind='retry'").count() >= 1
+    assert res.clock >= 2.0
+
+
 def test_retry_429_duration_formats(spark):
     # src/index.ts:993-1009: '30s' / '1m30s' formats
     site = SiteBuilder()

@@ -84,6 +84,31 @@ def test_chain_resolver_equals_hop_loop(spark, method):
     assert by[base + "/plain"]["status"] == 200
 
 
+@pytest.mark.parametrize("status", [300, 304])
+def test_non_redirect_3xx_with_location_not_followed(spark, status):
+    """Only 301/302/303/307/308 follow; a 300/304 carrying a Location
+    header is returned as-is in allow mode (reference
+    isFetchRedirectStatus, src/index.ts:1288-1290; test.redirects.ts
+    'does not follow non-redirect 3xx statuses')."""
+    s = SiteBuilder()
+    base = "http://nf.local"
+    s.script(base + "/odd", "GET", 1, status,
+             headers={"location": base + "/elsewhere"})
+    s.page(base + "/elsewhere", html="<p>should not be fetched</p>")
+    pages, _docs = s.build(spark)
+    pages_dim = prepare_pages_dim(pages)
+    df = spark.createDataFrame([(base + "/odd", 1)],
+                               "url string, attempt int")
+    bc = spark.sparkContext.broadcast(build_chain_map(pages))
+    for kw in ({}, {"chain_bc": bc}):  # iterative loop and chain resolver
+        out = fetch_once(df, pages_dim, F.lit("GET"),
+                         CheckOptions(paths=[]), None, **kw).collect()
+        assert len(out) == 1
+        assert out[0]["status"] == status
+        assert out[0]["final_url"] is None
+        assert out[0]["redirect_skipped"] is None
+
+
 def test_chain_resolver_job_count_independent_of_hop_depth(spark):
     """The scale property itself: resolving a deep chain costs the same
     number of Spark jobs as a shallow one (the old iterative loop paid ~2

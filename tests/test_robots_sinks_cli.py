@@ -193,9 +193,15 @@ def test_cli_headers_silent_port_markdown():
     assert cfg["insecure"] is True
     assert resolve_verbosity(args) == "ERROR"
 
-    bad = build_parser().parse_args(["http://seed/", "--header", "NoColon"])
-    with pytest.raises(SystemExit):
-        merge_config(bad)
+    # colon in the value is fine; empty name/value are rejected
+    ok = build_parser().parse_args(
+        ["http://seed/", "--header", "Auth: Bearer a:b:c"])
+    assert merge_config(ok)["headers"] == {"Auth": "Bearer a:b:c"}
+    for bad_hdr in ("NoColon", ": v", "Name:", "Name:   "):
+        bad = build_parser().parse_args(
+            ["http://seed/", "--header", bad_hdr])
+        with pytest.raises(SystemExit):
+            merge_config(bad)
     both = build_parser().parse_args(
         ["http://seed/", "--silent", "--verbosity", "INFO"])
     with pytest.raises(SystemExit):
