@@ -141,6 +141,28 @@ def test_broken_local_link_is_404(spark, site_dir):
     assert missing == [(404, "BROKEN")]
 
 
+def test_path_escape_does_not_leave_server_root(spark, site_dir):
+    """Links that traverse above the server root must not reach real files
+    or leak filesystem details — they 404 like any unknown path (reference
+    test.server.ts 'should protect against path escape attacks' /
+    'should not leak filesystem details in 404 responses')."""
+    d = site_dir / "escape"
+    d.mkdir()
+    # a real file OUTSIDE the served root that a traversal would reach
+    (site_dir / "secret.txt").write_text("top secret")
+    (d / "index.html").write_text(
+        '<a href="../secret.txt">up</a>'
+        '<a href="..%2Fsecret.txt">enc</a>')
+    res = check_local(spark, CheckOptions(paths=["escape"], recurse=True))
+    assert not res.passed
+    rows = res.results.select("url", "status", "state").collect()
+    escaped = [r for r in rows if "secret" in r["url"]]
+    assert escaped and all(
+        r["state"] == "BROKEN" and r["status"] in (0, 404) for r in escaped)
+    # nothing served leaks the file's content or absolute path
+    assert all("top secret" not in (r["url"] or "") for r in rows)
+
+
 def test_directory_listing_crawl(spark, site_dir):
     # directoryListing=true serves <li><a> readdir listings
     # (src/server.ts:172-184); nested dirs 301 to their slash form
