@@ -361,6 +361,29 @@ def test_fragment_valid_and_invalid(spark):
     ]
 
 
+def test_fragment_encoding_and_case_sensitivity(spark):
+    """Percent-encoded fragments match their decoded id; matching is
+    case-sensitive (reference test.fragments.ts 'should handle URL-encoded
+    fragments' / 'case-sensitive fragment matching')."""
+    site = SiteBuilder()
+    site.page(
+        "http://fake.local/",
+        html='<a href="p.html#sec%20one">enc</a>'
+             '<a href="p.html#Sec">wrongcase</a>',
+    )
+    site.page("http://fake.local/p.html",
+              html='<div id="sec one">x</div><div id="sec">y</div>')
+    res = run(
+        spark,
+        CheckOptions(paths=["http://fake.local/"], check_fragments=True,
+                     recurse=True),
+        site,
+    )
+    assert not res.passed
+    broken = res.results.filter("state='BROKEN'").collect()
+    assert [r["url"] for r in broken] == ["http://fake.local/p.html#Sec"]
+
+
 def test_same_page_fragment(spark):
     # test/test.fragments.ts same-page: <a href="#sec"> validated against
     # the page itself (src/index.ts:878-920)
