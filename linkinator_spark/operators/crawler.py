@@ -178,9 +178,14 @@ class LinkChecker:
             ),
             "requester": requester if live else None,
             # table mode: redirect chains resolve against this broadcast map
-            # in ONE batch per wave (no per-hop driver barriers)
-            "chain_bc": None if live else spark.sparkContext.broadcast(
-                build_chain_map(pages)),
+            # in ONE batch per wave (no per-hop driver barriers). The map is
+            # a driver-side collect of the scripted table — fine for test
+            # graphs, a driver OOM for a planet-scale one, so it's gated on
+            # chain_map_max_rows and falls back to the iterative hop loop
+            "chain_bc": None if live or (
+                pages.limit(cfg.chain_map_max_rows + 1).count()
+                > cfg.chain_map_max_rows
+            ) else spark.sparkContext.broadcast(build_chain_map(pages)),
             "skip_match": make_skip_match(cfg.links_to_skip),
             "frag_skip_match": make_fragment_skip_match(cfg.fragments_to_skip),
             "candidates_udf": make_candidate_links_udf(cfg.check_css, cfg.markdown),

@@ -141,6 +141,32 @@ def test_chain_resolver_job_count_independent_of_hop_depth(spark):
     assert jobs_for(15) == jobs_for(1)
 
 
+def test_chain_map_gate_falls_back_to_hop_loop(spark):
+    """chain_map_max_rows=0 disables the driver-side chain map (the
+    planet-scale guard); the engine silently uses the iterative hop loop
+    and produces identical results."""
+    from linkinator_spark.operators.crawler import LinkChecker
+
+    s = SiteBuilder()
+    base = "http://gate.local"
+    s.page(base + "/", html='<a href="/hop">h</a>')
+    s.redirect(base + "/hop", base + "/land")
+    s.page(base + "/land", html="<p>ok</p>")
+    pages, docs = s.build(spark)
+
+    def rows(cfg):
+        res = LinkChecker(spark).check(cfg, pages, docs)
+        return sorted(
+            (r["url"], r["status"], r["state"])
+            for r in res.results.select("url", "status", "state").collect())
+
+    with_map = rows(CheckOptions(paths=[base + "/"], recurse=True))
+    without = rows(CheckOptions(paths=[base + "/"], recurse=True,
+                                chain_map_max_rows=0))
+    assert with_map == without
+    assert any(u.endswith("/hop") and st == 200 for u, st, _ in without)
+
+
 def test_resolve_location_python_twin(spark):
     cases = [
         ("http://a.example/dir/page.html", "other.html"),
