@@ -170,12 +170,17 @@ class LinkChecker:
 
             requester = make_live_requester(cfg)
         ctx = {
-            "pages_dim": None if live else prepare_pages_dim(pages),
+            # both dims are re-broadcast by every wave's plan; the eager
+            # checkpoint makes each broadcast job a cached-partition scan
+            # instead of a recompute from source — matters when the scripted
+            # table is a real parquet scan, not a 3-row fixture
+            "pages_dim": None if live else
+            prepare_pages_dim(pages).localCheckpoint(eager=True),
             # live mode: page bodies arrive as _live_spans on the fetch rows
             # and each wave derives its own docs dim (_run_wave)
             "docs": None if live else documents.select(
                 F.col("doc_id").alias("body_doc_id"), F.col("spans")
-            ),
+            ).localCheckpoint(eager=True),
             "requester": requester if live else None,
             # table mode: redirect chains resolve against this broadcast map
             # in ONE batch per wave (no per-hop driver barriers). The map is
