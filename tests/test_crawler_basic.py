@@ -76,6 +76,24 @@ def test_recurse(spark):
     }
 
 
+def test_non_html_content_not_recursed(spark):
+    """A text/plain response whose body LOOKS like HTML must not have its
+    links extracted — recursion gates on the content-type sniff (reference
+    test.index.ts 'should not recurse non-html files', src/index.ts isHtml)."""
+    site = SiteBuilder()
+    site.page("http://fake.local/", html='<a href="/notes.txt">t</a>')
+    site.page("http://fake.local/notes.txt", content_type="text/plain",
+              spans=[{"kind": "text",
+                      "text": '<a href="/never-visited.html">trap</a>',
+                      "media_ref": "", "offset": 0}])
+    res = run(spark, CheckOptions(paths=["http://fake.local/"], recurse=True),
+              site)
+    assert res.passed
+    urls = {r["url"] for r in res.results.select("url").collect()}
+    assert "http://fake.local/notes.txt" in urls
+    assert not any("never-visited" in u for u in urls)
+
+
 def test_no_recurse(spark):
     # test/test.index.ts:392-395: without recurse only seed + its links
     res = run(spark, CheckOptions(paths=["http://fake.local/"]), recurse_site())
