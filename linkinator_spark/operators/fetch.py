@@ -79,7 +79,8 @@ def resolve_location(base: Column, loc: Column) -> Column:
 
 
 def request(df: DataFrame, pages_dim: DataFrame, method: Column,
-            host_defaults: DataFrame | None = None) -> DataFrame:
+            host_defaults: DataFrame | None = None,
+            static_prefix: str | None = None) -> DataFrame:
     """One simulated HTTP request for every row of `df`.
 
     `df` must carry unique `url` values (the URL-seen invariant) and an
@@ -87,9 +88,20 @@ def request(df: DataFrame, pages_dim: DataFrame, method: Column,
     fixture web, always small; the live-mode replacement is an HTTP UDF.
     """
     req = df.withColumn("_req_method", method)
+    if static_prefix:
+        # the modeled static server resolves files from the PATH only —
+        # query strings are ignored (reference src/server.ts:77-88 parses
+        # url.pathname), and a directory redirect preserves the query in
+        # its Location (src/server.ts:100-116, issue #595)
+        is_static = req["url"].startswith(static_prefix)
+        lookup = F.when(
+            is_static, F.regexp_replace(req["url"], r"\?[^#]*$", "")
+        ).otherwise(req["url"])
+    else:
+        lookup = req["url"]
     joined = req.join(
         F.broadcast(pages_dim),
-        (req["url"] == pages_dim["p_url"]) & (req["_req_method"] == pages_dim["p_method"]),
+        (lookup == pages_dim["p_url"]) & (req["_req_method"] == pages_dim["p_method"]),
         "left",
     )
     # best scripted attempt: highest attempt <= our counter, else the lowest
@@ -122,6 +134,17 @@ def request(df: DataFrame, pages_dim: DataFrame, method: Column,
                 .otherwise(F.col("d_content_type")),
             )
             .drop("d_status", "d_content_type")
+        )
+    if static_prefix:
+        # dir-slash 301s preserve the request's query in their Location
+        q = F.regexp_extract(F.col("url"), r"(\?[^#]*)$", 1)
+        picked = picked.withColumn(
+            "p_location",
+            F.when(
+                F.col("p_location").isNotNull() & (q != F.lit(""))
+                & F.col("url").startswith(static_prefix),
+                F.concat(F.col("p_location"), q),
+            ).otherwise(F.col("p_location")),
         )
     return (
         picked.withColumn("has_response", F.col("p_status").isNotNull())
@@ -198,6 +221,7 @@ def follow_redirects_chain(
     requester,
     chain_bc,          # broadcast of build_chain_map(pages)
     skip_rules,        # cfg.links_to_skip (regex list / callable / None)
+    static_prefix: str | None = None,  # static-host chain lookups drop ?query
 ) -> DataFrame:
     """Barrier-free redirect follow for scripted tables: resolve each row's
     ENTIRE hop chain (cap 20, per-hop skip, 303→GET) inside one Arrow batch
@@ -266,7 +290,11 @@ def follow_redirects_chain(
                     if status == 303:
                         method = "GET"
                     hops += 1
-                    beh = cmap.get((nxt, method))
+                    key_url = nxt
+                    if (static_prefix and nxt.startswith(static_prefix)
+                            and "?" in nxt):
+                        key_url = nxt.split("?", 1)[0]
+                    beh = cmap.get((key_url, method))
                     picked = _pick_attempt(beh, attempt) if beh else None
                     if (picked is None or picked[1] not in REDIRECT_STATUSES
                             or picked[2] is None):
@@ -444,9 +472,11 @@ def fetch_once(
     chains, landing refetch) scan the cache instead of re-running the
     fetch join 3x.
     """
+    static = (cfg.static_http_server_host or "").rstrip("/") or None
     if requester is None:
         def requester(d, m):
-            return request(d, pages_dim, m, host_defaults)
+            return request(d, pages_dim, m, host_defaults,
+                           static_prefix=static)
 
     tagged = df.withColumn("_orig_url", F.col("url"))
     first = requester(tagged, method)
@@ -468,7 +498,8 @@ def fetch_once(
             first = first.persist()
             cache_into.append(first)
         followed = follow_redirects_chain(first, requester, chain_bc,
-                                          getattr(cfg, "links_to_skip", None))
+                                          getattr(cfg, "links_to_skip", None),
+                                          static_prefix=static)
     else:
         followed = follow_redirects(first, requester, skip_match)
     return followed.withColumn(

@@ -141,6 +141,28 @@ def test_broken_local_link_is_404(spark, site_dir):
     assert missing == [(404, "BROKEN")]
 
 
+def test_query_strings_ignored_by_static_server(spark, site_dir):
+    """Query strings never affect file resolution, and a directory
+    redirect preserves them in its Location (reference server tests
+    'should ignore query strings' / 'should handle query strings when
+    path requires redirect to directory', src/server.ts:77-116)."""
+    d = site_dir / "qs"
+    (d / "sub").mkdir(parents=True)
+    (d / "index.html").write_text(
+        '<a href="page.html?foo=1&bar=2">q</a><a href="sub?x=1">d</a>')
+    (d / "page.html").write_text("<p>ok</p>")
+    (d / "sub" / "index.html").write_text("<p>sub index</p>")
+    res = check_local(spark, CheckOptions(paths=["qs"], recurse=True))
+    rows = {r["url"]: (r["status"], r["state"])
+            for r in res.results.select("url", "status", "state").collect()}
+    assert res.passed, rows
+    q = [v for u, v in rows.items() if "page.html" in u]
+    assert q == [(200, "OK")]
+    dirq = [v for u, v in rows.items() if u.rstrip("/").endswith("sub")
+            or "sub?x=1" in u]
+    assert dirq and all(v == (200, "OK") for v in dirq)
+
+
 def test_path_escape_does_not_leave_server_root(spark, site_dir):
     """Links that traverse above the server root must not reach real files
     or leak filesystem details — they 404 like any unknown path (reference
