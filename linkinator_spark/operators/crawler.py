@@ -395,15 +395,15 @@ class LinkChecker:
                     "host_delays": host_delays,
                     "events": self._union(events_parts, EVENT_SCHEMA),
                 }
-                metrics = {
-                    "wave": wave,
-                    "clock": clock,
-                    "fetched_hosts": {
-                        r["host"]: r["n"]
-                        for r in wave_results.groupBy("host")
-                        .agg(F.count("*").alias("n")).collect()
-                    },
-                }
+                # per-host fetch metrics travel as a parquet table through
+                # the same atomic commit — never a host-cardinality driver
+                # dict (at 10^6+ distinct hosts that collect would be a
+                # multi-MB manifest entry plus an extra driver job per
+                # wave). Totals land in manifest["lineage"]["host_metrics"]
+                # via the per-part footer pass, so the manifest stays O(1).
+                full["host_metrics"] = wave_results.groupBy("host").agg(
+                    F.count("*").alias("n_fetched"))
+                metrics = {"wave": wave, "clock": clock}
                 state = store.commit(wave, clock, full, metrics)
                 frontier = state["frontier"]
                 seen_parts = [state["seen"]]

@@ -4,6 +4,9 @@ per-partition lineage + metrics (north_rule requirement)."""
 import json
 import os
 
+from linkinator_spark.config import CheckOptions
+from linkinator_spark.operators.crawler import LinkChecker
+from linkinator_spark.sources.fixtures import SiteBuilder
 from linkinator_spark.sources.tableio import MANIFEST, WaveStore
 
 
@@ -35,3 +38,52 @@ def test_commit_writes_lineage_and_metrics(spark, tmp_path):
     m1, tables = store.load(spark, 1)
     assert m1["lineage"]["frontier"]["rows"] == 10
     assert tables["frontier"].count() == 10
+
+
+def test_checkpoint_commit_no_driver_host_collect(spark, tmp_path, monkeypatch):
+    """Per-wave metrics must travel as a parquet state table, never a
+    host-cardinality driver collect: at 10^6+ distinct hosts that dict
+    would be a multi-MB manifest entry per wave. Guard: during every
+    WaveStore.commit of a checkpointed crawl, DataFrame.collect/toPandas
+    are poisoned and the manifest metrics must stay O(1) scalars."""
+    from pyspark.sql import DataFrame
+
+    from linkinator_spark.sources import tableio
+
+    real_commit = tableio.WaveStore.commit
+
+    def _boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver-side row materialization during commit")
+
+    def guarded(self, wave, clock, dfs, metrics=None):
+        assert set(metrics or {}) <= {"wave", "clock"}, (
+            "manifest metrics must be bounded scalars; data-shaped metrics "
+            "belong in a committed table")
+        with monkeypatch.context() as m:
+            m.setattr(DataFrame, "collect", _boom)
+            m.setattr(DataFrame, "toPandas", _boom)
+            return real_commit(self, wave, clock, dfs, metrics)
+
+    monkeypatch.setattr(tableio.WaveStore, "commit", guarded)
+
+    site = SiteBuilder()
+    site.page("http://a.local/", html=(
+        '<a href="http://a.local/x">x</a><a href="http://b.local/y">y</a>'))
+    site.page("http://a.local/x", html='<a href="http://b.local/z">z</a>')
+    site.page("http://b.local/y", html="<p>ok</p>")
+    site.page("http://b.local/z", html="<p>ok</p>")
+    pages, docs = site.build(spark)
+    ckpt = str(tmp_path / "ckpt")
+    cfg = CheckOptions(paths=["http://a.local/"], recurse=True,
+                       checkpoint_dir=ckpt)
+    res = LinkChecker(spark).check(cfg, pages, docs)
+    assert res.results.count() >= 4
+
+    # per-host counts landed as a state table, accounted in lineage
+    store = WaveStore(ckpt)
+    manifest, tables = store.load(spark, store.latest_wave())
+    assert "host_metrics" in manifest["tables"]
+    assert manifest["lineage"]["host_metrics"]["rows"] >= 0
+    counts = {r["host"]: r["n_fetched"]
+              for r in tables["host_metrics"].collect()}
+    assert all(n > 0 for n in counts.values())
