@@ -103,9 +103,11 @@ class CheckOptions:
     # Bloom path on, e.g. in tests)
     bloom_min_frontier: int = 200_000
     salt_hot_host_threshold: int = 50_000  # frontier rows per host before salting
-    # scripted-pages rows above which the redirect chain map (a driver-side
-    # collect, test-mode convenience) is skipped for the iterative hop loop
-    chain_map_max_rows: int = 2_000_000
+    # scripted-pages rows above which the redirect chain map (built
+    # executor-side, but broadcast as one driver dict; test-mode
+    # convenience) is skipped for the iterative hop loop. 200k entries is
+    # ~tens of MB of Python objects — a safe broadcast
+    chain_map_max_rows: int = 200_000
     checkpoint_dir: str | None = None    # wave-state checkpoints (resume)
     seed: int = 42                       # deterministic jitter seed
 

@@ -184,8 +184,9 @@ class LinkChecker:
             "requester": requester if live else None,
             # table mode: redirect chains resolve against this broadcast map
             # in ONE batch per wave (no per-hop driver barriers). The map is
-            # a driver-side collect of the scripted table — fine for test
-            # graphs, a driver OOM for a planet-scale one, so it's gated on
+            # built executor-side (treeAggregate of per-partition dict
+            # fragments — no driver row materialization), but the merged
+            # dict still lives on the driver to broadcast, so it's gated on
             # chain_map_max_rows and falls back to the iterative hop loop
             "chain_bc": None if live or (
                 pages.limit(cfg.chain_map_max_rows + 1).count()

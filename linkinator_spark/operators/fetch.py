@@ -167,17 +167,28 @@ def build_chain_map(pages: DataFrame):
     lookup dim. Non-redirect rows act as chain terminators so the resolver
     picks exactly the row `request()` would (same best-attempt rule).
 
-    Test-mode only: the scripted table already broadcasts per wave, so this
-    is strictly smaller state; the live-HTTP mode keeps the iterative hop
-    loop (network hops can't be table-resolved)."""
-    rows = pages.select(
+    Built executor-side: each partition folds its rows into a dict fragment
+    and ``treeAggregate`` (depth 2) merges fragments on executors, so the
+    driver never materializes pages rows — it receives a handful of
+    pre-merged dicts (same shape as the Bloom build). Test-mode only: the
+    scripted table already broadcasts per wave, so this is strictly smaller
+    state; the live-HTTP mode keeps the iterative hop loop (network hops
+    can't be table-resolved)."""
+    src = pages.select(
         "url", "method", "attempt", "status",
         F.element_at("headers", "location").alias("location"),
-    ).collect()
-    cmap: dict = {}
-    for r in rows:
-        cmap.setdefault((r["url"], r["method"]), []).append(
-            (r["attempt"], r["status"], r["location"]))
+    )
+
+    def _fold(acc: dict, row) -> dict:
+        if isinstance(row, dict):  # combOp: merge a fragment
+            for k, v in row.items():
+                acc.setdefault(k, []).extend(v)
+        else:  # seqOp: fold one Row
+            acc.setdefault((row["url"], row["method"]), []).append(
+                (row["attempt"], row["status"], row["location"]))
+        return acc
+
+    cmap = src.rdd.treeAggregate({}, _fold, _fold, depth=2)
     for v in cmap.values():
         v.sort()
     return cmap

@@ -167,6 +167,35 @@ def test_chain_map_gate_falls_back_to_hop_loop(spark):
     assert any(u.endswith("/hop") and st == 200 for u, st, _ in without)
 
 
+def test_chain_map_builds_without_driver_rows(spark, monkeypatch):
+    """The chain map must be assembled executor-side (treeAggregate of dict
+    fragments): driver-side row materialization of the pages table is
+    poisoned during the build, and the result must equal a naive
+    driver-side fold."""
+    from pyspark.sql import DataFrame
+
+    site, base = _site()
+    pages, _docs = site.build(spark)
+
+    def _boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("driver-side row materialization in build_chain_map")
+
+    with monkeypatch.context() as m:
+        m.setattr(DataFrame, "collect", _boom)
+        m.setattr(DataFrame, "toPandas", _boom)
+        cmap = build_chain_map(pages)
+
+    naive: dict = {}
+    for r in pages.select(
+            "url", "method", "attempt", "status",
+            F.element_at("headers", "location").alias("location")).collect():
+        naive.setdefault((r["url"], r["method"]), []).append(
+            (r["attempt"], r["status"], r["location"]))
+    for v in naive.values():
+        v.sort()
+    assert cmap == naive
+
+
 def test_resolve_location_python_twin(spark):
     cases = [
         ("http://a.example/dir/page.html", "other.html"),
