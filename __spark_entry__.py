@@ -115,13 +115,79 @@ def q_crawl_bfs_engine(spark, sf_dir):
     )
 
 
+_BFS_FUSE_MAX_EDGES = 5_000_000  # ~80 MB of int64 arrays in one task
+
+
+def _bfs_fused(edges: DataFrame, max_wave: int) -> DataFrame:
+    """Every BFS wave in ONE executor-side task: when the (expandable) edge
+    list fits a single Arrow batch, the level loop is vectorized numpy over
+    int arrays — zero per-level shuffles and zero driver barriers. This is
+    the AQE-style small-input strategy; the iterative DataFrame path in
+    `q_frontier_bfs` is the 10^10-scale shape. Result-identical (both are
+    level-synchronous first-discovery BFS; tests assert equality)."""
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(np.int64))
+            dsts.append(pdf["dst"].to_numpy(np.int64))
+        src, dst = np.concatenate(srcs), np.concatenate(dsts)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        n = int(max(src.max(initial=0), dst.max(initial=0))) + 1
+        starts = np.searchsorted(src, np.arange(n + 1))
+        seen = np.zeros(n, dtype=bool)
+        seen[0] = True
+        frontier = np.array([0], dtype=np.int64)
+        ids, waves = [frontier], [np.zeros(1, np.int64)]
+        wave = 0
+        while len(frontier) and wave < max_wave:
+            cnt = starts[frontier + 1] - starts[frontier]
+            total = int(cnt.sum())
+            if not total:
+                break
+            # vectorized adjacency gather: for each frontier node u, the
+            # rows dst[starts[u] : starts[u]+cnt[u]]
+            idx = (np.repeat(starts[frontier], cnt)
+                   + np.arange(total)
+                   - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            nbrs = dst[idx]
+            new = np.unique(nbrs[~seen[nbrs]])
+            if not len(new):
+                break
+            seen[new] = True
+            wave += 1
+            ids.append(new)
+            waves.append(np.full(len(new), wave, np.int64))
+            frontier = new
+        yield pd.DataFrame({"id": np.concatenate(ids),
+                            "wave": np.concatenate(waves).astype(np.int32)})
+
+    # repartition(1): the fn must see the whole edge list in one task (and
+    # emit the seed exactly once)
+    return edges.repartition(1).mapInPandas(fn, "id long, wave int")
+
+
 def q_frontier_bfs(spark, sf_dir):
     """The wave join in isolation: iterative anti-join BFS over the derived
-    edge list (no fetch simulation) — the shape that runs at 10^10 scale."""
+    edge list (no fetch simulation) — the shape that runs at 10^10 scale.
+    Small inputs (edge list fits one task) take the fused single-job path."""
     docs = _t(spark, sf_dir, "documents")
     edges = G.edges_df(docs)
     ok_src = G.status_expr(F.col("src")) == 200
     edges = edges.filter(ok_src).localCheckpoint(eager=True)
+
+    if edges.count() <= _BFS_FUSE_MAX_EDGES:
+        reach = _bfs_fused(edges, max_wave=64)
+        return reach.select(
+            G.url_expr(F.col("id")).alias("url"),
+            "wave",
+            G.status_expr(F.col("id")).alias("status"),
+            F.when(G.status_expr(F.col("id")) == 200, "OK")
+            .otherwise("BROKEN").alias("state"),
+        )
 
     frontier = spark.createDataFrame([(0, 0)], "id long, wave int")
     seen = frontier.select("id")

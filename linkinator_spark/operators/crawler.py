@@ -61,7 +61,8 @@ from linkinator_spark.functions.extract import (
 from linkinator_spark.functions.urls import parse_link, url_host, url_host_py
 from linkinator_spark.operators.classify import classify
 from linkinator_spark.operators.fetch import (
-    FETCH_COLS, build_chain_map, fetch_once, prepare_pages_dim, with_body_flag,
+    FETCH_COLS, build_chain_map, fetch_once, fetch_wave_fused,
+    prepare_pages_dim, with_body_flag,
 )
 from linkinator_spark.operators.bloom import (
     BloomFilter, bloom_prefilter, broadcast_bloom, build_bloom,
@@ -328,9 +329,23 @@ class LinkChecker:
             wave_parts: list[DataFrame] = []
 
             def _part(df):
+                # localCheckpoint: ONLY for state that chains wave-over-wave
+                # (frontier, seen feed, pending, delays) — each lazy
+                # checkpoint call pays a full physical-planning pass
+                # driver-side (~0.5 s at fixture scale), so it's reserved
+                # for where lineage must be cut
                 out = (df.coalesce(1) if small_wave else df).localCheckpoint(
                     eager=False
                 )
+                wave_parts.append(out)
+                return out
+
+            def _leaf(df):
+                # per-wave output parts (results/events/rel/dups) are only
+                # ever UNIONED in parallel, never chained — persist() is
+                # O(1) driver-side and the wave's touch job materializes the
+                # cache; their lineage roots at this wave's cached frames
+                out = (df.coalesce(1) if small_wave else df).persist()
                 wave_parts.append(out)
                 return out
 
@@ -341,12 +356,15 @@ class LinkChecker:
                 .unionByName(new_frontier)
             )
             # rebind: downstream consumers (store metrics) must read the
-            # checkpointed frame, not recompute the fetch/classify lineage
-            wave_results = _part(wave_results)
+            # cached frame, not recompute the fetch/classify lineage
+            wave_results = _leaf(wave_results)
             results_parts.append(wave_results)
-            events_parts.append(_part(wave_events))
+            events_parts.append(_leaf(wave_events))
+            # rel is NOT a leaf: every later wave anti-joins the running
+            # relationships union, so an uncut lineage would nest unions
+            # exponentially across waves
             rel_parts.append(_part(new_rel))
-            dup_parts.append(_part(new_dups))
+            dup_parts.append(_leaf(new_dups))
             seen_parts.append(new_frontier.select("url"))
             if cfg.check_fragments:
                 pending = _part(pending)
@@ -601,13 +619,24 @@ class LinkChecker:
             ).drop("_host_nb")
 
         # ---- fetch: HEAD for leaves, GET when crawling (src/index.ts:344-369)
-        method = F.when(F.col("crawl"), F.lit("GET")).otherwise(F.lit("HEAD"))
-        cur = fetch_once(ready, pages_dim, method, cfg, skip_match,
-                         ctx.get("host_defaults"),
-                         requester=ctx.get("requester"),
-                         chain_bc=ctx.get("chain_bc"),
-                         cache_into=wave_cached).persist()
-        wave_cached.append(cur)
+        fused = (ctx.get("small_wave") and ctx.get("chain_bc") is not None
+                 and ctx.get("requester") is None)
+        if fused:
+            # small waves: the whole request choreography (incl. the 405
+            # and last-gasp fallbacks) in ONE mapInPandas stage over one
+            # partition — tail/fixture waves are driver-latency-bound and
+            # the staged plan's ~30 stages + 2 aggregates dominate
+            cur = fetch_wave_fused(
+                ready.coalesce(1), ctx["chain_bc"], cfg).persist()
+            wave_cached.append(cur)
+        else:
+            method = F.when(F.col("crawl"), F.lit("GET")).otherwise(F.lit("HEAD"))
+            cur = fetch_once(ready, pages_dim, method, cfg, skip_match,
+                             ctx.get("host_defaults"),
+                             requester=ctx.get("requester"),
+                             chain_bc=ctx.get("chain_bc"),
+                             cache_into=wave_cached).persist()
+            wave_cached.append(cur)
 
         c405 = (F.col("status") == 405) & F.col("redirect_skipped").isNull()
         lg_cond = (
@@ -636,12 +665,22 @@ class LinkChecker:
                 F.sum(F.when(cerr, 1).otherwise(0)),
             ).collect()[0]
 
-        n405, nlg, n429, nerr = cur.agg(
-            F.sum(F.when(c405, 1).otherwise(0)),
-            F.sum(F.when(lg_cond, 1).otherwise(0)),
-            F.sum(F.when(c429, 1).otherwise(0)),
-            F.sum(F.when(cerr, 1).otherwise(0)),
-        ).collect()[0]
+        if fused:
+            # the fused stage already applied the 405 + last-gasp passes;
+            # the retry branches below are built unconditionally (-1 is a
+            # build-it marker): their filters are empty when nothing
+            # matched, so skipping the gating aggregate saves a per-wave
+            # driver job at zero result difference
+            n405 = nlg = 0
+            n429 = -1 if cfg.retry else 0
+            nerr = -1 if cfg.retry_errors else 0
+        else:
+            n405, nlg, n429, nerr = cur.agg(
+                F.sum(F.when(c405, 1).otherwise(0)),
+                F.sum(F.when(lg_cond, 1).otherwise(0)),
+                F.sum(F.when(c429, 1).otherwise(0)),
+                F.sum(F.when(cerr, 1).otherwise(0)),
+            ).collect()[0]
 
         def _refetch(subset: DataFrame) -> DataFrame:
             re = fetch_once(

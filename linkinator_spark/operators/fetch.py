@@ -162,10 +162,14 @@ def request(df: DataFrame, pages_dim: DataFrame, method: Column,
 
 
 def build_chain_map(pages: DataFrame):
-    """Broadcastable {(url, method): [(attempt, status, location), ...]}
-    over the WHOLE scripted pages table — the redirect-chain resolver's
-    lookup dim. Non-redirect rows act as chain terminators so the resolver
-    picks exactly the row `request()` would (same best-attempt rule).
+    """Broadcastable {(url, method): [(attempt, status, location,
+    retry_after, cf_mitigated, content_type, body_doc_id, final_url), ...]}
+    over the WHOLE scripted pages table — the lookup dim for both the
+    redirect-chain resolver (reads positions 0-2) and the fused small-wave
+    fetch (reads the full payload). Non-redirect rows act as chain
+    terminators so a resolver picks exactly the row `request()` would
+    (same best-attempt rule); the payload columns mirror
+    `prepare_pages_dim` field for field.
 
     Built executor-side: each partition folds its rows into a dict fragment
     and ``treeAggregate`` (depth 2) merges fragments on executors, so the
@@ -177,6 +181,14 @@ def build_chain_map(pages: DataFrame):
     src = pages.select(
         "url", "method", "attempt", "status",
         F.element_at("headers", "location").alias("location"),
+        F.element_at("headers", "retry-after").alias("retry_after"),
+        F.element_at("headers", "cf-mitigated").isNotNull().alias("cf_mitigated"),
+        F.coalesce(
+            F.element_at("headers", "content-type"), F.col("content_type"),
+            F.lit(""),
+        ).alias("content_type"),
+        F.coalesce(F.col("body_doc_id"), F.lit("")).alias("body_doc_id"),
+        F.col("final_url"),
     )
 
     def _fold(acc: dict, row) -> dict:
@@ -185,12 +197,14 @@ def build_chain_map(pages: DataFrame):
                 acc.setdefault(k, []).extend(v)
         else:  # seqOp: fold one Row
             acc.setdefault((row["url"], row["method"]), []).append(
-                (row["attempt"], row["status"], row["location"]))
+                (row["attempt"], row["status"], row["location"],
+                 row["retry_after"], row["cf_mitigated"],
+                 row["content_type"], row["body_doc_id"], row["final_url"]))
         return acc
 
     cmap = src.rdd.treeAggregate({}, _fold, _fold, depth=2)
     for v in cmap.values():
-        v.sort()
+        v.sort(key=lambda t: t[0])
     return cmap
 
 
@@ -198,7 +212,8 @@ def _pick_attempt(behaviors, attempt):
     """request()'s best-attempt rule: highest scripted attempt <= ours,
     else the lowest scripted attempt."""
     le = [b for b in behaviors if b[0] <= attempt]
-    return max(le) if le else min(behaviors)
+    return max(le, key=lambda b: b[0]) if le else min(behaviors,
+                                                      key=lambda b: b[0])
 
 
 def _resolve_location_py(base: str, loc: str) -> str:
@@ -531,3 +546,202 @@ def with_body_flag(df: DataFrame) -> DataFrame:
         & (F.col("method_effective") == "GET")
         & (F.col("body_doc_id") != ""),
     )
+
+
+def fetch_wave_fused(
+    df: DataFrame,
+    chain_bc,          # broadcast of build_chain_map(pages) — full payload
+    cfg: CheckOptions,
+) -> DataFrame:
+    """The whole per-wave scripted request choreography in ONE mapInPandas
+    stage: method pick (GET when crawling, else HEAD), redirect chains with
+    per-hop skip + 20-hop cap + 303→GET, 405→GET fallback, last-gasp GET
+    for non-2xx leaf checks, static-server query rules and host-default
+    404s — everything `fetch_once` + the crawler's fallback blocks do
+    across ~3 broadcast-join plans and 2 driver aggregates
+    (src/index.ts:344-417, 1185-1286 semantics).
+
+    Small-wave path only: tail waves of a big crawl and fixture-scale
+    crawls are driver-latency-bound, not data-bound — a 4-row frontier
+    paying ~30 stages per wave is the cost anatomy this removes. The
+    caller must pass a SINGLE-partition df (coalesce(1)): the 405 and
+    last-gasp fallbacks are gated per wave batch, exactly like the staged
+    path's one aggregate over the whole wave. Big waves keep the staged
+    plan; live mode keeps http_fetch. Output is column-identical to
+    `fetch_once` (+405/lg applied); equivalence is asserted by
+    tests/test_fused_fetch.py and the crawl oracles."""
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, IntegerType, StringType, StructField,
+        StructType,
+    )
+
+    static = (cfg.static_http_server_host or "").rstrip("/") or None
+    skip_fn = _make_py_skip(getattr(cfg, "links_to_skip", None))
+    follow = cfg.redirects != "error"
+    hd_map = {}
+    if cfg.static_http_server_host:
+        from linkinator_spark.functions.urls import url_host_py
+
+        # mirrors sources/localfs.host_defaults_for (config-derived, O(1))
+        hd_map[url_host_py(cfg.static_http_server_host)] = (
+            404, "text/plain; charset=UTF-8")
+
+    out_schema = StructType(
+        list(df.schema.fields) + [
+            StructField("status", IntegerType()),
+            StructField("has_response", BooleanType()),
+            StructField("content_type", StringType()),
+            StructField("location", StringType()),
+            StructField("retry_after", StringType()),
+            StructField("cf_mitigated", BooleanType()),
+            StructField("final_url", StringType()),
+            StructField("body_doc_id", StringType()),
+            StructField("redirect_skipped", StringType()),
+            StructField("fetch_failures", ArrayType(StringType())),
+            StructField("method_effective", StringType()),
+        ]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        from linkinator_spark.functions.urls import url_host_py
+
+        cmap = chain_bc.value
+
+        def base_request(url: str, method: str, attempt: int) -> dict:
+            """One `request()` twin: best-attempt pick, host-default 404,
+            static query-strip lookup + dir-301 query preservation."""
+            import re
+
+            key = url
+            if static and url.startswith(static):
+                key = re.sub(r"\?[^#]*$", "", key)
+            beh = cmap.get((key, method))
+            picked = _pick_attempt(beh, attempt) if beh else None
+            if picked is None:
+                d = hd_map.get(url_host_py(url))
+                if d is not None:
+                    return {"status": d[0], "has_response": True,
+                            "location": None, "retry_after": None,
+                            "cf": False, "ct": d[1], "body_doc": "",
+                            "final_url": None}
+                return {"status": 0, "has_response": False, "location": None,
+                        "retry_after": None, "cf": False, "ct": "",
+                        "body_doc": "", "final_url": None}
+            _, status, location, retry_after, cf, ct, body_doc, final = picked
+            if static and location is not None and url.startswith(static):
+                m = re.search(r"(\?[^#]*)$", url)
+                if m:
+                    location = location + m.group(1)
+            return {"status": int(status) if status is not None else 0,
+                    "has_response": status is not None,
+                    "location": location, "retry_after": retry_after,
+                    "cf": bool(cf), "ct": ct if ct is not None else "",
+                    "body_doc": body_doc or "", "final_url": final}
+
+        def unit(url: str, method: str, attempt: int):
+            """One `fetch_once` twin: request + chain follow + failure
+            padding. Returns (resp, redirect_skipped, failures,
+            method_effective, final_url)."""
+            r = base_request(url, method, attempt)
+            failures: list[str] = []
+            rskip = None
+            stop = url
+            meth = method
+            landed = False
+            status, loc = r["status"], r["location"]
+            if (follow and r["has_response"] and status in REDIRECT_STATUSES
+                    and loc is not None):
+                cur, hops = url, 0
+                while True:
+                    nxt = _resolve_location_py(cur, loc)
+                    if skip_fn is not None and skip_fn(nxt):
+                        # keep the current hop's (redirect) response values;
+                        # non-status fields stay the FIRST response's —
+                        # exactly the chain resolver's behavior
+                        rskip, stop = nxt, cur
+                        r = dict(r, status=status, location=loc)
+                        break
+                    if hops >= 20:
+                        r = dict(r, status=0, has_response=False,
+                                 location=loc)
+                        failures.append("TypeError: redirect count exceeded")
+                        stop = cur
+                        break
+                    if status == 303:
+                        meth = "GET"
+                    hops += 1
+                    key = nxt
+                    if static and nxt.startswith(static) and "?" in nxt:
+                        key = nxt.split("?", 1)[0]
+                    beh = cmap.get((key, meth))
+                    picked = _pick_attempt(beh, attempt) if beh else None
+                    if (picked is None or picked[1] not in REDIRECT_STATUSES
+                            or picked[2] is None):
+                        r = base_request(nxt, meth, attempt)
+                        stop = nxt
+                        landed = True
+                        break
+                    cur, status, loc = nxt, picked[1], picked[2]
+            if not r["has_response"] and not failures:
+                failures = ["FetchError: request failed"]
+            # only a chain that LANDED carries the (possibly 303-switched)
+            # follow-up method; settled/skip/cap rows keep the request's
+            meth_eff = meth if landed else method
+            final = r["final_url"] if r["final_url"] is not None else (
+                stop if stop != url else None)
+            return r, rskip, failures, meth_eff, final
+
+        # one frame per partition: the 405/last-gasp passes are gated over
+        # the WHOLE wave batch (the caller coalesces to one partition),
+        # mirroring the staged path's single aggregate
+        pdfs = [p for p in batches if len(p)]
+        if pdfs:
+            pdf = (pd.concat(pdfs, ignore_index=True)
+                   if len(pdfs) > 1 else pdfs[0])
+            n = len(pdf)
+            urls = pdf["url"].tolist()
+            crawls = [bool(c) for c in pdf["crawl"]]
+            attempts = [int(a) for a in pdf["attempt"]]
+            units = [unit(urls[i], "GET" if crawls[i] else "HEAD",
+                          attempts[i]) for i in range(n)]
+
+            def bad(r):
+                return (not r["has_response"] or r["status"] < 200
+                        or r["status"] >= 300)
+
+            # 405 -> GET fallback, then last-gasp GET — wave-batch gated
+            # exactly like the staged path's shared aggregate: the lg pass
+            # only runs when some NON-405 row needed it pre-refetch
+            # (post-refetch when a 405 pass ran), and then applies to every
+            # still-bad leaf row (crawler.py lg_cond/lg_full distinction)
+            if any(u[0]["status"] == 405 and u[1] is None for u in units):
+                for i, u in enumerate(units):
+                    if u[0]["status"] == 405 and u[1] is None:
+                        r, rskip, f, me, fin = unit(urls[i], "GET",
+                                                    attempts[i])
+                        units[i] = (r, rskip, u[2] + f, me, fin)
+            if any(bad(u[0]) and not crawls[i] and u[1] is None
+                   and u[0]["status"] != 405 for i, u in enumerate(units)):
+                for i, u in enumerate(units):
+                    if bad(u[0]) and not crawls[i] and u[1] is None:
+                        r, rskip, f, me, fin = unit(urls[i], "GET",
+                                                    attempts[i])
+                        units[i] = (r, rskip, u[2] + f, me, fin)
+
+            out = pdf.copy()
+            out["status"] = [u[0]["status"] for u in units]
+            out["has_response"] = [u[0]["has_response"] for u in units]
+            out["content_type"] = [u[0]["ct"] for u in units]
+            out["location"] = [u[0]["location"] for u in units]
+            out["retry_after"] = [u[0]["retry_after"] for u in units]
+            out["cf_mitigated"] = [u[0]["cf"] for u in units]
+            out["final_url"] = [u[4] for u in units]
+            out["body_doc_id"] = [u[0]["body_doc"] for u in units]
+            out["redirect_skipped"] = [u[1] for u in units]
+            out["fetch_failures"] = [u[2] for u in units]
+            out["method_effective"] = [u[3] for u in units]
+            yield out
+
+    return df.mapInPandas(fn, out_schema)

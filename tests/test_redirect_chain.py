@@ -188,11 +188,18 @@ def test_chain_map_builds_without_driver_rows(spark, monkeypatch):
     naive: dict = {}
     for r in pages.select(
             "url", "method", "attempt", "status",
-            F.element_at("headers", "location").alias("location")).collect():
+            F.element_at("headers", "location").alias("location"),
+            F.element_at("headers", "retry-after").alias("retry_after"),
+            F.element_at("headers", "cf-mitigated").isNotNull().alias("cf"),
+            F.coalesce(F.element_at("headers", "content-type"),
+                       F.col("content_type"), F.lit("")).alias("ct"),
+            F.coalesce(F.col("body_doc_id"), F.lit("")).alias("body_doc"),
+            F.col("final_url")).collect():
         naive.setdefault((r["url"], r["method"]), []).append(
-            (r["attempt"], r["status"], r["location"]))
+            (r["attempt"], r["status"], r["location"], r["retry_after"],
+             r["cf"], r["ct"], r["body_doc"], r["final_url"]))
     for v in naive.values():
-        v.sort()
+        v.sort(key=lambda t: t[0])
     assert cmap == naive
 
 
