@@ -216,6 +216,33 @@ class LinkChecker:
                 pages, documents, cfg.user_agent
             ).localCheckpoint(eager=True)
 
+        # whole-wave fusion capability (operators/wave_fused.py): scripted
+        # tables small enough to broadcast, and none of the features whose
+        # state machinery lives in the staged wave (fragments, retry/delay
+        # gates, robots, url-rewrite). Eligible crawls run every SMALL wave
+        # as one Arrow stage; big waves always keep the staged plan.
+        ctx["wave_fused_capable"] = bool(
+            ctx["chain_bc"] is not None
+            and ctx.get("host_rules") is None
+            and not cfg.check_fragments and not cfg.retry
+            and not cfg.retry_errors and not cfg.url_rewrite
+            and documents is not None
+            and documents.limit(cfg.chain_map_max_rows + 1).count()
+            <= cfg.chain_map_max_rows
+        )
+        if ctx["wave_fused_capable"]:
+            from linkinator_spark.operators.wave_fused import build_docs_map
+
+            ctx["docs_bc"] = spark.sparkContext.broadcast(
+                build_docs_map(documents))
+            # fully-fused gear: when nothing requires per-wave DataFrame
+            # state (no checkpoint commits, no per-host budget windows, no
+            # resume), the gate-bounded maps make the whole loop a Python
+            # computation — the reference's own single-node shape, applied
+            # exactly where the input is single-node sized
+            if store is None and not resume and not cfg.per_host_budget:
+                return self._check_full_fused(cfg, ctx)
+
         if resume and store and store.latest_wave() is not None:
             manifest, state = store.load(spark, store.latest_wave())
             clock = float(manifest["clock"])
@@ -443,7 +470,14 @@ class LinkChecker:
 
         results = self._union(results_parts, RESULT_SCHEMA)
         dup_edges = self._union(dup_parts, DUP_SCHEMA)
+        events = self._union(events_parts, EVENT_SCHEMA)
+        return self._finalize(cfg, results, dup_edges, events, wave, clock)
 
+    def _finalize(self, cfg: CheckOptions, results, dup_edges, events,
+                  wave: int, clock: float) -> CrawlResult:
+        """Crawl-end assembly shared by every execution gear: duplicate-link
+        BROKEN re-report, mapUrl display restoration, 'link' events, pass
+        verdict."""
         # ---- duplicate-link BROKEN re-report (J1, src/index.ts:840-875)
         broken = results.filter(
             (F.col("state") == LinkState.BROKEN) & ~F.col("url").contains("#")
@@ -463,7 +497,6 @@ class LinkChecker:
                 "url", map_url_expr(F.col("url"), cfg)
             ).withColumn("parent", map_url_expr(F.col("parent"), cfg))
         results = results.persist()
-        events = self._union(events_parts, EVENT_SCHEMA)
         # 'link' event per emitted result (reference src/index.ts:614,984 —
         # every LinkResult is also observable as an event), with mapUrl
         # already applied, matching the reference's emission point
@@ -479,6 +512,29 @@ class LinkChecker:
         passed = results.filter(F.col("state") == LinkState.BROKEN).isEmpty()
         return CrawlResult(passed=passed, results=results, events=events,
                            waves=wave, clock=clock)
+
+    def _check_full_fused(self, cfg: CheckOptions, ctx: dict) -> CrawlResult:
+        """Fully-fused gear (operators/wave_fused.run_crawl_fused): the
+        whole wave loop as Python over the gate-bounded broadcast maps —
+        zero Spark jobs between seed and finalization. Taken only for
+        scripted crawls already small enough to broadcast, with no
+        checkpointing / politeness budget / retry / fragments / robots
+        (crawler gate in check()); result-identical to the staged loop
+        (tests/test_wave_fused.py)."""
+        from linkinator_spark.operators.wave_fused import run_crawl_fused
+
+        res_rows, ev_rows, dup_rows, waves = run_crawl_fused(
+            self._seed_frontier(cfg), ctx["chain_bc"].value,
+            ctx["docs_bc"].value, cfg, ctx["candidates_udf"],
+        )
+        results = self.spark.createDataFrame(
+            [(u, s, st, p, d, w, h, sq)
+             for (u, s, st, p, d, h, sq, w) in res_rows],
+            RESULT_SCHEMA,
+        )
+        events = self.spark.createDataFrame(ev_rows, EVENT_SCHEMA)
+        dup_edges = self.spark.createDataFrame(dup_rows, DUP_SCHEMA)
+        return self._finalize(cfg, results, dup_edges, events, waves, 0.0)
 
     # ---------------------------------------------------------------- seeds
     def _touch_stats_with_bloom(self, touch, bloom: BloomFilter, clock: float):
@@ -552,17 +608,65 @@ class LinkChecker:
             ))
         return rows
 
+    # ---------------------------------------------------------- fused wave
+    def _run_wave_fused(
+        self, ready, cfg: CheckOptions, clock: float, wave: int, ctx: dict,
+        seen, relationships, pending_fragments, host_delays,
+    ):
+        """Small-wave fast path: the wave's per-row pipeline (pre-fetch
+        skip, scripted fetch choreography, classify, extraction,
+        within-wave edge dedup) collapses into ONE Arrow stage
+        (operators/wave_fused.py); only the cross-wave relational tail
+        (seen/relationship anti-joins, politeness rank) stays as
+        DataFrame ops. Result-identical to the staged wave — asserted by
+        tests/test_wave_fused.py path-equivalence and the crawl oracles."""
+        from linkinator_spark.operators.wave_fused import run_wave_fused
+
+        wave_cached: list[DataFrame] = ctx.setdefault("wave_cached", [])
+        tagged = run_wave_fused(
+            ready.coalesce(1), ctx["chain_bc"], ctx["docs_bc"], cfg,
+            ctx["candidates_udf"],
+        ).persist()
+        wave_cached.append(tagged)
+        results = tagged.filter(F.col("t") == "res").select(
+            "url", "status", "state", "parent", "failure_details",
+            F.lit(wave).alias("wave"), "host", "seq",
+        )
+        events = tagged.filter(F.col("t") == "ev").select(
+            "kind", "url", "status", "detail", F.lit(wave).alias("wave"),
+        )
+        cand = tagged.filter(F.col("t") == "cand").select(
+            "resolved_url", "page_url",
+            F.col("cand_crawl").alias("_crawl"),
+            F.col("child_host").alias("_child_host"),
+            "parent_seq", "ordinal", "root_path",
+        )
+        new_frontier, new_rel, new_dups = self._candidates_tail(
+            cand, clock, wave, seen, relationships,
+            bloom_bc=ctx.get("bloom_bc"), small_wave=True,
+        )
+        return (results, events, self._empty(FRONTIER_SCHEMA), new_frontier,
+                new_rel, new_dups, pending_fragments, host_delays)
+
     # ----------------------------------------------------------------- wave
     def _run_wave(
         self, ready, cfg: CheckOptions, clock: float, wave: int, ctx: dict,
         seen, relationships, pending_fragments, host_delays,
     ):
+        if ctx.get("small_wave") and ctx.get("wave_fused_capable"):
+            return self._run_wave_fused(
+                ready, cfg, clock, wave, ctx, seen, relationships,
+                pending_fragments, host_delays,
+            )
         pages_dim = ctx["pages_dim"]
         skip_match = ctx["skip_match"]
         wave_cached: list[DataFrame] = ctx.setdefault("wave_cached", [])
         results_parts: list[DataFrame] = []
         events_parts: list[DataFrame] = []
         requeue_parts: list[DataFrame] = []
+
+        # (staged wave; small waves of fused-capable crawls took the
+        # single-stage path above)
 
         # ---- URL rewrite (src/index.ts:310-318)
         for pattern, replacement in cfg.url_rewrite:
@@ -974,15 +1078,30 @@ class LinkChecker:
         w_edge = Window.partitionBy("resolved_url", "page_url").orderBy(
             "parent_seq", "ordinal"
         )
-        edges = (
+        deduped = (
             cand.withColumn("_rn", F.row_number().over(w_edge))
             .filter(F.col("_rn") == 1).drop("_rn")
-            .join(
-                relationships,
-                (F.col("resolved_url") == relationships["child_url"])
-                & (F.col("page_url") == relationships["parent_url"]),
-                "left_anti",
-            )
+        )
+        new_frontier, new_rel, new_dups = self._candidates_tail(
+            deduped, clock, wave, seen, relationships,
+            bloom_bc=bloom_bc, small_wave=small_wave,
+        )
+        out_results = self._union(results_parts, RESULT_SCHEMA)
+        return out_results, new_frontier, new_rel, new_dups, new_pending
+
+    def _candidates_tail(self, deduped, clock: float, wave: int, seen,
+                         relationships, bloom_bc=None, small_wave=True):
+        """The relational tail shared by the staged and fused wave paths:
+        cross-wave relationship anti-join, per-URL first-edge selection,
+        URL-seen dedup (+Bloom fast path), politeness ranking, and the
+        next-wave frontier rows. Input: within-wave-deduped candidate
+        edges with columns (resolved_url, page_url, _crawl, _child_host,
+        parent_seq, ordinal, root_path)."""
+        edges = deduped.join(
+            relationships,
+            (F.col("resolved_url") == relationships["child_url"])
+            & (F.col("page_url") == relationships["parent_url"]),
+            "left_anti",
         )
         new_rel = edges.select(
             F.col("resolved_url").alias("child_url"),
@@ -1054,9 +1173,7 @@ class LinkChecker:
             (F.lit((wave + 1) * 1_000_000_000) + F.col("_hrn"))
             .cast("long").alias("seq"),
         )
-
-        out_results = self._union(results_parts, RESULT_SCHEMA)
-        return out_results, new_frontier, new_rel, new_dups, new_pending
+        return new_frontier, new_rel, new_dups
 
     # ------------------------------------------------------------ fragments
     def _validate_fragments(self, classified, docs, pending_all, anchors_udf, wave: int):

@@ -602,9 +602,49 @@ def fetch_wave_fused(
         ]
     )
 
+    fetcher = make_fused_fetcher(chain_bc, cfg)
+
     def fn(batches):
         import pandas as pd
 
+        # one frame per partition: the 405/last-gasp passes are gated over
+        # the WHOLE wave batch (the caller coalesces to one partition),
+        # mirroring the staged path's single aggregate
+        pdfs = [p for p in batches if len(p)]
+        if pdfs:
+            pdf = (pd.concat(pdfs, ignore_index=True)
+                   if len(pdfs) > 1 else pdfs[0])
+            fetched = fetcher(pdf.to_dict("records"))
+            out = pdf.copy()
+            for col in ("status", "has_response", "content_type", "location",
+                        "retry_after", "cf_mitigated", "final_url",
+                        "body_doc_id", "redirect_skipped", "fetch_failures",
+                        "method_effective"):
+                out[col] = [f[col] for f in fetched]
+            yield out
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def make_fused_fetcher(chain_bc, cfg: CheckOptions):
+    """Row-level twin of the staged fetch complex, shared by
+    `fetch_wave_fused` and `wave_fused.run_wave_fused`: returns
+    ``fetch(rows) -> list[dict]`` where each input row dict carries
+    (url, crawl, attempt) and each output dict carries the 11 fetch
+    columns. The 405/last-gasp fallbacks are gated over the WHOLE rows
+    list (the wave batch), mirroring the staged path's single aggregate."""
+    static = (cfg.static_http_server_host or "").rstrip("/") or None
+    skip_fn = _make_py_skip(getattr(cfg, "links_to_skip", None))
+    follow = cfg.redirects != "error"
+    hd_map = {}
+    if cfg.static_http_server_host:
+        from linkinator_spark.functions.urls import url_host_py as _uh
+
+        # mirrors sources/localfs.host_defaults_for (config-derived, O(1))
+        hd_map[_uh(cfg.static_http_server_host)] = (
+            404, "text/plain; charset=UTF-8")
+
+    def fetch(rows: list) -> list:
         from linkinator_spark.functions.urls import url_host_py
 
         cmap = chain_bc.value
@@ -693,55 +733,42 @@ def fetch_wave_fused(
                 stop if stop != url else None)
             return r, rskip, failures, meth_eff, final
 
-        # one frame per partition: the 405/last-gasp passes are gated over
-        # the WHOLE wave batch (the caller coalesces to one partition),
-        # mirroring the staged path's single aggregate
-        pdfs = [p for p in batches if len(p)]
-        if pdfs:
-            pdf = (pd.concat(pdfs, ignore_index=True)
-                   if len(pdfs) > 1 else pdfs[0])
-            n = len(pdf)
-            urls = pdf["url"].tolist()
-            crawls = [bool(c) for c in pdf["crawl"]]
-            attempts = [int(a) for a in pdf["attempt"]]
-            units = [unit(urls[i], "GET" if crawls[i] else "HEAD",
-                          attempts[i]) for i in range(n)]
+        n = len(rows)
+        urls = [r["url"] for r in rows]
+        crawls = [bool(r["crawl"]) for r in rows]
+        attempts = [int(r["attempt"]) for r in rows]
+        units = [unit(urls[i], "GET" if crawls[i] else "HEAD",
+                      attempts[i]) for i in range(n)]
 
-            def bad(r):
-                return (not r["has_response"] or r["status"] < 200
-                        or r["status"] >= 300)
+        def bad(r):
+            return (not r["has_response"] or r["status"] < 200
+                    or r["status"] >= 300)
 
-            # 405 -> GET fallback, then last-gasp GET — wave-batch gated
-            # exactly like the staged path's shared aggregate: the lg pass
-            # only runs when some NON-405 row needed it pre-refetch
-            # (post-refetch when a 405 pass ran), and then applies to every
-            # still-bad leaf row (crawler.py lg_cond/lg_full distinction)
-            if any(u[0]["status"] == 405 and u[1] is None for u in units):
-                for i, u in enumerate(units):
-                    if u[0]["status"] == 405 and u[1] is None:
-                        r, rskip, f, me, fin = unit(urls[i], "GET",
-                                                    attempts[i])
-                        units[i] = (r, rskip, u[2] + f, me, fin)
-            if any(bad(u[0]) and not crawls[i] and u[1] is None
-                   and u[0]["status"] != 405 for i, u in enumerate(units)):
-                for i, u in enumerate(units):
-                    if bad(u[0]) and not crawls[i] and u[1] is None:
-                        r, rskip, f, me, fin = unit(urls[i], "GET",
-                                                    attempts[i])
-                        units[i] = (r, rskip, u[2] + f, me, fin)
+        # 405 -> GET fallback, then last-gasp GET — wave-batch gated
+        # exactly like the staged path's shared aggregate: the lg pass
+        # only runs when some NON-405 row needed it pre-refetch
+        # (post-refetch when a 405 pass ran), and then applies to every
+        # still-bad leaf row (crawler.py lg_cond/lg_full distinction)
+        if any(u[0]["status"] == 405 and u[1] is None for u in units):
+            for i, u in enumerate(units):
+                if u[0]["status"] == 405 and u[1] is None:
+                    r, rskip, f, me, fin = unit(urls[i], "GET", attempts[i])
+                    units[i] = (r, rskip, u[2] + f, me, fin)
+        if any(bad(u[0]) and not crawls[i] and u[1] is None
+               and u[0]["status"] != 405 for i, u in enumerate(units)):
+            for i, u in enumerate(units):
+                if bad(u[0]) and not crawls[i] and u[1] is None:
+                    r, rskip, f, me, fin = unit(urls[i], "GET", attempts[i])
+                    units[i] = (r, rskip, u[2] + f, me, fin)
 
-            out = pdf.copy()
-            out["status"] = [u[0]["status"] for u in units]
-            out["has_response"] = [u[0]["has_response"] for u in units]
-            out["content_type"] = [u[0]["ct"] for u in units]
-            out["location"] = [u[0]["location"] for u in units]
-            out["retry_after"] = [u[0]["retry_after"] for u in units]
-            out["cf_mitigated"] = [u[0]["cf"] for u in units]
-            out["final_url"] = [u[4] for u in units]
-            out["body_doc_id"] = [u[0]["body_doc"] for u in units]
-            out["redirect_skipped"] = [u[1] for u in units]
-            out["fetch_failures"] = [u[2] for u in units]
-            out["method_effective"] = [u[3] for u in units]
-            yield out
+        return [
+            {"status": u[0]["status"], "has_response": u[0]["has_response"],
+             "content_type": u[0]["ct"], "location": u[0]["location"],
+             "retry_after": u[0]["retry_after"], "cf_mitigated": u[0]["cf"],
+             "final_url": u[4], "body_doc_id": u[0]["body_doc"],
+             "redirect_skipped": u[1], "fetch_failures": u[2],
+             "method_effective": u[3]}
+            for u in units
+        ]
 
-    return df.mapInPandas(fn, out_schema)
+    return fetch

@@ -1,35 +1,42 @@
-"""Whole-wave fused operator for small waves — one Arrow stage per wave.
+"""Fused execution gears for small waves and small scripted crawls.
 
 Fixture-scale crawls and the tail waves of a big crawl are driver-latency
-bound: a 4-row frontier still pays ~300 Catalyst plan nodes, ~20 AQE query
-stages and 6 physical-planning passes per wave in the staged pipeline
-(measured: ~12 s/wave at sf0.001 regardless of shuffle partitioning or
-codegen mode — the cost is plan handling, not tasks). This module collapses
-the per-row portion of a wave — pre-fetch skip, the full scripted request
-choreography, content sniff, classification, link extraction and
-within-wave edge dedup — into ONE ``mapInPandas`` stage over the broadcast
-pages/docs maps, emitting tagged rows the crawler splits back into result /
-event / candidate frames. Only the genuinely cross-wave relational state
-(URL-seen anti-join, relationship-edge anti-join, politeness ranking) stays
-in DataFrame land.
+bound: a 4-row frontier still pays ~300 Catalyst plan nodes, ~17 AQE query
+stages / broadcast builds and several physical-planning passes per wave in
+the staged pipeline (measured ~9-12 s/wave at sf0.001 regardless of shuffle
+partitioning or codegen mode — the cost is plan handling, not tasks). This
+module provides two progressively fused gears; the staged pipeline in
+operators/crawler.py remains the at-scale path and the semantics reference:
+
+* ``run_wave_fused`` — ONE ``mapInPandas`` stage per wave covering the
+  per-row pipeline (pre-fetch skip, scripted request choreography, content
+  sniff, classification, link extraction, within-wave edge dedup). The
+  cross-wave relational state (URL-seen anti-join, relationship-edge
+  anti-join, politeness rank) stays in DataFrame land
+  (crawler._candidates_tail).
+* ``run_crawl_fused`` — the whole wave LOOP in vectorized Python over the
+  same broadcast-sized maps, for crawls whose entire scripted web already
+  fits the chain-map gate (cfg.chain_map_max_rows). This is the shape of
+  the reference itself — a single-node loop — applied exactly where the
+  input is single-node sized; state (seen set, edge set) is bounded by the
+  gated table size, never by frontier scale. Checkpointed, per-host-budget,
+  retry, robots, fragment and live crawls never take this gear.
 
 Semantics parity, piece by piece:
-* request choreography: `fetch.fetch_wave_fused`-style python twins of
+* request choreography: `fetch.make_fused_fetcher` — python twins of
   `request()` + `follow_redirects_chain` + the crawler's 405/last-gasp
-  blocks (reference src/index.ts:344-417, 1185-1286) — shared helpers in
-  operators/fetch.py.
+  blocks (reference src/index.ts:344-417, 1185-1286).
 * classification: `classify_py`, a line-for-line twin of
   operators/classify.py (src/index.ts:482-604).
 * extraction: calls the SAME `make_candidate_links_udf` batch fn the
   staged plan uses — zero duplicated extraction semantics.
-* edge dedup: first occurrence per (resolved_url, page_url) ordered by
-  (parent_seq, ordinal) — the staged `w_edge` window.
+* edge dedup + URL-seen + politeness seq: twins of the staged
+  `w_edge`/`w_url` windows and `_candidates_tail`
+  (src/index.ts:800-875, SURVEY §2.6).
 
-Gated (see crawler `_wave_fused_ok`): scripted tables only (chain map
-built), no live requester, and none of fragments / retry / robots /
-url-rewrite — those waves keep the staged plan. Equivalence between the
-two paths is asserted by tests/test_wave_fused.py on a site exercising
-every fused branch, and by the driver's crawl oracles.
+Equivalence between the gears is asserted by tests/test_wave_fused.py
+(same crawl forced down each path must produce identical result sets) and
+by the driver's crawl oracles.
 """
 
 from __future__ import annotations
@@ -150,7 +157,121 @@ def classify_py(cfg: CheckOptions, url: str, status: int, has_response: bool,
     ev_status_warn = action == "warn"
     ev_redirect = cfg.redirects == "warn" and (is_redir or followed)
     ev_http_insecure = cfg.require_https == "warn" and is_http
-    return state, details, ev_status_warn, ev_redirect, ev_http_insecure
+    return state, details, (ev_status_warn, ev_redirect, ev_http_insecure)
+
+
+def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
+                      docs_map: dict, candidates_fn, url_host_py):
+    """One wave's per-row pipeline over plain dict rows. Returns
+    (res_rows, ev_rows, cand_rows):
+
+      res:  (url, status, state, parent, failure_details, host, seq)
+      ev:   (kind, url, status, detail)
+      cand: (resolved_url, page_url, crawl, child_host, parent_seq,
+             ordinal, root_path) — within-wave (child,parent)-deduped,
+             ordered by (parent_seq, ordinal) like the staged w_edge window
+    """
+    import pandas as pd
+
+    check_css = bool(cfg.check_css)
+    recurse = bool(cfg.recurse)
+    res: list[tuple] = []
+    ev: list[tuple] = []
+    cand: list[tuple] = []
+
+    # ---- pre-fetch skip (src/index.ts:320-323,973-985)
+    fetchable = []
+    for r in rows_in:
+        url = r["url"]
+        non_http = not re.match(r"^https?://", url)
+        if non_http or (skip_fn is not None and skip_fn(url)):
+            res.append((url, 0 if non_http else None, LinkState.SKIPPED,
+                        r["parent"], [], r["host"], r["seq"]))
+        else:
+            fetchable.append(r)
+
+    # ---- fetch choreography (request + chains + 405 + last-gasp),
+    # wave-batch gated exactly like the staged aggregate
+    fetched = fetcher(fetchable)
+
+    # ---- classification + events + extraction inputs
+    ext_pages = []  # (page_url, base_url, kind, spans, parent_seq, root)
+    for r, f in zip(fetchable, fetched):
+        if f["redirect_skipped"] is not None:
+            res.append((r["url"], None, LinkState.SKIPPED, r["parent"],
+                        [], r["host"], r["seq"]))
+            continue
+        has_body = (f["has_response"] and f["method_effective"] == "GET"
+                    and f["body_doc_id"] != "")
+        is_html = bool(_HTML_RE_PY.search(f["content_type"] or ""))
+        is_css = bool(_CSS_RE_PY.search(f["content_type"] or ""))
+        state, details, (ev_warn, ev_redir, ev_insecure) = classify_py(
+            cfg, r["url"], f["status"], f["has_response"], has_body,
+            f["final_url"], f["location"], f["cf_mitigated"],
+            f["fetch_failures"])
+        res.append((r["url"], f["status"], state, r["parent"], details,
+                    r["host"], r["seq"]))
+        detail = (f["final_url"] if f["final_url"] is not None
+                  else f["location"])
+        if ev_warn:
+            ev.append(("statusCodeWarning", r["url"], f["status"], detail))
+        if ev_redir:
+            ev.append(("redirect", r["url"], f["status"], detail))
+        if ev_insecure:
+            ev.append(("httpInsecure", r["url"], f["status"], detail))
+        if r["crawl"] and has_body and (is_html or (is_css and check_css)):
+            ev.append(("pagestart", r["url"], None, ""))
+            ext_pages.append((
+                r["url"],
+                f["final_url"] if f["final_url"] is not None else r["url"],
+                "css" if is_css else "html",
+                docs_map.get(f["body_doc_id"]),
+                r["seq"], r["root_path"],
+            ))
+
+    # ---- extraction: the staged UDF fn, called inline on the same
+    # (page_url, base_url, content_kind, spans) frame shape
+    cand_rows = []
+    if ext_pages:
+        ext_pdf = pd.DataFrame(
+            [(p[0], p[1], p[2], p[3]) for p in ext_pages],
+            columns=["page_url", "base_url", "content_kind", "spans"])
+        meta = {p[0]: (p[4], p[5]) for p in ext_pages}
+        for cpdf in candidates_fn([ext_pdf]):
+            for c in cpdf.to_dict("records"):
+                parent_seq, root_path = meta[c["page_url"]]
+                cand_rows.append(dict(c, parent_seq=parent_seq,
+                                      root_path=root_path))
+
+    # ---- malformed + skip-rule branches (_process_candidates head)
+    kept = []
+    for c in cand_rows:
+        if c["parse_error"] is not None:
+            res.append((c["raw_link"], 0, LinkState.BROKEN, c["page_url"],
+                        [c["parse_error"]], "", c["parent_seq"]))
+            continue
+        uwf = c["url_with_fragment"]
+        if (skip_fn is not None and uwf is not None
+                and re.match(r"^https?://", uwf) and skip_fn(uwf)):
+            res.append((uwf, None, LinkState.SKIPPED, c["page_url"], [],
+                        "", c["parent_seq"]))
+            continue
+        kept.append(c)
+
+    # ---- recurse predicate + within-wave edge dedup (w_edge twin)
+    kept.sort(key=lambda c: (c["parent_seq"], c["ordinal"]))
+    seen_edges = set()
+    for c in kept:
+        edge = (c["resolved_url"], c["page_url"])
+        if edge in seen_edges:
+            continue
+        seen_edges.add(edge)
+        child_host = url_host_py(c["resolved_url"])
+        crawl = (recurse and c["resolved_url"].startswith(c["root_path"])
+                 and child_host == url_host_py(c["root_path"]))
+        cand.append((c["resolved_url"], c["page_url"], crawl, child_host,
+                     c["parent_seq"], c["ordinal"], c["root_path"]))
+    return res, ev, cand
 
 
 def run_wave_fused(
@@ -158,7 +279,7 @@ def run_wave_fused(
     chain_bc,            # broadcast of fetch.build_chain_map(pages)
     docs_bc,             # broadcast of build_docs_map(documents)
     cfg: CheckOptions,
-    candidates_fn,       # the staged extraction UDF's batch fn (reused as-is)
+    candidates_fn,       # the staged extraction UDF's batch fn (reused)
 ) -> DataFrame:
     """One mapInPandas stage producing tagged rows:
 
@@ -174,140 +295,27 @@ def run_wave_fused(
 
     fetcher = make_fused_fetcher(chain_bc, cfg)
     skip_fn = _make_py_skip(getattr(cfg, "links_to_skip", None))
-    check_css = bool(cfg.check_css)
-    recurse = bool(cfg.recurse)
 
     def fn(batches):
         import pandas as pd
 
         from linkinator_spark.functions.urls import url_host_py
 
-        docs_map = docs_bc.value
-
         pdfs = [p for p in batches if len(p)]
         if not pdfs:
             return
         pdf = (pd.concat(pdfs, ignore_index=True)
                if len(pdfs) > 1 else pdfs[0])
-        n = len(pdf)
-        rows_in = pdf.to_dict("records")
+        res, ev, cand = process_wave_rows(
+            pdf.to_dict("records"), fetcher, skip_fn, cfg, docs_bc.value,
+            candidates_fn, url_host_py)
 
-        out: list[tuple] = []
-
-        def emit_res(url, status, state, parent, details, host, seq):
-            out.append(("res", url, status, state, parent, details, host,
-                        seq, None, None,
-                        None, None, None, None, None, None, None))
-
-        def emit_ev(kind, url, status, detail):
-            out.append(("ev", url, status, None, None, None, None, None,
-                        kind, detail,
-                        None, None, None, None, None, None, None))
-
-        def emit_cand(resolved, page_url, crawl, child_host, parent_seq,
-                      ordinal, root_path):
-            out.append(("cand", None, None, None, None, None, None, None,
-                        None, None,
-                        resolved, page_url, crawl, child_host, parent_seq,
-                        ordinal, root_path))
-
-        # ---- pre-fetch skip (src/index.ts:320-323,973-985)
-        fetchable = []
-        for r in rows_in:
-            url = r["url"]
-            non_http = not re.match(r"^https?://", url)
-            if non_http or (skip_fn is not None and skip_fn(url)):
-                emit_res(url, 0 if non_http else None, LinkState.SKIPPED,
-                         r["parent"], [], r["host"], r["seq"])
-            else:
-                fetchable.append(r)
-
-        # ---- fetch choreography (request + chains + 405 + last-gasp),
-        # wave-batch gated exactly like the staged aggregate
-        fetched = fetcher(fetchable)
-
-        # ---- classification + events + extraction inputs
-        ext_pages = []  # (page_url, base_url, kind, spans, parent_seq)
-        for r, f in zip(fetchable, fetched):
-            if f["redirect_skipped"] is not None:
-                emit_res(r["url"], None, LinkState.SKIPPED, r["parent"],
-                         [], r["host"], r["seq"])
-                continue
-            has_body = (f["has_response"] and f["method_effective"] == "GET"
-                        and f["body_doc_id"] != "")
-            is_html = bool(_HTML_RE_PY.search(f["content_type"] or ""))
-            is_css = bool(_CSS_RE_PY.search(f["content_type"] or ""))
-            (state, details, ev_warn, ev_redir, ev_insecure) = classify_py(
-                cfg, r["url"], f["status"], f["has_response"], has_body,
-                f["final_url"], f["location"], f["cf_mitigated"],
-                f["fetch_failures"])
-            emit_res(r["url"], f["status"], state, r["parent"], details,
-                     r["host"], r["seq"])
-            detail = f["final_url"] if f["final_url"] is not None \
-                else f["location"]
-            if ev_warn:
-                emit_ev("statusCodeWarning", r["url"], f["status"], detail)
-            if ev_redir:
-                emit_ev("redirect", r["url"], f["status"], detail)
-            if ev_insecure:
-                emit_ev("httpInsecure", r["url"], f["status"], detail)
-            if (r["crawl"] and has_body
-                    and (is_html or (is_css and check_css))):
-                emit_ev("pagestart", r["url"], None, "")
-                ext_pages.append((
-                    r["url"],
-                    f["final_url"] if f["final_url"] is not None
-                    else r["url"],
-                    "css" if is_css else "html",
-                    docs_map.get(f["body_doc_id"]),
-                    r["seq"], r["root_path"],
-                ))
-
-        # ---- extraction: the staged UDF fn, called inline on the same
-        # (page_url, base_url, content_kind, spans) frame shape
-        cand_rows = []
-        if ext_pages:
-            ext_pdf = pd.DataFrame(
-                [(p[0], p[1], p[2], p[3]) for p in ext_pages],
-                columns=["page_url", "base_url", "content_kind", "spans"])
-            meta = {p[0]: (p[4], p[5]) for p in ext_pages}
-            for cpdf in candidates_fn([ext_pdf]):
-                for c in cpdf.to_dict("records"):
-                    parent_seq, root_path = meta[c["page_url"]]
-                    cand_rows.append(dict(c, parent_seq=parent_seq,
-                                          root_path=root_path))
-
-        # ---- malformed + skip-rule branches (_process_candidates head)
-        kept = []
-        for c in cand_rows:
-            if c["parse_error"] is not None:
-                emit_res(c["raw_link"], 0, LinkState.BROKEN, c["page_url"],
-                         [c["parse_error"]], "", c["parent_seq"])
-                continue
-            uwf = c["url_with_fragment"]
-            if (skip_fn is not None and uwf is not None
-                    and re.match(r"^https?://", uwf) and skip_fn(uwf)):
-                emit_res(uwf, None, LinkState.SKIPPED, c["page_url"], [],
-                         "", c["parent_seq"])
-                continue
-            kept.append(c)
-
-        # ---- recurse predicate + within-wave edge dedup (w_edge twin):
-        # first occurrence per (resolved_url, page_url) by
-        # (parent_seq, ordinal)
-        kept.sort(key=lambda c: (c["parent_seq"], c["ordinal"]))
-        seen_edges = set()
-        for c in kept:
-            edge = (c["resolved_url"], c["page_url"])
-            if edge in seen_edges:
-                continue
-            seen_edges.add(edge)
-            child_host = url_host_py(c["resolved_url"])
-            crawl = (recurse and c["resolved_url"].startswith(c["root_path"])
-                     and child_host == url_host_py(c["root_path"]))
-            emit_cand(c["resolved_url"], c["page_url"], crawl, child_host,
-                      c["parent_seq"], c["ordinal"], c["root_path"])
-
+        out = (
+            [("res",) + r + (None,) * 9 for r in res]
+            + [("ev", r[1], r[2], None, None, None, None, None, r[0], r[3],
+                None, None, None, None, None, None, None) for r in ev]
+            + [("cand",) + (None,) * 9 + c for c in cand]
+        )
         cols = ["t", "url", "status", "state", "parent", "failure_details",
                 "host", "seq", "kind", "detail", "resolved_url", "page_url",
                 "cand_crawl", "child_host", "parent_seq", "ordinal",
@@ -315,3 +323,74 @@ def run_wave_fused(
         yield pd.DataFrame(out, columns=cols)
 
     return ready.mapInPandas(fn, TAGGED_SCHEMA)
+
+
+def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
+                    cfg: CheckOptions, candidates_fn):
+    """The whole wave loop in Python over the (gate-bounded) maps: for
+    crawls whose scripted web fits the chain-map gate, every wave is
+    driver-side vectorized work — zero Spark jobs in the loop. Returns
+    (result_rows, event_rows, dup_edge_rows, waves) as plain tuples for
+    ``spark.createDataFrame``; the caller applies the shared finalization
+    (dup-BROKEN re-report, mapUrl, link events, pass verdict).
+
+    State twins (asserted equal to the staged path by
+    tests/test_wave_fused.py): URL-seen set, (child,parent) relationship
+    set, per-URL first-edge selection (w_url), per-host politeness rank
+    and the (wave+1)*1e9+rank seq formula (_candidates_tail)."""
+    from types import SimpleNamespace
+
+    from linkinator_spark.functions.urls import url_host_py
+    from linkinator_spark.operators.fetch import make_fused_fetcher
+
+    fetcher = make_fused_fetcher(SimpleNamespace(value=chain_map), cfg)
+    skip_fn = _make_py_skip(getattr(cfg, "links_to_skip", None))
+
+    frontier = [
+        {"url": u, "host": h, "parent": p, "crawl": c, "root_path": rp,
+         "attempt": at, "retry_errors_n": rn, "not_before": nb,
+         "wave": w, "seq": sq}
+        for (u, h, p, c, rp, at, rn, nb, w, sq) in seeds
+    ]
+    seen = {r["url"] for r in frontier}
+    rel: set[tuple] = set()
+    results: list[tuple] = []
+    events: list[tuple] = []
+    dup_edges: list[tuple] = []
+    wave = 0
+    while wave < cfg.max_waves and frontier:
+        res, ev, cand = process_wave_rows(
+            frontier, fetcher, skip_fn, cfg, docs_map, candidates_fn,
+            url_host_py)
+        results.extend(r + (wave,) for r in res)
+        events.extend(e + (wave,) for e in ev)
+
+        # relational tail twin (_candidates_tail): rel anti-join ->
+        # per-URL first edge -> URL-seen -> politeness rank/seq
+        host_rank: dict[str, int] = {}
+        url_first: set[str] = set()
+        nxt = []
+        for (resolved, page_url, crawl, child_host, parent_seq, ordinal,
+             root_path) in cand:
+            if (resolved, page_url) in rel:
+                continue
+            rel.add((resolved, page_url))
+            if resolved in url_first:
+                dup_edges.append((resolved, page_url))
+                continue
+            url_first.add(resolved)
+            if resolved in seen:
+                dup_edges.append((resolved, page_url))
+                continue
+            seen.add(resolved)
+            rank = host_rank.get(child_host, 0) + 1
+            host_rank[child_host] = rank
+            nxt.append({
+                "url": resolved, "host": child_host, "parent": page_url,
+                "crawl": crawl, "root_path": root_path, "attempt": 1,
+                "retry_errors_n": 0, "not_before": 0.0, "wave": wave + 1,
+                "seq": (wave + 1) * 1_000_000_000 + rank,
+            })
+        frontier = nxt
+        wave += 1
+    return results, events, dup_edges, wave

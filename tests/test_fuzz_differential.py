@@ -1,0 +1,262 @@
+"""Property-based differential fuzzing (SURVEY §5 model, verdict item 7).
+
+Two independent implementations of the crawl semantics are run over ≥200
+seeded random (web graph × option matrix) cases and must agree on the
+result set:
+
+* ``run_crawl_fused`` — the engine's wave-batched control flow
+  (operators/wave_fused.py), pure Python, proven identical to the staged
+  DataFrame engine by tests/test_wave_fused.py::test_gears_identical.
+* ``simulate_fifo`` — a from-scratch single-threaded FIFO crawler written
+  the way the reference executes (one link at a time off a queue,
+  src/queue.ts:69-97 + src/index.ts:344-604), sharing only the leaf
+  request/classify helpers.
+
+The differential axis is the control flow — wave batching, URL-seen and
+edge dedup, duplicate re-report, recursion gating — which is where crawler
+bugs live. Fetch choreography equivalence (chain resolver vs hop loop) is
+separately pinned by tests/test_redirect_chain.py.
+
+Pure Python on both sides: all 200+ cases run in seconds, no Spark.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import deque
+from types import SimpleNamespace
+
+from linkinator_spark.config import CheckOptions, LinkState
+from linkinator_spark.functions.extract import make_candidate_links_udf
+from linkinator_spark.functions.urls import url_host_py
+from linkinator_spark.operators.fetch import _make_py_skip, make_fused_fetcher
+from linkinator_spark.operators.wave_fused import (
+    _CSS_RE_PY, _HTML_RE_PY, classify_py, run_crawl_fused,
+)
+from linkinator_spark.sources.fixtures import SiteBuilder
+
+import re
+
+import pandas as pd
+
+
+# --------------------------------------------------------------- site maps
+
+def _site_maps(site: SiteBuilder):
+    """Python twins of build_chain_map/build_docs_map over a SiteBuilder
+    (no Spark)."""
+    cmap: dict = {}
+    for (url, _host, method, attempt, status, headers, ct, body_doc,
+         final) in site._pages:
+        cmap.setdefault((url, method), []).append((
+            attempt, status, headers.get("location"),
+            headers.get("retry-after"),
+            headers.get("cf-mitigated") is not None,
+            headers.get("content-type") or ct or "",
+            body_doc or "", final,
+        ))
+    for v in cmap.values():
+        v.sort(key=lambda t: t[0])
+    docs = {}
+    for doc_id, spans in site._docs:
+        docs[doc_id] = [
+            {"kind": k, "text": t, "media_ref": m, "offset": o}
+            for (k, t, m, o) in spans
+        ]
+    return cmap, docs
+
+
+# ------------------------------------------------- sequential FIFO reference
+
+def simulate_fifo(site: SiteBuilder, cfg: CheckOptions):
+    """Single-threaded reference-semantics crawl: one link at a time off a
+    FIFO queue, exactly the reference's per-link flow. Returns the result
+    set {(url, status, state, parent)} including duplicate-link BROKEN
+    re-reports."""
+    cmap, docs_map = _site_maps(site)
+    fetcher = make_fused_fetcher(SimpleNamespace(value=cmap), cfg)
+    skip_fn = _make_py_skip(cfg.links_to_skip)
+    extract = make_candidate_links_udf(cfg.check_css, cfg.markdown)
+
+    seeds = []
+    seen_seed = set()
+    for p in cfg.paths:
+        if p not in seen_seed:
+            seen_seed.add(p)
+            seeds.append(p)
+    seen = set(seeds)
+    queue = deque((u, True, None) for u in seeds)
+    results = []          # (url, status, state, parent)
+    pending_dups = []     # (url, parent) duplicate edges
+    edges_seen = set()
+
+    while queue:
+        url, crawl, parent = queue.popleft()
+        if not re.match(r"^https?://", url):
+            results.append((url, 0, LinkState.SKIPPED, parent))
+            continue
+        if skip_fn is not None and skip_fn(url):
+            results.append((url, None, LinkState.SKIPPED, parent))
+            continue
+        f = fetcher([{"url": url, "crawl": crawl, "attempt": 1}])[0]
+        if f["redirect_skipped"] is not None:
+            results.append((url, None, LinkState.SKIPPED, parent))
+            continue
+        has_body = (f["has_response"] and f["method_effective"] == "GET"
+                    and f["body_doc_id"] != "")
+        state, _details, _evs = classify_py(
+            cfg, url, f["status"], f["has_response"], has_body,
+            f["final_url"], f["location"], f["cf_mitigated"],
+            f["fetch_failures"])
+        results.append((url, f["status"], state, parent))
+        is_html = bool(_HTML_RE_PY.search(f["content_type"] or ""))
+        is_css = bool(_CSS_RE_PY.search(f["content_type"] or ""))
+        if not (crawl and has_body
+                and (is_html or (is_css and cfg.check_css))):
+            continue
+        base = f["final_url"] if f["final_url"] is not None else url
+        spans = docs_map.get(f["body_doc_id"])
+        pdf = pd.DataFrame(
+            [(url, base, "css" if is_css else "html", spans)],
+            columns=["page_url", "base_url", "content_kind", "spans"])
+        for cpdf in extract([pdf]):
+            for c in cpdf.to_dict("records"):
+                if c["parse_error"] is not None:
+                    results.append((c["raw_link"], 0, LinkState.BROKEN, url))
+                    continue
+                uwf = c["url_with_fragment"]
+                if (skip_fn is not None and uwf is not None
+                        and re.match(r"^https?://", uwf) and skip_fn(uwf)):
+                    results.append((uwf, None, LinkState.SKIPPED, url))
+                    continue
+                child = c["resolved_url"]
+                if (child, url) in edges_seen:
+                    continue
+                edges_seen.add((child, url))
+                if child in seen:
+                    pending_dups.append((child, url))
+                    continue
+                seen.add(child)
+                # recursion root: the crawl's seed (single-seed fuzz sites),
+                # same-prefix + same-host predicate (src/index.ts:786-798)
+                root = seeds[0]
+                child_crawl = (
+                    bool(cfg.recurse) and child.startswith(root)
+                    and url_host_py(child) == url_host_py(root)
+                )
+                queue.append((child, child_crawl, url))
+
+    # duplicate-link BROKEN re-report (src/index.ts:840-875)
+    broken = {(u, s, st) for (u, s, st, _p) in results
+              if st == LinkState.BROKEN and "#" not in u}
+    by_url = {u: (s, st) for (u, s, st) in broken}
+    for (u, p) in pending_dups:
+        if u in by_url:
+            s, st = by_url[u]
+            results.append((u, s, st, p))
+    return set(results)
+
+
+# ------------------------------------------------------------ random sites
+
+STATUS_POOL = [200, 200, 200, 200, 404, 500, 301, 302, 303, 307, 999, 403,
+               405, 410, 204]
+
+
+def _random_site(rng: random.Random, n_pages: int):
+    base = "http://fuzz.test"
+    urls = [f"{base}/p{i}" for i in range(n_pages)]
+    ext = [f"http://ext{i}.example/x" for i in range(3)]
+    site = SiteBuilder()
+    scripted = set()
+    for i, u in enumerate(urls):
+        st = 200 if i == 0 else rng.choice(STATUS_POOL)
+        if st in (301, 302, 303, 307):
+            # redirect somewhere (maybe a loop, maybe relative)
+            tgt = rng.choice(urls + ext + [f"/p{rng.randrange(n_pages)}",
+                                           "rel" + str(rng.randrange(5))])
+            site.redirect(u, tgt, status=st)
+            scripted.add(u)
+            continue
+        n_links = rng.randrange(0, 5)
+        links = [rng.choice(urls + ext + ["/frag#sec" + str(rng.randrange(3)),
+                                          "bad://u r l"])
+                 for _ in range(n_links)]
+        html = "".join(f'<a href="{x}">l</a>' for x in links)
+        if rng.random() < 0.15:
+            html += f'<img src="{rng.choice(urls)}">'
+        if st == 403 and rng.random() < 0.5:
+            site.page(u, html=html, status=st,
+                      headers={"cf-mitigated": "challenge"})
+        elif st == 405:
+            site.script(u, "HEAD", 1, 405)
+            site.script(u, "GET", 1, 200, html=html)
+        else:
+            site.page(u, html=html, status=st)
+        scripted.add(u)
+    # a few dangling targets referenced but never scripted happen naturally
+    # (rng may pick ext hosts); script some of the ext hosts
+    for e in ext[:2]:
+        site.page(e, html="<p>ok</p>")
+    return site, urls[0]
+
+
+def _random_cfg(rng: random.Random, seed_url: str) -> CheckOptions:
+    kw = {}
+    if rng.random() < 0.3:
+        kw["redirects"] = rng.choice(["allow", "warn", "error"])
+    if rng.random() < 0.25:
+        kw["require_https"] = rng.choice(["warn", "error"])
+    if rng.random() < 0.3:
+        kw["status_codes"] = rng.choice([
+            {"404": "warn"}, {"5xx": "skip"}, {"410": "ok", "4xx": "error"},
+            {"999": "error"},
+        ])
+    if rng.random() < 0.3:
+        kw["links_to_skip"] = rng.choice([
+            [r"/p1\b"], [r"ext0"], [r"/p[23]$"],
+        ])
+    if rng.random() < 0.2:
+        kw["check_css"] = True
+    return CheckOptions(paths=[seed_url], recurse=rng.random() < 0.85, **kw)
+
+
+N_CASES = 240
+
+
+def test_fuzz_engine_vs_fifo_reference():
+    """≥200 seeded random graph/option cases: the engine's wave-batched
+    semantics (run_crawl_fused, == staged engine by gear-equivalence) must
+    produce the same result SET as the sequential FIFO reference
+    simulator. Zero divergences allowed."""
+    from linkinator_spark.operators.crawler import LinkChecker
+
+    divergences = []
+    for case in range(N_CASES):
+        rng = random.Random(10_000 + case)
+        site, seed_url = _random_site(rng, rng.randrange(4, 12))
+        cfg = _random_cfg(rng, seed_url)
+
+        cmap, docs_map = _site_maps(site)
+        extract = make_candidate_links_udf(cfg.check_css, cfg.markdown)
+        seeds = LinkChecker._seed_frontier(
+            SimpleNamespace(spark=None), cfg)  # staticmethod-style reuse
+        res_rows, _ev, dup_rows, _w = run_crawl_fused(
+            seeds, cmap, docs_map, cfg, extract)
+        engine = {(u, s, st, p) for (u, s, st, p, _d, _h, _sq, _w2)
+                  in res_rows}
+        # engine-side dup re-report twin (crawler._finalize)
+        by_url = {u: (s, st) for (u, s, st, _p) in engine
+                  if st == LinkState.BROKEN and "#" not in u}
+        for (u, p) in dup_rows:
+            if u in by_url:
+                s, st = by_url[u]
+                engine.add((u, s, st, p))
+
+        fifo = simulate_fifo(site, cfg)
+        if engine != fifo:
+            divergences.append((case, engine - fifo, fifo - engine))
+            if len(divergences) >= 3:
+                break
+    assert not divergences, (
+        f"{len(divergences)} divergent cases; first: {divergences[0]}")

@@ -1,0 +1,132 @@
+"""Gear equivalence: the fully-fused python loop, the per-wave fused Arrow
+stage, and the staged DataFrame pipeline must produce IDENTICAL crawls.
+
+The staged pipeline is the semantics reference (it is what the driver's
+oracles and the rest of the suite exercise); the fused gears
+(operators/wave_fused.py) are execution strategies only. Gear forcing uses
+existing config knobs:
+
+  * full fusion (default for scripted fixture crawls): plain CheckOptions
+  * wave-fused gear: a non-binding per_host_budget disables full fusion
+    but keeps small waves on the single-stage path
+  * staged gear: chain_map_max_rows=0 rebuilds the wave from broadcast
+    joins + the iterative hop loop (no fused anything)
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from linkinator_spark.config import CheckOptions
+from linkinator_spark.operators.crawler import LinkChecker
+from linkinator_spark.sources.fixtures import SiteBuilder
+
+
+def _rich_site() -> SiteBuilder:
+    """One site exercising every fused branch: redirect chains (+ relative
+    and 303 forms), a redirect loop over the 20-hop cap, 405->GET, a
+    last-gasp GET that flips a HEAD-only page to OK, broken links,
+    duplicate links from two parents (dup re-report), an external host,
+    a CSS body, a skipped subtree, and a meta-refresh page."""
+    base = "http://rich.test"
+    s = SiteBuilder()
+    s.page(
+        base + "/",
+        html=(
+            '<a href="/chain">c</a><a href="/loop0">l</a>'
+            '<a href="/headonly">h</a><a href="/gone">g</a>'
+            '<a href="/private/x">p</a><a href="http://ext.example/ok">e</a>'
+            '<a href="/styles.css">s</a><a href="/page2">p2</a>'
+            '<a href="/see">s3</a><a href="bad://u r l">m</a>'
+        ),
+    )
+    s.redirect(base + "/chain", "hop2", status=301)
+    s.redirect(base + "/hop2", "/land", status=302)
+    s.page(base + "/land", html='<a href="/gone">g2</a>')
+    for i in range(25):
+        s.redirect(base + f"/loop{i}", base + f"/loop{i + 1}", status=301)
+    s.redirect(base + "/see", base + "/get-only", status=303)
+    s.script(base + "/get-only", "GET", 1, 200, html="<p>get</p>")
+    # HEAD 405 -> GET 200 fallback
+    s.script(base + "/headonly", "HEAD", 1, 405)
+    s.script(base + "/headonly", "GET", 1, 200, html="<p>ok</p>")
+    s.page(base + "/page2", html='<a href="/gone">dup</a><a href="/land">dup2</a>')
+    s.page(base + "/styles.css", css='@import url("/imported.css");')
+    s.page(base + "/imported.css", css="/* empty */")
+    s.page(base + "/private/x", html="<p>secret</p>")
+    s.page("http://ext.example/ok")
+    return s
+
+
+def _crawl(spark, site: SiteBuilder, **kw):
+    pages, docs = site.build(spark)
+    cfg = CheckOptions(paths=["http://rich.test/"], recurse=True,
+                       links_to_skip=[r"/private/"], **kw)
+    res = LinkChecker(spark).check(cfg, pages, docs)
+    rows = sorted(
+        (r["url"], r["status"], r["state"], r["parent"], r["wave"],
+         tuple(r["failure_details"] or []))
+        for r in res.results.collect()
+    )
+    events = sorted(
+        (r["kind"], r["url"], r["status"], r["detail"], r["wave"])
+        for r in res.events.collect()
+    )
+    return rows, events, res.passed, res.waves
+
+
+GEAR_KNOBS = {
+    "full": {},
+    "wave": {"per_host_budget": 10**9},       # non-binding budget
+    "staged": {"chain_map_max_rows": 0},      # no chain map -> staged+hops
+}
+
+
+@pytest.mark.parametrize("extra", [
+    {},
+    {"check_css": True},
+    {"redirects": "error"},
+    {"require_https": "warn"},
+    {"status_codes": {"404": "warn", "5xx": "skip"}},
+])
+def test_gears_identical(spark, extra):
+    outs = {
+        gear: _crawl(spark, _rich_site(), **knobs, **extra)
+        for gear, knobs in GEAR_KNOBS.items()
+    }
+    full, wavef, staged = outs["full"], outs["wave"], outs["staged"]
+    assert full[0] == staged[0], "results: full-fused != staged"
+    assert wavef[0] == staged[0], "results: wave-fused != staged"
+    assert full[1] == staged[1], "events: full-fused != staged"
+    assert wavef[1] == staged[1], "events: wave-fused != staged"
+    assert full[2] == staged[2] == wavef[2]
+    assert full[3] == staged[3] == wavef[3]
+
+
+def test_full_fusion_runs_zero_wave_jobs(spark):
+    """The fully-fused gear must not launch Spark jobs inside the wave
+    loop: after the broadcast maps are built, the whole crawl is Python.
+    Guard: poison mapInPandas + DataFrame actions during check() except
+    the map builds and finalization (which the test triggers AFTER)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    site = _rich_site()
+    pages, docs = site.build(spark)
+    cfg = CheckOptions(paths=["http://rich.test/"], recurse=True)
+
+    calls = {"collect": 0}
+    real_collect = DataFrame.collect
+
+    def counting(self, *a, **k):
+        calls["collect"] += 1
+        return real_collect(self, *a, **k)
+
+    checker = LinkChecker(spark)
+    import unittest.mock as mock
+    with mock.patch.object(DataFrame, "collect", counting):
+        res = checker.check(cfg, pages, docs)
+        mid_calls = calls["collect"]
+    # the loop itself must do no driver-side collect at all; the only
+    # Spark work before materialization is the two treeAggregate map
+    # builds (RDD-level) and the final isEmpty/persist
+    assert mid_calls <= 2, f"fused crawl ran {mid_calls} collects"
+    assert res.results.count() > 0
