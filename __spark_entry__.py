@@ -707,7 +707,10 @@ def q_media_features(spark, sf_dir):
     # deterministic sha256 math, so DuckDB reproduces the float32 features
     # bit-exactly and the driver value-checks the whole decode path
     return (
-        M.extract_media_features(media, out_dim=8)
+        # decoder pinned to the stub: the oracle replays its sha256 math
+        # bit-exactly in DuckDB, so the value check must not depend on
+        # whether a real codec library happens to be importable
+        M.extract_media_features(media, out_dim=8, decoder="stub")
         .select("media_id", "kind",
                 F.posexplode("feature").alias("dim", "f"))
         .select(

@@ -23,7 +23,10 @@ MEDIA_SCHEMA = (
     "duration_ms int, mime string"
 )
 
-FEATURES_SCHEMA = "media_id string, kind string, feature array<float>, feat_norm double"
+FEATURES_SCHEMA = (
+    "media_id string, kind string, feature array<float>, feat_norm double, "
+    "decoder string"
+)
 
 FRAME_SCHEMA = "media_id string, frame_idx int, ts_ms int, frame_hash string"
 
@@ -31,9 +34,8 @@ STRICT = False  # set True to surface NotImplementedError instead of the fake
 
 
 def _decode_image_stub(data: bytes, out_dim: int = 16) -> np.ndarray:
-    """STUB decoder: deterministic pseudo-features from a hash of the bytes.
-    Replace with a real codec (PIL.Image.open(io.BytesIO(data))) on a
-    cluster with the codec libraries installed."""
+    """STUB decoder: deterministic pseudo-features from a hash of the bytes
+    (used when no codec library exists, e.g. this container)."""
     if STRICT:
         raise NotImplementedError("image codec not available in this container")
     digest = hashlib.sha256(data or b"").digest()
@@ -42,14 +44,60 @@ def _decode_image_stub(data: bytes, out_dim: int = 16) -> np.ndarray:
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
 
-def extract_media_features(media: DataFrame, out_dim: int = 16) -> DataFrame:
+def _decode_image_pil(data: bytes, out_dim: int = 16) -> np.ndarray:
+    """Real codec path: PIL grayscale thumbnail -> normalized pixel
+    features. Only selected when PIL imports (a real cluster); undecodable
+    bytes fall back to the stub features for that row so a corrupt blob
+    never kills the batch."""
+    import io
+
+    from PIL import Image
+
+    try:
+        img = Image.open(io.BytesIO(data or b"")).convert("L").resize(
+            (out_dim, 1))
+        return np.asarray(img, dtype=np.float32).reshape(-1) / 255.0
+    except Exception:
+        return _decode_image_stub(data, out_dim)
+
+
+_DECODERS = {"stub": _decode_image_stub, "pil": _decode_image_pil}
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def resolve_decoder(name: str | None = None):
+    """(identity, fn): the requested decoder by name, or — in auto mode —
+    PIL when importable, else the deterministic stub. Resolution happens
+    driver-side so the recorded identity is uniform across the job; a
+    cluster swaps in the real codec with zero code change just by having
+    PIL installed."""
+    if name is None:
+        name = "pil" if _pil_available() else "stub"
+    return name, _DECODERS[name]
+
+
+def extract_media_features(media: DataFrame, out_dim: int = 16,
+                           decoder: str | None = None) -> DataFrame:
     """binary -> feature vector, one Arrow batch at a time (the real-cluster
-    shape: batch-decode, batch-embed)."""
+    shape: batch-decode, batch-embed). `decoder` pins a codec ("stub" keeps
+    the output bit-deterministic for oracles); None auto-selects the real
+    codec when its library is importable. The output's `decoder` column
+    records which one produced each row, so downstream consumers can tell
+    real features from stand-ins."""
+    dec_name, dec_fn = resolve_decoder(decoder)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_image_stub(m if m is not None else b"", out_dim)
+                dec_fn(m if m is not None else b"", out_dim)
                 for m in pdf["media"]
             ]
             norms = [float(np.linalg.norm(f)) for f in feats]
@@ -58,6 +106,7 @@ def extract_media_features(media: DataFrame, out_dim: int = 16) -> DataFrame:
                 "kind": pdf["kind"],
                 "feature": [f.tolist() for f in feats],
                 "feat_norm": norms,
+                "decoder": dec_name,
             })
 
     return media.select("media_id", "kind", "media").mapInPandas(fn, FEATURES_SCHEMA)

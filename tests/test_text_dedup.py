@@ -238,3 +238,36 @@ def test_media_pipeline(spark):
     frames = sample_frames(media, every_ms=500).collect()
     assert len(frames) > 0
     assert all(r["ts_ms"] % 500 == 0 for r in frames)
+    # no codec libs in this container -> stub identity is recorded per row
+    assert all(r["decoder"] == "stub" for r in feats)
+
+
+def test_real_codec_picked_up_when_available(spark, monkeypatch):
+    """Import-if-available contract (VERDICT r2 item 5): when a codec
+    library is importable, auto mode must select it with zero code change,
+    and the output must record the real-decoder identity per row."""
+    import numpy as np
+
+    import linkinator_spark.functions.media as M
+
+    def fake_pil_decode(data, out_dim=16):
+        # a stand-in "real" codec: constant features, clearly distinct
+        # from the sha256 stub
+        return np.full(out_dim, 0.5, dtype=np.float32)
+
+    monkeypatch.setitem(M._DECODERS, "pil", fake_pil_decode)
+    monkeypatch.setattr(M, "_pil_available", lambda: True)
+
+    docs = spark.createDataFrame(
+        [("d1", [("media_ref", "", "http://cdn.example/i.png", 0)])],
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    media = media_from_documents(docs)
+    rows = M.extract_media_features(media, out_dim=4).collect()
+    assert rows and all(r["decoder"] == "pil" for r in rows)
+    assert all(r["feature"] == [0.5] * 4 for r in rows)
+    # pinning the stub still works (the oracle path)
+    stub_rows = M.extract_media_features(media, out_dim=4,
+                                         decoder="stub").collect()
+    assert all(r["decoder"] == "stub" for r in stub_rows)
+    assert stub_rows[0]["feature"] != [0.5] * 4
