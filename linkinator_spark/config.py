@@ -109,6 +109,10 @@ class CheckOptions:
     # ~tens of MB of Python objects — a safe broadcast
     chain_map_max_rows: int = 200_000
     checkpoint_dir: str | None = None    # wave-state checkpoints (resume)
+    # Iceberg catalog name for wave-state checkpoints (atomic snapshot
+    # commits + VERSION AS OF resume); needs the iceberg-spark runtime on
+    # the cluster. Mutually exclusive with checkpoint_dir; wins if set.
+    checkpoint_catalog: str | None = None
     seed: int = 42                       # deterministic jitter seed
 
     def has_skip_rules(self) -> bool:

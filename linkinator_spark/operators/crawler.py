@@ -71,7 +71,7 @@ from linkinator_spark.operators.politeness import politeness_budget_split
 from linkinator_spark.operators.skiprules import (
     make_fragment_skip_match, make_skip_match,
 )
-from linkinator_spark.sources.tableio import WaveStore
+from linkinator_spark.sources.tableio import make_wave_store
 
 RESULT_SCHEMA = StructType([
     StructField("url", StringType()),
@@ -163,7 +163,7 @@ class LinkChecker:
         resume: bool = False,
     ) -> CrawlResult:
         spark = self.spark
-        store = WaveStore(cfg.checkpoint_dir) if cfg.checkpoint_dir else None
+        store = make_wave_store(spark, cfg)
 
         live = pages is None
         if live:

@@ -116,3 +116,149 @@ class WaveStore:
             for name in manifest["tables"]
         }
         return manifest, dfs
+
+
+# --------------------------------------------------------------- Iceberg
+
+def iceberg_available(spark: SparkSession, catalog: str) -> bool:
+    """True when the iceberg-spark runtime is on the classpath AND the
+    named catalog is configured. This container ships neither (no network
+    to fetch the jar — SURVEY §7.0), so the Iceberg branch is exercised
+    only where a cluster provides them; contract tests skip otherwise."""
+    try:
+        if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+            return False
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class IcebergWaveStore:
+    """Iceberg branch of the WaveStore contract (same surface: commit /
+    latest_wave / load).
+
+    Layout: one Iceberg table per state name under `{catalog}.{ns}`, plus
+    a `wave_manifest` table. A wave commit overwrites each state table
+    (its own atomic Iceberg snapshot, hidden-partitioned storage managed
+    by the catalog) and records every table's resulting `snapshot_id` in
+    ONE appended manifest row — that single-row append is the atomic
+    publish point, exactly like the parquet store's manifest rename. A
+    crash mid-commit leaves newer state snapshots unreferenced by any
+    manifest row; resume reads each table `VERSION AS OF` the snapshot
+    ids in the latest manifest row, so it can never observe a torn wave.
+    Per-partition lineage comes from Iceberg's own snapshot/files
+    metadata tables rather than a footer pass.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str,
+                 namespace: str = "linkinator"):
+        self.spark = spark
+        self.prefix = f"{catalog}.{namespace}"
+        spark.sql(f"create namespace if not exists {self.prefix}")
+        spark.sql(
+            f"create table if not exists {self.prefix}.wave_manifest ("
+            "wave int, clock double, committed_at timestamp, "
+            "metrics string, snapshots map<string, bigint>) using iceberg"
+        )
+
+    def _tbl(self, name: str) -> str:
+        return f"{self.prefix}.st_{name}"
+
+    def _snapshot_id(self, name: str) -> int:
+        row = self.spark.sql(
+            f"select snapshot_id from {self._tbl(name)}.snapshots "
+            "order by committed_at desc limit 1"
+        ).collect()
+        return int(row[0][0])
+
+    def commit(self, wave: int, clock: float, dfs: dict[str, DataFrame],
+               metrics: dict | None = None) -> dict[str, DataFrame]:
+        snapshots = {}
+        for name, df in dfs.items():
+            df.writeTo(self._tbl(name)).using("iceberg").createOrReplace()
+            snapshots[name] = self._snapshot_id(name)
+        manifest_row = self.spark.createDataFrame(
+            [(wave, float(clock), json.dumps(metrics or {}), snapshots)],
+            "wave int, clock double, metrics string, "
+            "snapshots map<string, bigint>",
+        ).withColumn("committed_at", F_current_timestamp())
+        # the atomic publish: one Iceberg append transaction
+        manifest_row.select(
+            "wave", "clock", "committed_at", "metrics", "snapshots"
+        ).writeTo(f"{self.prefix}.wave_manifest").append()
+        return {
+            name: self.spark.read.option(
+                "snapshot-id", snapshots[name]
+            ).table(self._tbl(name))
+            for name in dfs
+        }
+
+    def latest_wave(self) -> int | None:
+        rows = self.spark.sql(
+            f"select max(wave) from {self.prefix}.wave_manifest"
+        ).collect()
+        return None if not rows or rows[0][0] is None else int(rows[0][0])
+
+    def load(self, spark: SparkSession, wave: int):
+        row = spark.sql(
+            f"select * from {self.prefix}.wave_manifest where wave = {wave} "
+            "order by committed_at desc limit 1"
+        ).collect()[0]
+        manifest = {
+            "wave": int(row["wave"]), "clock": float(row["clock"]),
+            "metrics": json.loads(row["metrics"]),
+            "tables": sorted(row["snapshots"].keys()),
+            # lineage: per-file rows/bytes from Iceberg's files metadata
+            "lineage": {
+                name: self._lineage(name, snap)
+                for name, snap in row["snapshots"].items()
+            },
+        }
+        dfs = {
+            name: spark.read.option("snapshot-id", snap).table(self._tbl(name))
+            for name, snap in row["snapshots"].items()
+        }
+        return manifest, dfs
+
+    def _lineage(self, name: str, snapshot_id: int) -> dict:
+        try:
+            rows = self.spark.sql(
+                f"select file_path, record_count, file_size_in_bytes "
+                f"from {self._tbl(name)}.files "
+                f"version as of {snapshot_id}"
+            ).collect()
+            return {
+                "parts": {r[0]: {"rows": int(r[1]), "bytes": int(r[2])}
+                          for r in rows},
+                "rows": sum(int(r[1]) for r in rows),
+            }
+        except Exception:  # lineage is advisory; never fail a load on it
+            return {"parts": {}, "rows": 0}
+
+
+def F_current_timestamp():
+    from pyspark.sql import functions as F
+
+    return F.current_timestamp()
+
+
+def make_wave_store(spark: SparkSession, cfg):
+    """Backend factory for the crawl loop: `checkpoint_catalog` (an
+    Iceberg catalog name) selects the Iceberg branch when its runtime is
+    loadable; `checkpoint_dir` selects the parquet+manifest store. The
+    crawler is backend-agnostic — both satisfy the same commit/resume/
+    lineage contract (tests/test_wavestore_lineage.py parameterizes over
+    them)."""
+    catalog = getattr(cfg, "checkpoint_catalog", None)
+    if catalog:
+        if not iceberg_available(spark, catalog):
+            raise RuntimeError(
+                f"checkpoint_catalog={catalog!r} requires the "
+                "iceberg-spark runtime jar and a configured "
+                f"spark.sql.catalog.{catalog}")
+        return IcebergWaveStore(spark, catalog)
+    if cfg.checkpoint_dir:
+        return WaveStore(cfg.checkpoint_dir)
+    return None

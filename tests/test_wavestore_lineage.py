@@ -4,10 +4,15 @@ per-partition lineage + metrics (north_rule requirement)."""
 import json
 import os
 
+import pytest
+
 from linkinator_spark.config import CheckOptions
 from linkinator_spark.operators.crawler import LinkChecker
 from linkinator_spark.sources.fixtures import SiteBuilder
-from linkinator_spark.sources.tableio import MANIFEST, WaveStore
+from linkinator_spark.sources.tableio import (
+    MANIFEST, IcebergWaveStore, WaveStore, iceberg_available,
+    make_wave_store,
+)
 
 
 def test_commit_writes_lineage_and_metrics(spark, tmp_path):
@@ -38,6 +43,51 @@ def test_commit_writes_lineage_and_metrics(spark, tmp_path):
     m1, tables = store.load(spark, 1)
     assert m1["lineage"]["frontier"]["rows"] == 10
     assert tables["frontier"].count() == 10
+
+
+# ------------------------------------------------- backend contract tests
+
+def _make_store(backend, spark, tmp_path):
+    if backend == "parquet":
+        return WaveStore(str(tmp_path / "ckpt"))
+    if not iceberg_available(spark, "ckpt_cat"):
+        pytest.skip("iceberg-spark runtime not on the classpath "
+                    "(offline container; runs on a cluster with the jar)")
+    return IcebergWaveStore(spark, "ckpt_cat")
+
+
+@pytest.mark.parametrize("backend", ["parquet", "iceberg"])
+def test_store_contract_commit_resume_lineage(spark, tmp_path, backend):
+    """Backend-agnostic WaveStore contract: commit returns re-readable
+    frames, latest_wave tracks the newest commit, load() returns the
+    manifest (wave/clock/metrics/tables/lineage) plus consistent tables —
+    the exact surface the crawl loop and resume path consume."""
+    store = _make_store(backend, spark, tmp_path)
+    df = spark.range(0, 100, 1, 4).selectExpr("id", "id * 2 as v")
+    state = store.commit(wave=0, clock=1.5, dfs={"frontier": df},
+                         metrics={"wave": 0, "clock": 1.5})
+    assert state["frontier"].count() == 100
+    assert store.latest_wave() == 0
+    store.commit(wave=1, clock=2.0, dfs={"frontier": df.limit(10)})
+    assert store.latest_wave() == 1
+    manifest, tables = store.load(spark, 1)
+    assert manifest["wave"] == 1 and manifest["clock"] == 2.0
+    assert manifest["tables"] == ["frontier"]
+    assert tables["frontier"].count() == 10
+    assert manifest["lineage"]["frontier"]["rows"] == 10
+    # wave 0 stays addressable (snapshot / directory isolation)
+    m0, t0 = store.load(spark, 0)
+    assert t0["frontier"].count() == 100 and m0["clock"] == 1.5
+
+
+def test_make_wave_store_backend_selection(spark, tmp_path):
+    cfg_parquet = CheckOptions(paths=[], checkpoint_dir=str(tmp_path / "c"))
+    assert isinstance(make_wave_store(spark, cfg_parquet), WaveStore)
+    assert make_wave_store(spark, CheckOptions(paths=[])) is None
+    cfg_ice = CheckOptions(paths=[], checkpoint_catalog="nope_cat")
+    with pytest.raises(RuntimeError, match="iceberg"):
+        # catalog requested but the runtime/catalog conf is absent here
+        make_wave_store(spark, cfg_ice)
 
 
 def test_checkpoint_commit_no_driver_host_collect(spark, tmp_path, monkeypatch):
