@@ -264,11 +264,16 @@ def main() -> None:
         # local[32] crosses into SMT siblings, which caps ANY workload (incl.
         # pure multiprocessing) well below 4x; 4-vs-16 is membw-capped at
         # ~0.79 even for pure codegen. See BENCH/BASELINE.md.
-        legs = [one_leg(2, FRONTIER_N * 2), one_leg(8, FRONTIER_N * 2)]
-        eff = (legs[1]["urls_per_sec"] / legs[0]["urls_per_sec"]) / 4.0
+        # full 2/4/8/16 curve for context; the official N-vs-4N pair stays
+        # 2-vs-8 for the membw reasons above
+        legs = {c: one_leg(c, FRONTIER_N * 2) for c in (2, 4, 8, 16)}
+        eff = (legs[8]["urls_per_sec"] / legs[2]["urls_per_sec"]) / 4.0
         out["scaling"] = {
-            "n": legs[0], "four_n": legs[1],
+            "n": legs[2], "four_n": legs[8],
             "efficiency": round(eff, 3),
+            "curve": {str(c): {"sec": legs[c]["sec"],
+                               "urls_per_sec": legs[c]["urls_per_sec"]}
+                      for c in sorted(legs)},
             "measured": "this run",
             "measured_at_commit": _git_head(),
         }
