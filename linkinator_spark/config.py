@@ -108,6 +108,9 @@ class CheckOptions:
     # convenience) is skipped for the iterative hop loop. 200k entries is
     # ~tens of MB of Python objects — a safe broadcast
     chain_map_max_rows: int = 200_000
+    # byte-size gate for the fused gears' docs broadcast (the row gate
+    # above bounds count, not body size); exceeded -> staged path
+    fused_docs_max_bytes: int = 256 * 1024 * 1024
     checkpoint_dir: str | None = None    # wave-state checkpoints (resume)
     # Iceberg catalog name for wave-state checkpoints (atomic snapshot
     # commits + VERSION AS OF resume); needs the iceberg-spark runtime on

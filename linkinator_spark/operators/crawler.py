@@ -221,6 +221,10 @@ class LinkChecker:
         # state machinery lives in the staged wave (fragments, retry/delay
         # gates, robots, url-rewrite). Eligible crawls run every SMALL wave
         # as one Arrow stage; big waves always keep the staged plan.
+        from linkinator_spark.operators.wave_fused import (
+            build_docs_map, docs_bytes_ok,
+        )
+
         ctx["wave_fused_capable"] = bool(
             ctx["chain_bc"] is not None
             and ctx.get("host_rules") is None
@@ -229,10 +233,9 @@ class LinkChecker:
             and documents is not None
             and documents.limit(cfg.chain_map_max_rows + 1).count()
             <= cfg.chain_map_max_rows
+            and docs_bytes_ok(documents, cfg.fused_docs_max_bytes)
         )
         if ctx["wave_fused_capable"]:
-            from linkinator_spark.operators.wave_fused import build_docs_map
-
             ctx["docs_bc"] = spark.sparkContext.broadcast(
                 build_docs_map(documents))
             # fully-fused gear: when nothing requires per-wave DataFrame

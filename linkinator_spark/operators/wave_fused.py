@@ -60,6 +60,22 @@ TAGGED_SCHEMA = (
 )
 
 
+def docs_bytes_ok(documents: DataFrame, max_bytes: int) -> bool:
+    """Byte-size gate for the docs broadcast: the chain-map row gate bounds
+    COUNT, but 200k documents of long bodies could still be gigabytes.
+    One JVM-side aggregate over span text lengths; the fused gears are
+    skipped (staged path taken) when the estimated map exceeds
+    `max_bytes`."""
+    from pyspark.sql import functions as F
+
+    row = documents.select(
+        F.sum(F.expr(
+            "aggregate(spans, 0L, (a, s) -> "
+            "a + length(s.text) + length(s.media_ref) + 64)")).alias("b")
+    ).collect()[0]
+    return int(row["b"] or 0) <= max_bytes
+
+
 def build_docs_map(documents: DataFrame):
     """{doc_id: [span dicts]} via executor-side treeAggregate (same shape
     as build_chain_map — the driver receives merged fragments, never

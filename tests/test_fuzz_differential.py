@@ -224,6 +224,78 @@ def _random_cfg(rng: random.Random, seed_url: str) -> CheckOptions:
 N_CASES = 240
 
 
+def _random_retry_site(rng: random.Random, n_pages: int):
+    """Random site exercising the retry + fragment machinery: 429s with
+    retry-after that succeed on attempt 2, transient 500s, fragment links
+    against pages with (sometimes missing) anchor ids."""
+    base = "http://retryfuzz.test"
+    urls = [f"{base}/p{i}" for i in range(n_pages)]
+    site = SiteBuilder()
+    for i, u in enumerate(urls):
+        links = []
+        for _ in range(rng.randrange(1, 4)):
+            t = rng.randrange(n_pages)
+            if rng.random() < 0.3:
+                links.append(f"/p{t}#sec{rng.randrange(3)}")
+            else:
+                links.append(f"/p{t}")
+        anchors = "".join(f'<h2 id="sec{j}">h</h2>'
+                          for j in range(rng.randrange(0, 3)))
+        html = anchors + "".join(f'<a href="{x}">l</a>' for x in links)
+        if i == 0:
+            site.page(u, html=html)
+        elif rng.random() < 0.25:
+            # 429 with retry-after, healed on attempt 2 (both methods —
+            # leaves probe HEAD)
+            for m in ("HEAD", "GET"):
+                site.script(u, m, 1, 429,
+                            headers={"retry-after": str(rng.randrange(1, 4))})
+                site.script(u, m, 2, 200, html=html)
+        elif rng.random() < 0.15:
+            # transient 500, healed on attempt 2 (retry_errors path)
+            for m in ("HEAD", "GET"):
+                site.script(u, m, 1, 500)
+                site.script(u, m, 2, 200, html=html)
+        elif rng.random() < 0.1:
+            site.page(u, html=html, status=404)
+        else:
+            site.page(u, html=html)
+    return site, urls[0]
+
+
+def test_fuzz_retry_fragments_chain_vs_hoploop(spark):
+    """Differential fuzz over the STAGED engine's two fetch strategies
+    (broadcast chain map vs iterative hop loop) on random retry/fragment
+    sites — the option families the python gears are gated away from.
+    Identical result sets and verdicts required.
+
+    Retry crawls run the staged wave loop (~40 s/crawl, Catalyst-latency-
+    bound at fixture scale), so the default case count is small; raise
+    LK_FUZZ_RETRY_CASES for a deep sweep."""
+    import os
+
+    from linkinator_spark.operators.crawler import LinkChecker
+
+    for case in range(int(os.environ.get("LK_FUZZ_RETRY_CASES", "3"))):
+        rng = random.Random(20_000 + case)
+        site, seed = _random_retry_site(rng, rng.randrange(4, 8))
+        kw = {"retry": True, "check_fragments": rng.random() < 0.7}
+        if rng.random() < 0.5:
+            kw["retry_errors"] = True
+            kw["retry_errors_count"] = 1
+        outs = []
+        for knobs in ({}, {"chain_map_max_rows": 0}):
+            pages, docs = site.build(spark)
+            cfg = CheckOptions(paths=[seed], recurse=True, **kw, **knobs)
+            res = LinkChecker(spark).check(cfg, pages, docs)
+            rows = sorted(
+                (r["url"], r["status"], r["state"], r["parent"],
+                 tuple(r["failure_details"] or []))
+                for r in res.results.collect())
+            outs.append((rows, res.passed))
+        assert outs[0] == outs[1], f"case {case} diverged (seed {20_000+case})"
+
+
 def test_fuzz_engine_vs_fifo_reference():
     """≥200 seeded random graph/option cases: the engine's wave-batched
     semantics (run_crawl_fused, == staged engine by gear-equivalence) must

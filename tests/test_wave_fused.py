@@ -102,6 +102,17 @@ def test_gears_identical(spark, extra):
     assert full[3] == staged[3] == wavef[3]
 
 
+def test_docs_byte_gate_forces_staged(spark):
+    """The fused gears' docs broadcast is byte-gated, not just row-gated:
+    a zero budget must push the whole crawl onto the staged path with
+    identical results."""
+    fused = _crawl(spark, _rich_site())
+    staged = _crawl(spark, _rich_site(), fused_docs_max_bytes=0)
+    assert fused[0] == staged[0]
+    assert fused[1] == staged[1]
+    assert fused[2] == staged[2] and fused[3] == staged[3]
+
+
 def test_full_fusion_runs_zero_wave_jobs(spark):
     """The fully-fused gear must not launch Spark jobs inside the wave
     loop: after the broadcast maps are built, the whole crawl is Python.
