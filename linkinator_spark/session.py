@@ -29,16 +29,26 @@ def get_spark(
         )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
-    if shuffle_partitions is None:
+    # Under spark-submit the PythonRunner driver already owns a JVM gateway
+    # (PYSPARK_GATEWAY_PORT is exported) carrying the submitted --master and
+    # --conf; forcing a master here would fight the deployment. Defer to it
+    # unless the caller passed one explicitly.
+    submitted = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
+    if not submitted:
+        master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None and not submitted:
         # local[k] → k; a real cluster would set 2-3x total cores.
         inside = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         shuffle_partitions = cpus if inside in ("*", "") else int(inside)
 
+    builder = SparkSession.builder.appName(app_name)
+    if not submitted:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -51,4 +61,18 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if (
+        submitted
+        and shuffle_partitions is None
+        and not (extra_conf and "spark.sql.shuffle.partitions" in extra_conf)
+        and not spark.sparkContext.getConf().contains(
+            "spark.sql.shuffle.partitions")
+    ):
+        # size shuffles to the cluster the submit actually gave us
+        # (runtime-settable; a real deploy overrides via --conf)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 8)),
+        )
+    return spark
