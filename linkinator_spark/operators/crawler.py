@@ -216,35 +216,42 @@ class LinkChecker:
                 pages, documents, cfg.user_agent
             ).localCheckpoint(eager=True)
 
-        # whole-wave fusion capability (operators/wave_fused.py): scripted
-        # tables small enough to broadcast, and none of the features whose
-        # state machinery lives in the staged wave (fragments, retry/delay
-        # gates, robots, url-rewrite). Eligible crawls run every SMALL wave
-        # as one Arrow stage; big waves always keep the staged plan.
+        # fusion capability (operators/wave_fused.py): scripted tables
+        # small enough to broadcast, no robots dim, no URL rewrite.
         from linkinator_spark.operators.wave_fused import (
             build_docs_map, docs_bytes_ok,
         )
 
-        ctx["wave_fused_capable"] = bool(
+        fused_maps_ok = bool(
             ctx["chain_bc"] is not None
             and ctx.get("host_rules") is None
-            and not cfg.check_fragments and not cfg.retry
-            and not cfg.retry_errors and not cfg.url_rewrite
+            and not cfg.url_rewrite
             and documents is not None
             and documents.limit(cfg.chain_map_max_rows + 1).count()
             <= cfg.chain_map_max_rows
             and docs_bytes_ok(documents, cfg.fused_docs_max_bytes)
         )
-        if ctx["wave_fused_capable"]:
+        # per-wave Arrow fusion inside the STAGED loop additionally
+        # excludes the retry/delay and fragment families — their cross-wave
+        # state (virtual clock, host delays, pending fragments) lives in
+        # the staged machinery
+        ctx["wave_fused_capable"] = fused_maps_ok and not (
+            cfg.check_fragments or cfg.retry or cfg.retry_errors)
+        # fully-fused gear: when nothing requires per-wave DataFrame state
+        # (no checkpoint commits, no per-host budget windows, no resume),
+        # the gate-bounded maps make the whole loop a Python computation —
+        # the reference's own single-node shape, applied exactly where the
+        # input is single-node sized. Retry and fragment crawls DO take
+        # this gear: their state twins (429/backoff requeues with bit-exact
+        # jitter, pending-fragment validation) are asserted equal to the
+        # staged branches by tests/test_wave_fused.py.
+        full_fused_ok = (fused_maps_ok and store is None and not resume
+                         and not cfg.per_host_budget)
+        if full_fused_ok or ctx["wave_fused_capable"]:
             ctx["docs_bc"] = spark.sparkContext.broadcast(
                 build_docs_map(documents))
-            # fully-fused gear: when nothing requires per-wave DataFrame
-            # state (no checkpoint commits, no per-host budget windows, no
-            # resume), the gate-bounded maps make the whole loop a Python
-            # computation — the reference's own single-node shape, applied
-            # exactly where the input is single-node sized
-            if store is None and not resume and not cfg.per_host_budget:
-                return self._check_full_fused(cfg, ctx)
+        if full_fused_ok:
+            return self._check_full_fused(cfg, ctx)
 
         if resume and store and store.latest_wave() is not None:
             manifest, state = store.load(spark, store.latest_wave())
@@ -521,14 +528,18 @@ class LinkChecker:
         whole wave loop as Python over the gate-bounded broadcast maps —
         zero Spark jobs between seed and finalization. Taken only for
         scripted crawls already small enough to broadcast, with no
-        checkpointing / politeness budget / retry / fragments / robots
-        (crawler gate in check()); result-identical to the staged loop
-        (tests/test_wave_fused.py)."""
-        from linkinator_spark.operators.wave_fused import run_crawl_fused
+        checkpointing / politeness budget / robots (crawler gate in
+        check()); retry and fragment crawls run their state twins here —
+        result-identical to the staged loop (tests/test_wave_fused.py)."""
+        from linkinator_spark.operators.wave_fused import (
+            _make_py_frag_skip, run_crawl_fused,
+        )
 
-        res_rows, ev_rows, dup_rows, waves = run_crawl_fused(
+        res_rows, ev_rows, dup_rows, waves, clock = run_crawl_fused(
             self._seed_frontier(cfg), ctx["chain_bc"].value,
             ctx["docs_bc"].value, cfg, ctx["candidates_udf"],
+            anchors_fn=ctx["anchors_udf"],
+            frag_skip_fn=_make_py_frag_skip(cfg.fragments_to_skip),
         )
         results = self.spark.createDataFrame(
             [(u, s, st, p, d, w, h, sq)
@@ -537,7 +548,7 @@ class LinkChecker:
         )
         events = self.spark.createDataFrame(ev_rows, EVENT_SCHEMA)
         dup_edges = self.spark.createDataFrame(dup_rows, DUP_SCHEMA)
-        return self._finalize(cfg, results, dup_edges, events, waves, 0.0)
+        return self._finalize(cfg, results, dup_edges, events, waves, clock)
 
     # ---------------------------------------------------------------- seeds
     def _touch_stats_with_bloom(self, touch, bloom: BloomFilter, clock: float):

@@ -644,7 +644,12 @@ def make_fused_fetcher(chain_bc, cfg: CheckOptions):
         hd_map[_uh(cfg.static_http_server_host)] = (
             404, "text/plain; charset=UTF-8")
 
-    def fetch(rows: list) -> list:
+    def fetch(rows: list, method_override: str | None = None,
+              fallbacks: bool = True) -> list:
+        """Default: the full wave-batch choreography. With
+        ``method_override='GET', fallbacks=False`` it twins the staged
+        ``_refetch`` (a plain chain-following GET with no 405/last-gasp
+        batch passes — the fragment body-refetch shape)."""
         from linkinator_spark.functions.urls import url_host_py
 
         cmap = chain_bc.value
@@ -737,7 +742,8 @@ def make_fused_fetcher(chain_bc, cfg: CheckOptions):
         urls = [r["url"] for r in rows]
         crawls = [bool(r["crawl"]) for r in rows]
         attempts = [int(r["attempt"]) for r in rows]
-        units = [unit(urls[i], "GET" if crawls[i] else "HEAD",
+        units = [unit(urls[i],
+                      method_override or ("GET" if crawls[i] else "HEAD"),
                       attempts[i]) for i in range(n)]
 
         def bad(r):
@@ -749,13 +755,15 @@ def make_fused_fetcher(chain_bc, cfg: CheckOptions):
         # only runs when some NON-405 row needed it pre-refetch
         # (post-refetch when a 405 pass ran), and then applies to every
         # still-bad leaf row (crawler.py lg_cond/lg_full distinction)
-        if any(u[0]["status"] == 405 and u[1] is None for u in units):
+        if fallbacks and any(
+                u[0]["status"] == 405 and u[1] is None for u in units):
             for i, u in enumerate(units):
                 if u[0]["status"] == 405 and u[1] is None:
                     r, rskip, f, me, fin = unit(urls[i], "GET", attempts[i])
                     units[i] = (r, rskip, u[2] + f, me, fin)
-        if any(bad(u[0]) and not crawls[i] and u[1] is None
-               and u[0]["status"] != 405 for i, u in enumerate(units)):
+        if fallbacks and any(bad(u[0]) and not crawls[i] and u[1] is None
+                             and u[0]["status"] != 405
+                             for i, u in enumerate(units)):
             for i, u in enumerate(units):
                 if bad(u[0]) and not crawls[i] and u[1] is None:
                     r, rskip, f, me, fin = unit(urls[i], "GET", attempts[i])

@@ -19,8 +19,11 @@ operators/crawler.py remains the at-scale path and the semantics reference:
   fits the chain-map gate (cfg.chain_map_max_rows). This is the shape of
   the reference itself — a single-node loop — applied exactly where the
   input is single-node sized; state (seen set, edge set) is bounded by the
-  gated table size, never by frontier scale. Checkpointed, per-host-budget,
-  retry, robots, fragment and live crawls never take this gear.
+  gated table size, never by frontier scale. Retry and fragment crawls DO
+  take this gear (virtual clock, per-host delay gate, 429/backoff requeues
+  with a bit-exact xxhash64 jitter twin, pending-fragment validation —
+  each a python twin of its staged branch). Checkpointed, per-host-budget,
+  robots, url-rewrite and live crawls never take this gear.
 
 Semantics parity, piece by piece:
 * request choreography: `fetch.make_fused_fetcher` — python twins of
@@ -176,8 +179,72 @@ def classify_py(cfg: CheckOptions, url: str, status: int, has_response: bool,
     return state, details, (ev_status_warn, ev_redirect, ev_http_insecure)
 
 
+_EPS_PY = 1e-9  # crawler._EPS twin
+
+
+def retry_after_seconds_py(s: str | None, clock: float) -> float | None:
+    """Twin of crawler.retry_after_seconds (parseRetryAfter,
+    src/index.ts:993-1009): plain seconds | '1m30s'/'30s' durations |
+    HTTP-date on the virtual epoch. Returns an absolute virtual deadline
+    or None, matching the JVM expression branch-for-branch."""
+    import calendar
+    from datetime import datetime
+
+    if s is None:
+        return None
+    if re.search(r"^\d+(\.\d+)?$", s):
+        return float(s) + clock
+    if re.search(r"^(\d+m)?\d+s$", s):
+        m = re.search(r"^(\d+)m", s)
+        minutes = float(m.group(1)) if m else 0.0
+        secs = float(re.search(r"(\d+)s$", s).group(1))
+        return minutes * 60 + secs + clock
+    m = re.search(r"^[A-Za-z]{3}, (.+) GMT$", s)
+    if m:
+        try:
+            dt = datetime.strptime(m.group(1), "%d %b %Y %H:%M:%S")
+        except ValueError:
+            return None
+        return float(calendar.timegm(dt.timetuple()))
+    return None
+
+
+def _round_half_up(v: float) -> float:
+    """Twin of F.round(double): BigDecimal HALF_UP at scale 0."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(v)).quantize(0, rounding=decimal.ROUND_HALF_UP))
+
+
+def _double_str(v: float) -> str:
+    """Twin of Spark's double→string cast (Java Double.toString) for the
+    post-round values the retry events carry (integral, small)."""
+    import math
+
+    if v == int(v) and abs(v) < 1e7:
+        if v == 0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
+        return f"{int(v)}.0"
+    return repr(v)
+
+
+def _make_py_frag_skip(rules):
+    """Python twin of skiprules.make_fragment_skip_match (regex path
+    matches the FRAGMENT only, like the JVM `frag.rlike` union)."""
+    if rules is None:
+        return None
+    if callable(rules):
+        return lambda f, u: bool(rules(f, u))
+    if not rules:
+        return None
+    pats = [re.compile(p) for p in rules]
+    return lambda f, u: any(p.search(f) for p in pats)
+
+
 def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
-                      docs_map: dict, candidates_fn, url_host_py):
+                      docs_map: dict, candidates_fn, url_host_py,
+                      retry_ctx: dict | None = None):
     """One wave's per-row pipeline over plain dict rows. Returns
     (res_rows, ev_rows, cand_rows):
 
@@ -186,6 +253,13 @@ def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
       cand: (resolved_url, page_url, crawl, child_host, parent_seq,
              ordinal, root_path) — within-wave (child,parent)-deduped,
              ordered by (parent_seq, ordinal) like the staged w_edge window
+
+    With ``retry_ctx`` (fully-fused gear only: keys clock / host_delays /
+    pending_targets / frag_skip_fn) the retry + fragment branches run too,
+    and four more values are returned: requeue (frontier dicts), new_delays
+    (host -> 429 deadline), page_meta (fragment-validation inputs) and
+    new_pending ((target, fragment) pairs). ``retry_ctx=None`` (the per-wave
+    Arrow gear) keeps the original 3-tuple contract.
     """
     import pandas as pd
 
@@ -194,6 +268,10 @@ def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
     res: list[tuple] = []
     ev: list[tuple] = []
     cand: list[tuple] = []
+    requeue: list[dict] = []      # frontier rows to re-enter a later wave
+    new_delays: dict = {}         # host -> max 429 deadline this wave
+    page_meta: list[dict] = []    # fragment-validation inputs (check_fragments)
+    new_pending: list[tuple] = [] # (target_url, fragment) per-wave distinct
 
     # ---- pre-fetch skip (src/index.ts:320-323,973-985)
     fetchable = []
@@ -206,11 +284,67 @@ def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
         else:
             fetchable.append(r)
 
+    # ---- per-host delay gate (J3, staged crawler delay join twin):
+    # skipped rows above never reach the gate, matching the staged order
+    if retry_ctx is not None and cfg.retry and retry_ctx["host_delays"]:
+        clock = retry_ctx["clock"]
+        still = []
+        for r in fetchable:
+            nb = retry_ctx["host_delays"].get(r["host"])
+            if nb is not None and nb > clock + _EPS_PY:
+                requeue.append(dict(r, not_before=nb))
+            else:
+                still.append(r)
+        fetchable = still
+
     # ---- fetch choreography (request + chains + 405 + last-gasp),
     # wave-batch gated exactly like the staged aggregate
     fetched = fetcher(fetchable)
 
+    # ---- retry diversion between fetch and classify (staged c429/cerr
+    # twins, src/index.ts:1019-1109): 429+retry-after -> host delay +
+    # requeue; retryable errors -> exponential backoff with the staged
+    # plan's BIT-EXACT xxhash64 jitter (functions/xxhash.py)
+    if retry_ctx is not None and (cfg.retry or cfg.retry_errors):
+        from linkinator_spark.functions.xxhash import pmod, spark_xxhash64
+
+        clock = retry_ctx["clock"]
+        keep_r, keep_f = [], []
+        for r, f in zip(fetchable, fetched):
+            status = f["status"]
+            if f["redirect_skipped"] is None:
+                if cfg.retry and status == 429 and f["retry_after"] is not None:
+                    deadline = retry_after_seconds_py(f["retry_after"], clock)
+                    if deadline is not None:
+                        h = r["host"]
+                        new_delays[h] = max(
+                            new_delays.get(h, float("-inf")), deadline)
+                        requeue.append(dict(
+                            r, not_before=deadline, attempt=r["attempt"] + 1))
+                        ev.append(("retry", r["url"], status,
+                                   _double_str(_round_half_up(
+                                       deadline - clock))))
+                        continue
+                if (cfg.retry_errors
+                        and (status == 0 or status >= 500 or status == 429)
+                        and r["retry_errors_n"] < cfg.retry_errors_count):
+                    n1 = r["retry_errors_n"] + 1
+                    jitter_s = (
+                        pmod(spark_xxhash64(r["url"], n1, cfg.seed), 10000)
+                        / 10000.0 * cfg.retry_errors_jitter / 1000.0)
+                    backoff = 2.0 ** n1 + jitter_s
+                    requeue.append(dict(
+                        r, not_before=clock + backoff, retry_errors_n=n1,
+                        attempt=r["attempt"] + 1))
+                    ev.append(("retry", r["url"], status,
+                               _double_str(_round_half_up(backoff))))
+                    continue
+            keep_r.append(r)
+            keep_f.append(f)
+        fetchable, fetched = keep_r, keep_f
+
     # ---- classification + events + extraction inputs
+    frag_targets = (retry_ctx or {}).get("pending_targets") or ()
     ext_pages = []  # (page_url, base_url, kind, spans, parent_seq, root)
     for r, f in zip(fetchable, fetched):
         if f["redirect_skipped"] is not None:
@@ -221,10 +355,34 @@ def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
                     and f["body_doc_id"] != "")
         is_html = bool(_HTML_RE_PY.search(f["content_type"] or ""))
         is_css = bool(_CSS_RE_PY.search(f["content_type"] or ""))
+        # ---- fragment-target body re-GET for HEAD-fetched html pages
+        # (staged frag re-GET twin, src/index.ts:450-473): the plain-GET
+        # refetch REPLACES the row before classification; a refetch that
+        # lands on a skip-rule redirect drops the row entirely, exactly
+        # like the staged left_anti + rskip-filtered union
+        if (cfg.check_fragments and r["url"] in frag_targets
+                and is_html and not has_body and f["has_response"]):
+            f2 = fetcher([r], method_override="GET", fallbacks=False)[0]
+            f2["fetch_failures"] = (list(f["fetch_failures"] or [])
+                                    + list(f2["fetch_failures"] or []))
+            if f2["redirect_skipped"] is not None:
+                continue
+            f = f2
+            has_body = (f["has_response"] and f["method_effective"] == "GET"
+                        and f["body_doc_id"] != "")
+            is_html = bool(_HTML_RE_PY.search(f["content_type"] or ""))
+            is_css = bool(_CSS_RE_PY.search(f["content_type"] or ""))
         state, details, (ev_warn, ev_redir, ev_insecure) = classify_py(
             cfg, r["url"], f["status"], f["has_response"], has_body,
             f["final_url"], f["location"], f["cf_mitigated"],
             f["fetch_failures"])
+        if retry_ctx is not None and cfg.check_fragments and f["has_response"]:
+            page_meta.append({
+                "url": r["url"], "status": f["status"], "state": state,
+                "parent": r["parent"], "host": r["host"], "seq": r["seq"],
+                "has_body": has_body, "is_html": is_html,
+                "body_doc_id": f["body_doc_id"],
+            })
         res.append((r["url"], f["status"], state, r["parent"], details,
                     r["host"], r["seq"]))
         detail = (f["final_url"] if f["final_url"] is not None
@@ -274,6 +432,27 @@ def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
             continue
         kept.append(c)
 
+    # ---- fragment bookkeeping (staged _process_candidates twin,
+    # src/index.ts:754-784): runs on ALL post-skip candidates BEFORE the
+    # edge dedup; a frag-skipped link is SKIPPED but its target page still
+    # recurses, and pending pairs are per-wave distinct only
+    if retry_ctx is not None and cfg.check_fragments:
+        frag_skip_fn = retry_ctx.get("frag_skip_fn")
+        wave_pairs = set()
+        for c in kept:
+            frag = c["fragment"]
+            if frag is None or len(frag) == 0:
+                continue
+            if frag_skip_fn is not None and frag_skip_fn(
+                    frag, c["url_with_fragment"]):
+                res.append((c["url_with_fragment"], None, LinkState.SKIPPED,
+                            c["page_url"], [], "", c["parent_seq"]))
+                continue
+            pair = (c["resolved_url"], frag)
+            if pair not in wave_pairs:
+                wave_pairs.add(pair)
+                new_pending.append(pair)
+
     # ---- recurse predicate + within-wave edge dedup (w_edge twin)
     kept.sort(key=lambda c: (c["parent_seq"], c["ordinal"]))
     seen_edges = set()
@@ -287,7 +466,9 @@ def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
                  and child_host == url_host_py(c["root_path"]))
         cand.append((c["resolved_url"], c["page_url"], crawl, child_host,
                      c["parent_seq"], c["ordinal"], c["root_path"]))
-    return res, ev, cand
+    if retry_ctx is None:
+        return res, ev, cand
+    return res, ev, cand, requeue, new_delays, page_meta, new_pending
 
 
 def run_wave_fused(
@@ -342,18 +523,23 @@ def run_wave_fused(
 
 
 def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
-                    cfg: CheckOptions, candidates_fn):
+                    cfg: CheckOptions, candidates_fn, anchors_fn=None,
+                    frag_skip_fn=None):
     """The whole wave loop in Python over the (gate-bounded) maps: for
     crawls whose scripted web fits the chain-map gate, every wave is
     driver-side vectorized work — zero Spark jobs in the loop. Returns
-    (result_rows, event_rows, dup_edge_rows, waves) as plain tuples for
-    ``spark.createDataFrame``; the caller applies the shared finalization
-    (dup-BROKEN re-report, mapUrl, link events, pass verdict).
+    (result_rows, event_rows, dup_edge_rows, waves, clock) as plain tuples
+    for ``spark.createDataFrame``; the caller applies the shared
+    finalization (dup-BROKEN re-report, mapUrl, link events, pass verdict).
 
     State twins (asserted equal to the staged path by
     tests/test_wave_fused.py): URL-seen set, (child,parent) relationship
     set, per-URL first-edge selection (w_url), per-host politeness rank
-    and the (wave+1)*1e9+rank seq formula (_candidates_tail)."""
+    and the (wave+1)*1e9+rank seq formula (_candidates_tail) — plus the
+    retry-family state (virtual clock, per-host delay gate, 429 requeue,
+    error backoff with bit-exact xxhash64 jitter) and the fragment
+    machinery (pending pairs, HEAD->GET body refetch, anchors + soft-404
+    validation), twins of the staged branches they mirror."""
     from types import SimpleNamespace
 
     from linkinator_spark.functions.urls import url_host_py
@@ -373,13 +559,32 @@ def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
     results: list[tuple] = []
     events: list[tuple] = []
     dup_edges: list[tuple] = []
+    host_delays: dict = {}
+    pending: list[tuple] = []  # (target_url, fragment), duplicates kept
+                               # across waves exactly like the staged union
+    clock = 0.0
     wave = 0
     while wave < cfg.max_waves and frontier:
-        res, ev, cand = process_wave_rows(
-            frontier, fetcher, skip_fn, cfg, docs_map, candidates_fn,
-            url_host_py)
+        # ---- virtual clock: if nothing is ready, advance to the earliest
+        # deadline (staged loop's min_nb jump)
+        if not any(r["not_before"] <= clock + _EPS_PY for r in frontier):
+            clock = min(r["not_before"] for r in frontier)
+        ready = [r for r in frontier if r["not_before"] <= clock + _EPS_PY]
+        deferred = [r for r in frontier if r["not_before"] > clock + _EPS_PY]
+
+        retry_ctx = {
+            "clock": clock, "host_delays": host_delays,
+            "pending_targets": {t for t, _ in pending},
+            "frag_skip_fn": frag_skip_fn,
+        }
+        (res, ev, cand, requeue, new_delays, page_meta,
+         new_pending) = process_wave_rows(
+            ready, fetcher, skip_fn, cfg, docs_map, candidates_fn,
+            url_host_py, retry_ctx=retry_ctx)
         results.extend(r + (wave,) for r in res)
         events.extend(e + (wave,) for e in ev)
+        for h, d in new_delays.items():
+            host_delays[h] = max(host_delays.get(h, float("-inf")), d)
 
         # relational tail twin (_candidates_tail): rel anti-join ->
         # per-URL first edge -> URL-seen -> politeness rank/seq
@@ -407,6 +612,50 @@ def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
                 "retry_errors_n": 0, "not_before": 0.0, "wave": wave + 1,
                 "seq": (wave + 1) * 1_000_000_000 + rank,
             })
-        frontier = nxt
+
+        # ---- fragment validation (staged _validate_fragments twin,
+        # src/index.ts:616-673,878-920): pending pairs resolve when their
+        # target page is fetched OK as html-with-body this wave; missing
+        # anchors report BROKEN with the reference's exact message, the
+        # soft-404 sniff skips validation, and EVERY pending entry with a
+        # fetched target resolves (validated or reported)
+        if cfg.check_fragments:
+            pending = pending + new_pending
+            target_urls = {t for t, _ in pending}
+            targets = {
+                m["url"]: m for m in page_meta
+                if (m["has_body"] and m["is_html"]
+                    and m["state"] == LinkState.OK
+                    and m["url"] in target_urls)
+            }
+            if targets:
+                import pandas as pd
+
+                arows = [(u, docs_map.get(m["body_doc_id"]))
+                         for u, m in targets.items()]
+                anchors_map: dict = {}
+                soft404: dict = {}
+                apdf_in = pd.DataFrame(arows, columns=["page_url", "spans"])
+                for apdf in anchors_fn([apdf_in]):
+                    for rec in apdf.to_dict("records"):
+                        anchors_map[rec["page_url"]] = set(rec["anchors"])
+                        body = rec["body_text"] or ""
+                        soft404[rec["page_url"]] = (
+                            'content="noindex' in body and "nofollow" in body)
+                for (t, frag) in pending:
+                    m = targets.get(t)
+                    if m is None:
+                        continue
+                    if not soft404[t] and frag not in anchors_map[t]:
+                        results.append((
+                            f"{t}#{frag}", m["status"], LinkState.BROKEN,
+                            m["parent"],
+                            [f"Error: Fragment identifier '#{frag}' "
+                             f"not found on page"],
+                            m["host"], m["seq"], wave,
+                        ))
+                pending = [p for p in pending if p[0] not in targets]
+
+        frontier = deferred + requeue + nxt
         wave += 1
-    return results, events, dup_edges, wave
+    return results, events, dup_edges, wave, clock

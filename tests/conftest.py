@@ -16,6 +16,13 @@ def spark():
         shuffle_partitions=int(os.environ.get("LK_TEST_SHUFFLE", "4")),
         extra_conf={
             "spark.sql.warehouse.dir": "/tmp/lkspark-warehouse",
+            # the suite keeps ONE session alive across ~200 tests; driver
+            # heap accumulates broadcast + localCheckpoint blocks between
+            # JVM GCs, and an hour-long run at 8g has died mid-suite.
+            # Bigger heap + frequent ContextCleaner GC keeps it bounded.
+            "spark.driver.memory": os.environ.get(
+                "SPARK_DRIVER_MEMORY", "16g"),
+            "spark.cleaner.periodicGC.interval": "5min",
             # measured (round 2): AQE ON is ~10% faster even for fixture-
             # sized many-wave crawls (empty-relation propagation prunes the
             # fallback branches faster than its re-planning costs)

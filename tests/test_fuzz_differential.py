@@ -246,10 +246,14 @@ def _random_retry_site(rng: random.Random, n_pages: int):
             site.page(u, html=html)
         elif rng.random() < 0.25:
             # 429 with retry-after, healed on attempt 2 (both methods —
-            # leaves probe HEAD)
+            # leaves probe HEAD); all three parseRetryAfter forms appear
+            n = rng.randrange(1, 4)
+            ra = rng.choice([
+                str(n), f"{n}s", f"1m{n}s",
+                f"Thu, 01 Jan 1970 00:00:0{n} GMT",
+            ])
             for m in ("HEAD", "GET"):
-                site.script(u, m, 1, 429,
-                            headers={"retry-after": str(rng.randrange(1, 4))})
+                site.script(u, m, 1, 429, headers={"retry-after": ra})
                 site.script(u, m, 2, 200, html=html)
         elif rng.random() < 0.15:
             # transient 500, healed on attempt 2 (retry_errors path)
@@ -263,15 +267,17 @@ def _random_retry_site(rng: random.Random, n_pages: int):
     return site, urls[0]
 
 
-def test_fuzz_retry_fragments_chain_vs_hoploop(spark):
-    """Differential fuzz over the STAGED engine's two fetch strategies
-    (broadcast chain map vs iterative hop loop) on random retry/fragment
-    sites — the option families the python gears are gated away from.
-    Identical result sets and verdicts required.
+def test_fuzz_retry_fragments_fused_vs_staged(spark):
+    """Differential fuzz on random retry/fragment sites: the fully-fused
+    python gear (default for these crawls) vs a staged leg, alternating
+    the staged fetch strategy per case — broadcast chain map (even cases)
+    and the iterative hop loop (odd cases) — so all three execution paths
+    of the retry machinery face random choreography. Identical result
+    sets and verdicts required.
 
-    Retry crawls run the staged wave loop (~40 s/crawl, Catalyst-latency-
-    bound at fixture scale), so the default case count is small; raise
-    LK_FUZZ_RETRY_CASES for a deep sweep."""
+    A staged retry crawl is Catalyst-latency-bound (~40 s at fixture
+    scale), so the default case count is small; raise LK_FUZZ_RETRY_CASES
+    for a deep sweep."""
     import os
 
     from linkinator_spark.operators.crawler import LinkChecker
@@ -283,8 +289,10 @@ def test_fuzz_retry_fragments_chain_vs_hoploop(spark):
         if rng.random() < 0.5:
             kw["retry_errors"] = True
             kw["retry_errors_count"] = 1
+        staged_knob = ({"fused_docs_max_bytes": 0} if case % 2 == 0
+                       else {"chain_map_max_rows": 0})
         outs = []
-        for knobs in ({}, {"chain_map_max_rows": 0}):
+        for knobs in ({}, staged_knob):
             pages, docs = site.build(spark)
             cfg = CheckOptions(paths=[seed], recurse=True, **kw, **knobs)
             res = LinkChecker(spark).check(cfg, pages, docs)
@@ -313,7 +321,7 @@ def test_fuzz_engine_vs_fifo_reference():
         extract = make_candidate_links_udf(cfg.check_css, cfg.markdown)
         seeds = LinkChecker._seed_frontier(
             SimpleNamespace(spark=None), cfg)  # staticmethod-style reuse
-        res_rows, _ev, dup_rows, _w = run_crawl_fused(
+        res_rows, _ev, dup_rows, _w, _clock = run_crawl_fused(
             seeds, cmap, docs_map, cfg, extract)
         engine = {(u, s, st, p) for (u, s, st, p, _d, _h, _sq, _w2)
                   in res_rows}

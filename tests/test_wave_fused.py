@@ -102,6 +102,85 @@ def test_gears_identical(spark, extra):
     assert full[3] == staged[3] == wavef[3]
 
 
+def _retry_frag_site() -> SiteBuilder:
+    """Retry + fragment choreography: a 429 with retry-after that heals on
+    attempt 2, a transient 500 (error-backoff family), fragment links both
+    present and missing (missing -> the reference's exact BROKEN message),
+    a fragment link to a HEAD-fetched leaf (forces the body re-GET), and a
+    second host so the per-host delay gate has a bystander."""
+    base = "http://rt.test"
+    s = SiteBuilder()
+    s.page(
+        base + "/",
+        html=(
+            '<h2 id="top">t</h2><a href="/a">a</a><a href="/b#sec">b</a>'
+            '<a href="/c#missing">c</a><a href="/leaf#frag">l</a>'
+            '<a href="http://other.test/ok">o</a>'
+        ),
+    )
+    for m in ("HEAD", "GET"):
+        s.script(base + "/a", m, 1, 429, headers={"retry-after": "2"})
+        s.script(base + "/a", m, 2, 200,
+                 html='<a href="/d">d</a><a href="/e">e</a><a href="/f">f</a>')
+        s.script(base + "/d", m, 1, 500)
+        s.script(base + "/d", m, 2, 200, html="<p>ok</p>")
+        # the other two parseRetryAfter forms (duration + HTTP-date on the
+        # virtual epoch) — the fused twin parses these independently of
+        # the JVM expression, so each form needs a differential leg
+        s.script(base + "/e", m, 1, 429, headers={"retry-after": "1m2s"})
+        s.script(base + "/e", m, 2, 200, html="<p>e</p>")
+        s.script(base + "/f", m, 1, 429,
+                 headers={"retry-after": "Thu, 01 Jan 1970 00:01:10 GMT"})
+        s.script(base + "/f", m, 2, 200, html="<p>f</p>")
+    s.page(base + "/b", html='<h3 id="sec">s</h3><a href="/#top">home</a>')
+    s.page(base + "/c", html="<p>no anchors here</p>")
+    # fragment target that is NOT recursed into (leaf fetched by HEAD):
+    # validation needs the staged body re-GET / fused plain-GET twin
+    s.page("http://other.test/ok", html='<a href="http://rt.test/leaf#frag">x</a>')
+    s.page(base + "/leaf", html='<h4 id="frag">f</h4>')
+    return s
+
+
+def _crawl_strict(spark, site: SiteBuilder, **kw):
+    """Like _crawl but also compares host/seq per row and the final virtual
+    clock — the retry twins must reproduce politeness seq numbers and the
+    jitter-derived deadlines bit-exactly."""
+    pages, docs = site.build(spark)
+    cfg = CheckOptions(paths=["http://rt.test/"], recurse=True, **kw)
+    res = LinkChecker(spark).check(cfg, pages, docs)
+    rows = sorted(
+        (r["url"], r["status"], r["state"], r["parent"], r["wave"],
+         r["host"], r["seq"], tuple(r["failure_details"] or []))
+        for r in res.results.collect()
+    )
+    events = sorted(
+        (r["kind"], r["url"], r["status"], r["detail"], r["wave"])
+        for r in res.events.collect()
+    )
+    return rows, events, res.passed, res.waves, res.clock
+
+
+@pytest.mark.parametrize("extra", [
+    {"retry": True, "retry_errors": True, "retry_errors_count": 2,
+     "check_fragments": True},
+    {"retry": True, "check_fragments": True,
+     "fragments_to_skip": ["^missing$"],
+     "status_codes": {"500": "warn"}},
+])
+def test_retry_fragment_gears_identical(spark, extra):
+    """Full-fused vs staged on the retry/fragment families (the wave-Arrow
+    gear is N/A here — its gate excludes cross-wave retry state). Rows,
+    events, verdict, wave count AND the final virtual clock must match:
+    the clock only agrees if every 429 deadline, backoff jitter hash and
+    requeue batching decision was identical."""
+    fused = _crawl_strict(spark, _retry_frag_site(), **extra)
+    staged = _crawl_strict(spark, _retry_frag_site(),
+                           fused_docs_max_bytes=0, **extra)
+    assert fused[0] == staged[0], "results diverge"
+    assert fused[1] == staged[1], "events diverge"
+    assert fused[2:] == staged[2:], "verdict/waves/clock diverge"
+
+
 def test_docs_byte_gate_forces_staged(spark):
     """The fused gears' docs broadcast is byte-gated, not just row-gated:
     a zero budget must push the whole crawl onto the staged path with
