@@ -145,13 +145,16 @@ def broken_link_recall(spark, sf_dir: str) -> dict:
     """North-rule metric: broken-link recall of the full crawl engine vs the
     graph's ground truth. The synthetic web graph is deterministic
     (plans/graphgen.py), so the expected broken set is closed-form: nodes
-    reachable through 200-status pages whose own status != 200. Runs at the
-    smallest SF (the engine crawl is wave-count-bound, not data-bound)."""
+    reachable through 200-status pages whose own status != 200. Runs at
+    sf0.01 (the fused engine gears made the full-crawl gate cheap enough
+    to leave fixture scale; fallback to the smallest SF if absent)."""
     import __spark_entry__ as E
     from pyspark.sql import functions as F
 
+    mid = sf_dir.replace("sf0.1", "sf0.01")
     small = sf_dir.replace("sf0.1", "sf0.001")
-    d = small if os.path.isdir(small) else sf_dir
+    d = (mid if os.path.isdir(mid)
+         else small if os.path.isdir(small) else sf_dir)
     t0 = time.time()
     res = E.queries()["crawl_bfs_engine"](spark, d)
     found = {r["url"] for r in
@@ -235,9 +238,14 @@ def main() -> None:
     broken = broken_link_recall(spark, SF_DIR)
 
     # frontier throughput at current parallelism (north-rule metric);
-    # warm at real scale then best-of-3 — JIT/codegen keeps improving over
-    # the first runs and a cold run reads up to 20x slower than steady state
-    frontier_pipeline_sec(spark, max(50_000, FRONTIER_N // 8))
+    # warm at FULL scale then best-of-3. A smaller warm pass is not
+    # enough: C2 compilation of the codegen'd canonicalize/anti-join/
+    # politeness stages keeps landing through the first full-scale run
+    # (measured: 28s -> 2.3s from rep 1 to rep 2 at 8M rows; an eighth-
+    # scale warm left the first measured rep 3-5x off steady state —
+    # historically masked when the broken-link leg ran the same codegen
+    # paths for 2 minutes first, unmasked once that leg went fused)
+    frontier_pipeline_sec(spark, FRONTIER_N)
     fsec = min(frontier_pipeline_sec(spark, FRONTIER_N) for _ in range(3))
     spark.stop()
 
