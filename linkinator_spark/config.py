@@ -111,6 +111,12 @@ class CheckOptions:
     # byte-size gate for the fused gears' docs broadcast (the row gate
     # above bounds count, not body size); exceeded -> staged path
     fused_docs_max_bytes: int = 256 * 1024 * 1024
+    # safety valve for the fully-fused gear's driver-side state: the input
+    # gates bound PAGES and DOC BYTES, but result/edge counts grow with
+    # links-per-page during the crawl. Crossing this mid-crawl aborts the
+    # gear and re-runs the whole crawl on the staged path (idempotent —
+    # the fused loop has no side effects)
+    fused_max_result_rows: int = 2_000_000
     checkpoint_dir: str | None = None    # wave-state checkpoints (resume)
     # Iceberg catalog name for wave-state checkpoints (atomic snapshot
     # commits + VERSION AS OF resume); needs the iceberg-spark runtime on

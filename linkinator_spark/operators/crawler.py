@@ -251,7 +251,16 @@ class LinkChecker:
             ctx["docs_bc"] = spark.sparkContext.broadcast(
                 build_docs_map(documents))
         if full_fused_ok:
-            return self._check_full_fused(cfg, ctx)
+            from linkinator_spark.operators.wave_fused import FusedCapExceeded
+
+            try:
+                return self._check_full_fused(cfg, ctx)
+            except FusedCapExceeded:
+                # the crawl DISCOVERED more edges/results than the fused
+                # gear's driver-side cap — restart on the staged loop,
+                # which holds that state as DataFrames (the fused loop has
+                # no side effects, so the re-run is clean)
+                pass
 
         if resume and store and store.latest_wave() is not None:
             manifest, state = store.load(spark, store.latest_wave())
@@ -1193,7 +1202,20 @@ class LinkChecker:
     def _validate_fragments(self, classified, docs, pending_all, anchors_udf, wave: int):
         """E9/E10: anchors per fetched OK html page; missing fragments ->
         BROKEN with the reference's exact message (src/index.ts:657-660);
-        soft-404 pages skip validation (src/index.ts:632-635)."""
+        soft-404 pages skip validation (src/index.ts:632-635).
+
+        Visibility rule: a pending fragment resolves when its target page
+        is fetched OK-with-body in a wave AT OR AFTER the fragment's
+        registration wave (same-wave works because pending_all includes
+        this wave's new pending — the reference's same-page special case,
+        src/index.ts:888-918, falls out of this). A fragment registered
+        AFTER its target's only fetch stays pending forever — which is
+        the reference's behavior too: it registers fragments at
+        extraction (src/index.ts:779-782) but validates only at the
+        target's own check time (src/index.ts:618-673), and a cached URL
+        is never re-checked (src/index.ts:814), so under its concurrency
+        pool late-registered fragments silently never validate. The wave
+        model is a deterministic refinement of that race."""
         targets = classified.filter(
             F.col("has_body") & F.col("_is_html") & (F.col("state") == LinkState.OK)
         ).select(

@@ -182,6 +182,13 @@ def classify_py(cfg: CheckOptions, url: str, status: int, has_response: bool,
 _EPS_PY = 1e-9  # crawler._EPS twin
 
 
+class FusedCapExceeded(Exception):
+    """Raised by run_crawl_fused when driver-side state (results, edges,
+    seen) outgrows cfg.fused_max_result_rows — the input gates bound pages
+    and doc bytes, not the edge counts a crawl discovers. The caller
+    falls back to the staged loop, which holds this state as DataFrames."""
+
+
 def retry_after_seconds_py(s: str | None, clock: float) -> float | None:
     """Twin of crawler.retry_after_seconds (parseRetryAfter,
     src/index.ts:993-1009): plain seconds | '1m30s'/'30s' durations |
@@ -658,4 +665,8 @@ def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
 
         frontier = deferred + requeue + nxt
         wave += 1
+        cap = getattr(cfg, "fused_max_result_rows", 2_000_000)
+        if max(len(results), len(events), len(rel), len(seen)) > cap:
+            raise FusedCapExceeded(
+                f"fused gear state exceeded {cap} rows at wave {wave}")
     return results, events, dup_edges, wave, clock

@@ -192,6 +192,18 @@ def test_docs_byte_gate_forces_staged(spark):
     assert fused[2] == staged[2] and fused[3] == staged[3]
 
 
+def test_fused_result_cap_falls_back_to_staged(spark):
+    """The input gates bound pages/doc-bytes, not the edge counts a crawl
+    discovers; crossing fused_max_result_rows mid-crawl must abort the
+    python gear and re-run the whole crawl on the staged loop with
+    identical output."""
+    fused = _crawl(spark, _rich_site())
+    capped = _crawl(spark, _rich_site(), fused_max_result_rows=3)
+    assert fused[0] == capped[0]
+    assert fused[1] == capped[1]
+    assert fused[2] == capped[2] and fused[3] == capped[3]
+
+
 def test_full_fusion_runs_zero_wave_jobs(spark):
     """The fully-fused gear must not launch Spark jobs inside the wave
     loop: after the broadcast maps are built, the whole crawl is Python.
