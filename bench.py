@@ -261,6 +261,13 @@ def main() -> None:
         "cpus": CPUS,
         "ann_lsh": ann,
         "broken_link": broken,
+        "notes": (
+            "frontier warm protocol fixed in round 3 (full-scale warm "
+            "before best-of-3): the round-2 frontier reading (5.7M/s) was "
+            "accidentally JIT-warmed by the then-staged 122s broken-link "
+            "leg; honest steady state is 2.6-3.2M/s at 32 threads, "
+            "consistent with the per-core curve. broken_link now runs at "
+            "sf0.01 (was sf0.001). See BENCH/BASELINE.md."),
     }
 
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

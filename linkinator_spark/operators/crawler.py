@@ -224,7 +224,6 @@ class LinkChecker:
 
         fused_maps_ok = bool(
             ctx["chain_bc"] is not None
-            and ctx.get("host_rules") is None
             and not cfg.url_rewrite
             and documents is not None
             and documents.limit(cfg.chain_map_max_rows + 1).count()
@@ -232,11 +231,13 @@ class LinkChecker:
             and docs_bytes_ok(documents, cfg.fused_docs_max_bytes)
         )
         # per-wave Arrow fusion inside the STAGED loop additionally
-        # excludes the retry/delay and fragment families — their cross-wave
-        # state (virtual clock, host delays, pending fragments) lives in
-        # the staged machinery
+        # excludes robots and the retry/delay + fragment families — their
+        # cross-wave state (rules dim, virtual clock, host delays, pending
+        # fragments) lives in the staged machinery. The FULLY-fused gear
+        # runs all three via python twins.
         ctx["wave_fused_capable"] = fused_maps_ok and not (
-            cfg.check_fragments or cfg.retry or cfg.retry_errors)
+            cfg.check_fragments or cfg.retry or cfg.retry_errors
+            or ctx.get("host_rules") is not None)
         # fully-fused gear: when nothing requires per-wave DataFrame state
         # (no checkpoint commits, no per-host budget windows, no resume),
         # the gate-bounded maps make the whole loop a Python computation —
@@ -537,18 +538,27 @@ class LinkChecker:
         whole wave loop as Python over the gate-bounded broadcast maps —
         zero Spark jobs between seed and finalization. Taken only for
         scripted crawls already small enough to broadcast, with no
-        checkpointing / politeness budget / robots (crawler gate in
-        check()); retry and fragment crawls run their state twins here —
+        checkpointing / politeness budget (crawler gate in check());
+        retry, fragment and robots crawls run their state twins here —
         result-identical to the staged loop (tests/test_wave_fused.py)."""
         from linkinator_spark.operators.wave_fused import (
             _make_py_frag_skip, run_crawl_fused,
         )
 
+        robots_rules = None
+        if ctx.get("host_rules") is not None:
+            # per-host rule dim, bounded by the scripted table's hosts
+            # (itself under the chain-map gate) — broadcast-sized
+            robots_rules = {
+                r["host"]: (list(r["disallow"] or []), list(r["allow"] or []))
+                for r in ctx["host_rules"].collect()
+            }
         res_rows, ev_rows, dup_rows, waves, clock = run_crawl_fused(
             self._seed_frontier(cfg), ctx["chain_bc"].value,
             ctx["docs_bc"].value, cfg, ctx["candidates_udf"],
             anchors_fn=ctx["anchors_udf"],
             frag_skip_fn=_make_py_frag_skip(cfg.fragments_to_skip),
+            robots_rules=robots_rules,
         )
         results = self.spark.createDataFrame(
             [(u, s, st, p, d, w, h, sq)

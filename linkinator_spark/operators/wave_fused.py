@@ -22,8 +22,10 @@ operators/crawler.py remains the at-scale path and the semantics reference:
   gated table size, never by frontier scale. Retry and fragment crawls DO
   take this gear (virtual clock, per-host delay gate, 429/backoff requeues
   with a bit-exact xxhash64 jitter twin, pending-fragment validation —
-  each a python twin of its staged branch). Checkpointed, per-host-budget,
-  robots, url-rewrite and live crawls never take this gear.
+  each a python twin of its staged branch), and so do robots-aware crawls
+  (longest-prefix allow/disallow twin over the per-host rules dim).
+  Checkpointed, per-host-budget, url-rewrite and live crawls never take
+  this gear.
 
 Semantics parity, piece by piece:
 * request choreography: `fetch.make_fused_fetcher` — python twins of
@@ -291,6 +293,28 @@ def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
         else:
             fetchable.append(r)
 
+    # ---- robots.txt gate (staged robots_filter twin; north_star
+    # politeness): longest-prefix allow-vs-disallow per host, hosts with
+    # no rules row pass. Runs after the pre-fetch skip and before the
+    # delay gate, matching the staged order.
+    rules_map = (retry_ctx or {}).get("robots_rules")
+    if rules_map is not None:
+        from linkinator_spark.operators.robots import robots_allowed
+
+        still = []
+        for r in fetchable:
+            rules = rules_map.get(r["host"])
+            if rules is None:
+                still.append(r)
+                continue
+            path = re.sub(r"^https?://[^/]+", "", r["url"])
+            if robots_allowed(path, rules[0], rules[1]):
+                still.append(r)
+            else:
+                res.append((r["url"], None, LinkState.SKIPPED, r["parent"],
+                            ["robots.txt disallow"], r["host"], r["seq"]))
+        fetchable = still
+
     # ---- per-host delay gate (J3, staged crawler delay join twin):
     # skipped rows above never reach the gate, matching the staged order
     if retry_ctx is not None and cfg.retry and retry_ctx["host_delays"]:
@@ -531,7 +555,7 @@ def run_wave_fused(
 
 def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
                     cfg: CheckOptions, candidates_fn, anchors_fn=None,
-                    frag_skip_fn=None):
+                    frag_skip_fn=None, robots_rules=None):
     """The whole wave loop in Python over the (gate-bounded) maps: for
     crawls whose scripted web fits the chain-map gate, every wave is
     driver-side vectorized work — zero Spark jobs in the loop. Returns
@@ -583,6 +607,7 @@ def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
             "clock": clock, "host_delays": host_delays,
             "pending_targets": {t for t, _ in pending},
             "frag_skip_fn": frag_skip_fn,
+            "robots_rules": robots_rules,
         }
         (res, ev, cand, requeue, new_delays, page_meta,
          new_pending) = process_wave_rows(

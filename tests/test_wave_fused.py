@@ -192,6 +192,49 @@ def test_docs_byte_gate_forces_staged(spark):
     assert fused[2] == staged[2] and fused[3] == staged[3]
 
 
+def test_robots_gears_identical(spark):
+    """Robots-aware crawls take the fully-fused gear: its python
+    longest-prefix allow/disallow twin must match the staged JVM
+    robots_filter, including the Allow-beats-shorter-Disallow case and
+    the trailing-* prefix form."""
+    base = "http://rb.test"
+    s = SiteBuilder()
+    s.page(base + "/robots.txt", content_type="text/plain",
+           spans=[{"kind": "text",
+                   "text": ("User-agent: *\nDisallow: /private/\n"
+                            "Allow: /private/open/\nDisallow: /tmp*\n"),
+                   "media_ref": "", "offset": 0}])
+    s.page(base + "/", html=(
+        '<a href="/private/x.html">p</a><a href="/private/open/y.html">o</a>'
+        '<a href="/tmpfile.html">t</a><a href="/ok.html">k</a>'))
+    s.page(base + "/private/x.html", html="<p>secret</p>")
+    s.page(base + "/private/open/y.html", html="<p>open</p>")
+    s.page(base + "/tmpfile.html", html="<p>tmp</p>")
+    s.page(base + "/ok.html", html="<p>ok</p>")
+
+    def crawl(**knobs):
+        pages, docs = s.build(spark)
+        cfg = CheckOptions(paths=[base + "/"], recurse=True,
+                           respect_robots=True, **knobs)
+        res = LinkChecker(spark).check(cfg, pages, docs)
+        rows = sorted(
+            (r["url"], r["status"], r["state"], r["parent"], r["wave"],
+             r["host"], r["seq"], tuple(r["failure_details"] or []))
+            for r in res.results.collect())
+        return rows, res.passed, res.waves
+
+    fused = crawl()
+    staged = crawl(fused_docs_max_bytes=0)
+    assert fused == staged
+    st = {u: (state, tuple(d)) for (u, _s, state, _p, _w, _h, _q, d)
+          in fused[0]}
+    assert st[base + "/private/x.html"] == (
+        "SKIPPED", ("robots.txt disallow",))
+    assert st[base + "/tmpfile.html"] == ("SKIPPED", ("robots.txt disallow",))
+    assert st[base + "/private/open/y.html"][0] == "OK"
+    assert st[base + "/ok.html"][0] == "OK"
+
+
 def test_fused_result_cap_falls_back_to_staged(spark):
     """The input gates bound pages/doc-bytes, not the edge counts a crawl
     discovers; crossing fused_max_result_rows mid-crawl must abort the
