@@ -123,8 +123,14 @@ def host_rules_from_pages(pages: DataFrame, documents: DataFrame,
 def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (allowed, disallowed) by broadcast rules join.
     The prefix match runs as JVM expressions over the rule arrays."""
-    joined = frontier.join(F.broadcast(host_rules), "host", "left")
-    path = F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+    # `_path` must be a REAL column before the higher-order aggregate: a
+    # free nested expression captured inside the HOF lambda can be carried
+    # across join/filter pushdown into a plan where its `url` attribute no
+    # longer binds (Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, hit when
+    # the filter pushes toward the broadcast side on a narrow frontier)
+    joined = frontier.withColumn(
+        "_path", F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
+    ).join(F.broadcast(host_rules), "host", "left")
 
     def best_len(rules_col):
         return F.aggregate(
@@ -133,7 +139,7 @@ def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> tuple[DataFrame
             lambda acc, r: F.greatest(
                 acc,
                 F.when(
-                    path.startswith(F.regexp_replace(r, r"\*$", "")),
+                    F.col("_path").startswith(F.regexp_replace(r, r"\*$", "")),
                     F.length(F.regexp_replace(r, r"\*$", "")),
                 ).otherwise(F.lit(-1)),
             ),
@@ -143,10 +149,7 @@ def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> tuple[DataFrame
         best_len(F.col("allow")) >= best_len(F.col("disallow"))
     )
     tagged = joined.withColumn("_robots_ok", allowed_cond)
-    allowed = tagged.filter(F.col("_robots_ok")).drop(
-        "_robots_ok", "disallow", "allow", "crawl_delay"
-    )
-    disallowed = tagged.filter(~F.col("_robots_ok")).drop(
-        "_robots_ok", "disallow", "allow", "crawl_delay"
-    )
+    drop = ["_robots_ok", "_path", "disallow", "allow", "crawl_delay"]
+    allowed = tagged.filter(F.col("_robots_ok")).drop(*drop)
+    disallowed = tagged.filter(~F.col("_robots_ok")).drop(*drop)
     return allowed, disallowed
