@@ -325,6 +325,25 @@ def q_dedup_bloom_exact(spark, sf_dir):
     return dedup_with_bloom(cand, seen, bloom).select("url")
 
 
+def q_dedup_cuckoo_exact(spark, sf_dir):
+    """J2 with the Cuckoo fast path (operators/cuckoo.py — the "Cuckoo" half
+    of the north-star's "partitioned Bloom/Cuckoo URL-seen filter"): same
+    contract as the Bloom twin — candidates the filter proves unseen skip
+    the anti-join shuffle, the maybe-seen slice is verified exactly — so the
+    output must be identical to a plain anti-join (reference fetch-once
+    semantics, /root/reference/src/index.ts:813-817; the oracle IS the plain
+    anti-join). Unlike Bloom, the filter also supports deletion (recrawl
+    windows) at ~4 bytes/key, fpp ~0.012%."""
+    from linkinator_spark.operators.cuckoo import build_cuckoo, dedup_with_cuckoo
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("http://corpus.test/p/"), F.col("doc_id").cast("string"))
+    cand = docs.select(url.alias("url"))
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(url.alias("url"))
+    cf = build_cuckoo(seen, expected=max(seen.count(), 64))
+    return dedup_with_cuckoo(cand, seen, cf).select("url")
+
+
 def q_dup_broken_rereport(spark, sf_dir):
     """J1 (src/index.ts:840-875): a duplicate (child, parent) edge — any edge
     whose child already has an earlier parent — re-reports the child's result
@@ -754,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "dedup_bloom_exact": q_dedup_bloom_exact,
+        "dedup_cuckoo_exact": q_dedup_cuckoo_exact,
         "dup_broken_rereport": q_dup_broken_rereport,
         "robots_gate": q_robots_gate,
         "politeness_schedule": q_politeness_schedule,
@@ -943,6 +963,10 @@ def oracle_sql() -> dict[str, str]:
             where link not in (select link from {seen_sql} s)
         """,
         "dedup_bloom_exact": """
+            select concat('http://corpus.test/p/', cast(doc_id as varchar)) as url
+            from documents where doc_id % 2 = 1
+        """,
+        "dedup_cuckoo_exact": """
             select concat('http://corpus.test/p/', cast(doc_id as varchar)) as url
             from documents where doc_id % 2 = 1
         """,

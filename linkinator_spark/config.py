@@ -102,6 +102,13 @@ class CheckOptions:
     # frontier rows the exact anti-join alone is cheaper (set 0 to force the
     # Bloom path on, e.g. in tests)
     bloom_min_frontier: int = 200_000
+    # which URL-seen pre-filter backs the J2 fast path once the frontier
+    # crosses bloom_min_frontier: "bloom" (default — fixed-size bitmaps
+    # regardless of key count) or "cuckoo" (operators/cuckoo.py — ~4
+    # bytes/key at fpp ~0.012%, supports deletion for recrawl windows).
+    # Either way the exact anti-join verifies the maybe-seen slice, so the
+    # crawl result set is identical for both (and for use_bloom=False).
+    seen_filter: str = "bloom"
     salt_hot_host_threshold: int = 50_000  # frontier rows per host before salting
     # scripted-pages rows above which the redirect chain map (built
     # executor-side, but broadcast as one driver dict; test-mode

@@ -67,6 +67,9 @@ from linkinator_spark.operators.fetch import (
 from linkinator_spark.operators.bloom import (
     BloomFilter, bloom_prefilter, broadcast_bloom, build_bloom,
 )
+from linkinator_spark.operators.cuckoo import (
+    CuckooFilter, broadcast_cuckoo, build_cuckoo, cuckoo_prefilter,
+)
 from linkinator_spark.operators.politeness import politeness_budget_split
 from linkinator_spark.operators.skiprules import (
     make_fragment_skip_match, make_skip_match,
@@ -314,14 +317,21 @@ class LinkChecker:
             # positives stay exact).
             if (cfg.use_bloom and ctx["bloom"] is None
                     and n_total >= cfg.bloom_min_frontier):
-                ctx["bloom"] = build_bloom(
-                    self._union(seen_parts, "url string"),
-                    expected=cfg.bloom_expected, fpp=cfg.bloom_fpp,
-                )
+                seen_all = self._union(seen_parts, "url string")
+                if cfg.seen_filter == "cuckoo":
+                    ctx["bloom"] = build_cuckoo(
+                        seen_all, expected=cfg.bloom_expected)
+                else:
+                    ctx["bloom"] = build_bloom(
+                        seen_all, expected=cfg.bloom_expected,
+                        fpp=cfg.bloom_fpp)
             if ctx["bloom"] is not None:
                 if ctx["bloom_bc"] is not None:
                     ctx["bloom_bc"].unpersist(blocking=False)
-                ctx["bloom_bc"] = broadcast_bloom(spark, ctx["bloom"])
+                ctx["bloom_bc"] = (
+                    broadcast_cuckoo(spark, ctx["bloom"])
+                    if isinstance(ctx["bloom"], CuckooFilter)
+                    else broadcast_bloom(spark, ctx["bloom"]))
 
             if not n_ready:
                 # advance to the earliest deadline; its rows become ready by
@@ -447,6 +457,8 @@ class LinkChecker:
                     F.sum(F.when(F.col("nb") <= clock + _EPS, 1).otherwise(0)),
                 ).collect()[0]
                 next_stats = (srow[0], srow[1], srow[2] or 0)
+            elif isinstance(bloom, CuckooFilter):
+                next_stats = self._touch_stats_with_cuckoo(touch, bloom, clock)
             else:
                 next_stats = self._touch_stats_with_bloom(touch, bloom, clock)
 
@@ -624,6 +636,80 @@ class LinkChecker:
         zero = (0, None, 0, np.zeros(size, dtype=np.uint8))
         n, mn, nr, new_bits = rows.rdd.treeAggregate(zero, seq, comb, depth=2)
         bloom.bits = np.bitwise_or(bloom.bits, new_bits)
+        return (n, mn, nr)
+
+    def _touch_stats_with_cuckoo(self, touch, cf: CuckooFilter, clock: float):
+        """Cuckoo-maintaining form of the wave's single forcing job: the
+        stats fold is identical to the Bloom twin, but the new-frontier url
+        hashes come back as sparse (bucket, fingerprint) pairs — O(new keys
+        this wave) bytes on the wire, not a dense table snapshot — merged
+        executor-side by concatenation via ``treeAggregate`` and relocated
+        into `cf` with one vectorized ``insert_pairs`` on the driver.
+        In-place mutation is safe: ``broadcast_cuckoo`` snapshots the table
+        bytes, so earlier waves' broadcasts stay valid. At 10^10-frontier
+        scale the filter is sharded by url_hash range across executors
+        (SCALE.md §2); this single-object gear is the broadcastable
+        mid-scale path, exactly like the Bloom default."""
+        import numpy as np
+        import pandas as pd
+
+        from linkinator_spark.operators.cuckoo import derive_pairs
+
+        m = cf.m
+        deadline = clock + _EPS
+
+        def fn(batches):
+            n, mn, nr = 0, np.nan, 0
+            idxs, fps = [], []
+            for pdf in batches:
+                n += int(pdf["isf"].count())
+                nb = pdf["nb"].to_numpy(dtype="float64", na_value=np.nan)
+                valid = nb[~np.isnan(nb)]
+                if len(valid):
+                    mv = float(valid.min())
+                    mn = mv if np.isnan(mn) else min(mn, mv)
+                    nr += int((valid <= deadline).sum())
+                h = pdf["h"].dropna()
+                if len(h):
+                    i1, fp = derive_pairs(m, h.to_numpy(dtype=np.int64))
+                    idxs.append(i1)
+                    fps.append(fp)
+            idx = np.concatenate(idxs) if idxs else np.empty(0, dtype=np.int64)
+            fp = np.concatenate(fps) if fps else np.empty(0, dtype=np.uint16)
+            if len(idx):
+                # one slot per distinct key — the filter holds a set
+                _, first = np.unique(
+                    (idx << np.int64(16)) | fp.astype(np.int64),
+                    return_index=True)
+                idx, fp = idx[first], fp[first]
+            yield pd.DataFrame({
+                "n": [n], "mn": [mn], "nr": [nr],
+                "idx": [idx.tobytes()], "fp": [fp.tobytes()],
+            })
+
+        rows = touch.mapInPandas(
+            fn, "n long, mn double, nr long, idx binary, fp binary")
+
+        def seq(acc, row):
+            n, mn, nr, idxs, fps = acc
+            rmn = row["mn"]
+            if rmn is not None and rmn == rmn:  # non-null, non-NaN
+                mn = rmn if mn is None else min(mn, rmn)
+            idxs.append(np.frombuffer(row["idx"], dtype=np.int64))
+            fps.append(np.frombuffer(row["fp"], dtype=np.uint16))
+            return (n + row["n"], mn, nr + row["nr"], idxs, fps)
+
+        def comb(a, b):
+            mns = [x for x in (a[1], b[1]) if x is not None]
+            return (a[0] + b[0], min(mns) if mns else None, a[2] + b[2],
+                    a[3] + b[3], a[4] + b[4])
+
+        zero = (0, None, 0, [], [])
+        n, mn, nr, idxs, fps = rows.rdd.treeAggregate(zero, seq, comb, depth=2)
+        idxs = [a for a in idxs if len(a)]
+        fps = [a for a in fps if len(a)]
+        if idxs:
+            cf.insert_pairs(np.concatenate(idxs), np.concatenate(fps))
         return (n, mn, nr)
 
     def _seed_frontier(self, cfg: CheckOptions) -> list:
@@ -1155,7 +1241,10 @@ class LinkChecker:
             # touching the anti-join shuffle; the (small) maybe-seen slice
             # goes through the exact join, which also restores exactness for
             # false positives. Output set is identical to the plain path.
-            def_new, maybe = bloom_prefilter(
+            pre = (cuckoo_prefilter
+                   if bloom_bc.value.get("kind") == "cuckoo"
+                   else bloom_prefilter)
+            def_new, maybe = pre(
                 primary, None, url_col="resolved_url", payload=bloom_bc
             )
             enqueue = def_new.unionByName(
