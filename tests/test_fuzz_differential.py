@@ -291,8 +291,14 @@ def test_fuzz_retry_fragments_fused_vs_staged(spark):
             kw["retry_errors_count"] = 1
         staged_knob = ({"fused_docs_max_bytes": 0} if case % 2 == 0
                        else {"chain_map_max_rows": 0})
+        # third leg: URL-seen pre-filter forced on from wave 0, alternating
+        # backends — retry requeues + fragment refetches must not be
+        # perturbed by either filter (results identical to filter-off)
+        filter_knob = {"use_bloom": True, "bloom_min_frontier": 0,
+                       "bloom_expected": 4096,
+                       "seen_filter": "cuckoo" if case % 2 else "bloom"}
         outs = []
-        for knobs in ({}, staged_knob):
+        for knobs in ({}, staged_knob, filter_knob):
             pages, docs = site.build(spark)
             cfg = CheckOptions(paths=[seed], recurse=True, **kw, **knobs)
             res = LinkChecker(spark).check(cfg, pages, docs)
@@ -302,6 +308,9 @@ def test_fuzz_retry_fragments_fused_vs_staged(spark):
                 for r in res.results.collect())
             outs.append((rows, res.passed))
         assert outs[0] == outs[1], f"case {case} diverged (seed {20_000+case})"
+        assert outs[0] == outs[2], (
+            f"case {case} diverged under {filter_knob['seen_filter']} "
+            f"seen-filter (seed {20_000+case})")
 
 
 def test_fuzz_engine_vs_fifo_reference():
