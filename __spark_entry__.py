@@ -551,6 +551,19 @@ def q_dedup_jaccard(spark, sf_dir):
     return D.jaccard_pairs(docs, cands, threshold=0.5, k=SHINGLE_K)
 
 
+def q_dedup_cc_canonical(spark, sf_dir):
+    """Near-dup clustering end-to-end: MinHash bands -> Jaccard verify ->
+    alternating-star connected components -> one keeper per cluster.
+    Collapses transitive near-dup chains (A~B~C without A~C) into ONE
+    keeper — the step a training corpus actually needs after pair
+    generation. Oracle: recursive-CTE transitive closure over the same
+    verified pairs."""
+    return D.near_dup_clusters(
+        _docs_with_dups(spark, sf_dir), threshold=0.5,
+        n_hashes=MINHASH_N, bands=MINHASH_BANDS, k=SHINGLE_K,
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
     return docs.select(
@@ -785,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_cc_canonical": q_dedup_cc_canonical,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "text_tokens": q_text_tokens,
@@ -1095,6 +1109,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": minhash_bands_sql,
         "dedup_jaccard": jaccard_sql,
+        "dedup_cc_canonical": f"""
+            with recursive
+            pairs as (select doc_a, doc_b from ({jaccard_sql}) jp),
+            edges as (select doc_a as u, doc_b as v from pairs
+                      union
+                      select doc_b as u, doc_a as v from pairs),
+            reach(u, v) as (
+              select u, v from edges
+              union
+              select r.u, e.v from reach r join edges e on r.v = e.u
+              where r.u <> e.v
+            ),
+            comp as (
+              select u as doc_id, least(u, min(v)) as keeper_id
+              from reach group by u
+            )
+            select doc_id, keeper_id,
+                   cast(count(*) over (partition by keeper_id) as bigint)
+                     as cluster_size
+            from comp
+        """,
         "dedup_simhash": f"""
             select doc_id, {_simhash_sql('text', SIMHASH_BITS)} as simhash
             from {_DOCS_WITH_DUPS_SQL} c

@@ -367,3 +367,111 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cos") >= threshold).select(
         "id_a", "id_b", F.round("cos", 6).alias("cosine")
     )
+
+
+# ----------------------------------------------- connected components (CC)
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+    Beyond", SoCC 2014). `edges` holds undirected edges as (u, v); the
+    output again holds (u, v) with every edge pointing both endpoints
+    closer to the component minimum. Each half is one window-min over a
+    hash shuffle on the grouping node — two shuffles per round, O(log n)
+    rounds, no driver-side state."""
+    from pyspark.sql import Window
+
+    # large-star over the symmetrized neighborhood: every neighbor v > u
+    # re-attaches to m = min(N(u) ∪ {u})
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    w = Window.partitionBy("u")
+    large = (
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    # small-star over edges oriented big->small: u and all its smaller
+    # neighbors re-attach to the smallest of them
+    oriented = large.filter(F.col("u") != F.col("v")).select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    w2 = Window.partitionBy("u")
+    small = oriented.withColumn("m", F.min("v").over(w2))
+    out = (
+        small.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(small.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in `pairs`, where
+    `component` is the smallest node id in its connected component.
+
+    Alternating large-star/small-star: converges in O(log n) rounds even
+    on path graphs (plain min-label propagation needs O(diameter)), each
+    round is two window shuffles, and per-round driver traffic is one
+    2-value aggregate row for the convergence probe — nothing scales with
+    node or edge count on the driver. The per-round `localCheckpoint`
+    truncates the iterative lineage so the plan stays O(1) per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = _star_round(edges).localCheckpoint()
+        # bit_xor is order-independent and cannot overflow under ANSI mode
+        # (a sum of 64-bit hashes would)
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: every edge is (node, component-min); minima map to themselves
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(edges.withColumnRenamed("u", "node"), "node", "left")
+        .select("node", F.coalesce("v", "node").alias("component"))
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
+    text_col: str = "text", n_hashes: int = 16, bands: int = 4, k: int = 5,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash band candidates ->
+    exact-Jaccard verify -> connected components -> one keeper per cluster.
+    Output: (doc_id, keeper_id, cluster_size) for every clustered doc
+    (keeper included; singletons never enter the pair graph and keep
+    themselves implicitly). This is the canonical-dedup step a training
+    corpus needs after pair generation: transitive near-dup chains
+    (A~B~C without A~C) collapse into ONE keeper instead of two."""
+    from pyspark.sql import Window
+
+    cands = minhash_candidate_pairs(docs, id_col, text_col, n_hashes, bands, k)
+    verified = jaccard_pairs(docs, cands, threshold, id_col, text_col, k)
+    cc = connected_components(verified, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("keeper_id"),
+        F.count("*").over(Window.partitionBy("component"))
+        .cast("bigint").alias("cluster_size"),
+    )

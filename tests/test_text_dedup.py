@@ -271,3 +271,70 @@ def test_real_codec_picked_up_when_available(spark, monkeypatch):
                                          decoder="stub").collect()
     assert all(r["decoder"] == "stub" for r in stub_rows)
     assert stub_rows[0]["feature"] != [0.5] * 4
+
+
+# ----------------------------------------------- connected components
+
+def _uf_components(pairs):
+    """Reference union-find: node -> min-id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from linkinator_spark.functions.dedup import connected_components
+
+    # a transitive chain 1-2-3-4 (no direct 1-4 edge), an island {10,11},
+    # and a 2-cycle duplicate edge
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    from linkinator_spark.functions.dedup import connected_components
+
+    rng = random.Random(4242)
+    # worst-case-ish shapes for star rounds: long paths + random extras
+    pairs = [(i, i + 1) for i in range(0, 60)]          # one 61-node path
+    pairs += [(rng.randrange(100, 200), rng.randrange(100, 200))
+              for _ in range(80)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == _uf_components(pairs)
+
+
+def test_near_dup_clusters_transitive_keeper(spark):
+    """A~B and B~C near-dups (A,C farther apart) must collapse to ONE
+    keeper for all three — pairwise dedup alone would keep two."""
+    from linkinator_spark.functions.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    a = base
+    b = base.replace("lazy", "sleepy", 3)
+    c = b.replace("quick", "swift", 3)
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "completely unrelated text here " * 10)],
+        "doc_id long, text string",
+    )
+    rows = near_dup_clusters(docs, threshold=0.4).collect()
+    got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"]) for r in rows}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}  # 9 never enters pairs
