@@ -424,6 +424,36 @@ def q_host_delay_maxwins(spark, sf_dir):
     )
 
 
+def q_redirect_resolve(spark, sf_dir):
+    """S2 redirect machinery standalone, value-checked: the barrier-free
+    chain resolver (follow_redirects_chain — hop cap 20, Location resolve,
+    landing re-request) over the derived redirect graph
+    (graphgen.redirect_pages_from_documents: +5 chains, %25 terminals,
+    %125==120 back-jump 4-cycles that exceed the cap). Oracle: DuckDB
+    recursive CTE following the same arithmetic. Also guards request()'s
+    row preservation when distinct chains converge on one landing URL."""
+    from linkinator_spark.operators.fetch import (
+        build_chain_map, fetch_once, prepare_pages_dim,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = G.redirect_pages_from_documents(docs)
+    pages_dim = prepare_pages_dim(pages)
+    frame = docs.select(
+        G.url_expr(F.col("doc_id")).alias("url"), F.lit(1).alias("attempt"))
+    cfg = CheckOptions(paths=[])
+    bc = spark.sparkContext.broadcast(build_chain_map(pages))
+    out = fetch_once(frame, pages_dim, F.lit("HEAD"), cfg, None, chain_bc=bc)
+    return out.select(
+        "url",
+        F.col("status").cast("int").alias("status"),
+        "final_url",
+        F.array_contains(
+            "fetch_failures", "TypeError: redirect count exceeded"
+        ).alias("exceeded"),
+    )
+
+
 def q_retry_backoff(spark, sf_dir):
     """Exponential backoff schedule with deterministic (hash-seeded) jitter
     for the first 5 retries of every 404/503 node in the derived graph."""
@@ -791,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "politeness_schedule": q_politeness_schedule,
         "host_delay_maxwins": q_host_delay_maxwins,
+        "redirect_resolve": q_redirect_resolve,
         "retry_backoff": q_retry_backoff,
         "classify_taxonomy": q_classify_taxonomy,
         "span_flatten": q_span_flatten,
@@ -1024,6 +1055,35 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value * 10), 6) as not_before
             from events where event_type = 'error'
             group by 1
+        """,
+        "redirect_resolve": f"""
+            with recursive
+            n as (select count(*) as n from documents),
+            chain(start_id, cur_id, hops) as (
+              select doc_id, doc_id, 0 from documents
+              union all
+              select c.start_id,
+                     {G.redirect_target_sql('c.cur_id', '(select n from n)')},
+                     c.hops + 1
+              from chain c
+              where c.cur_id > 0 and c.cur_id % 5 = 0 and c.hops < 21
+            ),
+            terminal as (
+              select start_id, cur_id, hops,
+                     row_number() over (partition by start_id
+                                        order by hops) as rn
+              from chain
+              where not (cur_id > 0 and cur_id % 5 = 0) and hops <= 20
+            ),
+            land as (select start_id, cur_id, hops from terminal where rn = 1)
+            select {G.url_sql('d.doc_id')} as url,
+                   cast(case when l.start_id is null then 0
+                             else {G.status_sql('l.cur_id')} end as int)
+                     as status,
+                   case when l.start_id is not null and l.hops > 0
+                        then {G.url_sql('l.cur_id')} end as final_url,
+                   (l.start_id is null) as exceeded
+            from documents d left join land l on l.start_id = d.doc_id
         """,
         "retry_backoff": f"""
             with broken as (

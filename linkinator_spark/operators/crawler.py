@@ -1265,23 +1265,28 @@ class LinkChecker:
                      F.col("page_url").alias("parent"))
         new_dups = extra_dups.unionByName(seen_dups)
 
-        # politeness ordering: per-host FIFO sequence for the next wave
-        # (SURVEY §2.6). Small waves: plain row_number window. Big waves:
-        # the exact two-level rank — a hot host enqueuing 10^7 URLs would
-        # serialize a whole stage inside one window task otherwise
-        # (politeness.hierarchical_row_number; values identical).
+        # queue ordering: seq is the GLOBAL reference-FIFO discovery rank
+        # within the wave (the reference queue's position, src/queue.ts
+        # FIFO append order), not a per-host rank — per-host seq ranks tie
+        # across hosts (two same-wave parents on different hosts share a
+        # seq), and a tie-broken row_number diverges from the reference's
+        # per-host fetch order on multi-host-seed crawls. (parent_seq,
+        # ordinal) is globally unique, so the global rank is deterministic;
+        # its per-host restriction is exactly the reference's per-host FIFO
+        # (SURVEY §2.6). Small waves: one plain window. Big waves: the
+        # range-partitioned exact rank (politeness.global_fifo_rank; values
+        # identical, no single-task global sort).
         if small_wave:
-            w_host = Window.partitionBy("_child_host").orderBy(
-                "parent_seq", "ordinal")
+            w_g = Window.orderBy("parent_seq", "ordinal")
             ranked_enq = enqueue.withColumn(
-                "_hrn", F.row_number().over(w_host).cast("long"))
+                "_hrn", F.row_number().over(w_g).cast("long"))
         else:
             from linkinator_spark.operators.politeness import (
-                hierarchical_row_number,
+                global_fifo_rank,
             )
 
-            ranked_enq = hierarchical_row_number(
-                enqueue, "_child_host", "parent_seq", "ordinal")
+            ranked_enq = global_fifo_rank(
+                enqueue, "parent_seq", "ordinal", out_col="_hrn")
         new_frontier = ranked_enq.select(
             F.col("resolved_url").alias("url"),
             F.col("_child_host").alias("host"),

@@ -83,11 +83,17 @@ def request(df: DataFrame, pages_dim: DataFrame, method: Column,
             static_prefix: str | None = None) -> DataFrame:
     """One simulated HTTP request for every row of `df`.
 
-    `df` must carry unique `url` values (the URL-seen invariant) and an
-    `attempt` counter. Joins are broadcast — the pages dim is the scripted
-    fixture web, always small; the live-mode replacement is an HTTP UDF.
+    Row-preserving even when `url` values repeat: the redirect resolvers
+    re-request the chain's LANDING url, and two distinct links whose
+    chains converge on one landing must each keep their row (a per-url
+    pick would silently drop all but one — found by the redirect_resolve
+    oracle). The best-scripted-attempt pick therefore partitions on a
+    per-row tag, not the url. Joins are broadcast — the pages dim is the
+    scripted fixture web, always small; the live-mode replacement is an
+    HTTP UDF.
     """
-    req = df.withColumn("_req_method", method)
+    req = df.withColumn("_req_method", method).withColumn(
+        "_reqid", F.monotonically_increasing_id())
     if static_prefix:
         # the modeled static server resolves files from the PATH only —
         # query strings are ignored (reference src/server.ts:77-88 parses
@@ -106,14 +112,14 @@ def request(df: DataFrame, pages_dim: DataFrame, method: Column,
     )
     # best scripted attempt: highest attempt <= our counter, else the lowest
     le = F.col("p_attempt") <= F.col("attempt")
-    w = Window.partitionBy("url").orderBy(
+    w = Window.partitionBy("_reqid").orderBy(
         le.desc(),
         F.when(le, -F.col("p_attempt")).otherwise(F.col("p_attempt")).asc(),
     )
     picked = (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "p_url", "p_method", "p_attempt")
+        .drop("_rn", "_reqid", "p_url", "p_method", "p_attempt")
     )
     if host_defaults is not None:
         # modeled static server: un-scripted URLs on the server host are

@@ -192,3 +192,46 @@ def politeness_budget_split(
     take = ranked2.filter(F.col("_r2") <= budget).select(*cols)
     overflow2 = ranked2.filter(F.col("_r2") > budget).select(*cols)
     return take, overflow1.unionByName(overflow2)
+
+
+def global_fifo_rank(
+    df: DataFrame,
+    coarse_col: str,
+    fine_col: str,
+    out_col: str = "_grn",
+) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY coarse, fine)`` — a GLOBAL rank —
+    without the global window's single-task sort: range-partition on the
+    key, rank within each range partition, then add per-partition offsets.
+
+    The offsets table has one row per PARTITION (bounded by cluster size,
+    not data size), so the prefix sum is trivially small; range partitions
+    are ordered by key, so partition id order == key order. This is the
+    frontier's reference-FIFO discovery rank: (coarse, fine) =
+    (parent_seq, ordinal) is globally unique (parents have unique global
+    seq; ordinals are distinct within a parent), making the rank — and
+    therefore the crawl ordering — deterministic at any parallelism."""
+    spark = df.sparkSession
+    n = max(spark.sparkContext.defaultParallelism, 1)
+    parted = (
+        df.repartitionByRange(n, F.col(coarse_col), F.col(fine_col))
+        .withColumn("_gpid", F.spark_partition_id())
+        # one materialization shared by the rank and the counts subtrees:
+        # range-bound sampling must not run twice with different answers
+        .localCheckpoint(eager=False)
+    )
+    w_local = Window.partitionBy("_gpid").orderBy(coarse_col, fine_col)
+    ranked = parted.withColumn("_lrn", F.row_number().over(w_local))
+    counts = parted.groupBy("_gpid").agg(F.count("*").alias("_n"))
+    w_pre = (
+        Window.orderBy("_gpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_pre), F.lit(0))
+    ).select("_gpid", "_off")
+    return (
+        ranked.join(F.broadcast(offsets), "_gpid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_gpid", "_lrn", "_off")
+    )

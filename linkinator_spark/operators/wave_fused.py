@@ -619,8 +619,10 @@ def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
             host_delays[h] = max(host_delays.get(h, float("-inf")), d)
 
         # relational tail twin (_candidates_tail): rel anti-join ->
-        # per-URL first edge -> URL-seen -> politeness rank/seq
-        host_rank: dict[str, int] = {}
+        # per-URL first edge -> URL-seen -> global FIFO rank/seq (the
+        # reference queue position; cand is already (parent_seq, ordinal)-
+        # sorted, matching the staged global_fifo_rank)
+        grank = 0
         url_first: set[str] = set()
         nxt = []
         for (resolved, page_url, crawl, child_host, parent_seq, ordinal,
@@ -636,8 +638,8 @@ def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
                 dup_edges.append((resolved, page_url))
                 continue
             seen.add(resolved)
-            rank = host_rank.get(child_host, 0) + 1
-            host_rank[child_host] = rank
+            grank += 1
+            rank = grank
             nxt.append({
                 "url": resolved, "host": child_host, "parent": page_url,
                 "crawl": crawl, "root_path": root_path, "attempt": 1,

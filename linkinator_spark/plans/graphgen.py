@@ -150,3 +150,61 @@ select
 from first_seen
 order by wave, url
 """
+
+
+def redirect_target_sql(expr: str, n: int) -> str:
+    return (
+        f"case when {expr} % 25 = 0 then {expr} + 1 "
+        f"when {expr} % 125 = 120 then {expr} - 15 "
+        f"when {expr} + 5 < {n} then {expr} + 5 else 1 end"
+    )
+
+
+def redirect_pages_from_documents(documents: DataFrame) -> DataFrame:
+    """Scripted `pages` table with a deterministic redirect graph over doc
+    ids: node i (i>0, i%5==0) 301-redirects to
+
+        i+1    when i%25==0    (chain terminal: lands on a non-redirect)
+        i-15   when i%125==120 (back-jump: a 4-cycle that exceeds the
+                                reference's 20-redirect cap, index.ts
+                                makeRequest loop)
+        i+5    otherwise       (+5 chains, max 5 hops per 25-block)
+
+    Non-redirect nodes carry the standard derived status (`status_expr`).
+    Both engines (Spark resolver / DuckDB recursive CTE) can follow this
+    with identical arithmetic — the S2 redirect machinery's value-checked
+    oracle input."""
+    n = documents.count()
+    i = F.col("doc_id")
+    is_redir = (i > 0) & (i % 5 == 0)
+    tgt = (
+        F.when(i % 25 == 0, i + 1)
+        .when(i % 125 == 120, i - 15)
+        .when(i + 5 < n, i + 5)
+        .otherwise(F.lit(1))
+    )
+    base = documents.select(
+        url_expr(i).alias("url"),
+        F.when(is_redir, F.lit(301)).otherwise(status_expr(i)).alias("status"),
+        F.when(is_redir, url_expr(tgt)).cast("string").alias("location"),
+    )
+    pages_one = base.select(
+        "url",
+        F.lit(HOST).alias("host"),
+        F.lit(1).alias("attempt"),
+        "status",
+        F.when(
+            F.col("location").isNotNull(),
+            F.create_map(F.lit("content-type"), F.lit("text/html"),
+                         F.lit("location"), F.col("location")),
+        ).otherwise(
+            F.create_map(F.lit("content-type"), F.lit("text/html"))
+        ).alias("headers"),
+        F.lit("text/html").alias("content_type"),
+        F.lit("").alias("body_doc_id"),
+        F.lit(None).cast("string").alias("final_url"),
+    )
+    return pages_one.withColumn("method", F.lit("GET")).unionByName(
+        pages_one.withColumn("method", F.lit("HEAD"))
+    ).select("url", "host", "method", "attempt", "status", "headers",
+             "content_type", "body_doc_id", "final_url")

@@ -68,11 +68,12 @@ def _site_maps(site: SiteBuilder):
 
 # ------------------------------------------------- sequential FIFO reference
 
-def simulate_fifo(site: SiteBuilder, cfg: CheckOptions):
+def simulate_fifo(site: SiteBuilder, cfg: CheckOptions, with_order=False):
     """Single-threaded reference-semantics crawl: one link at a time off a
     FIFO queue, exactly the reference's per-link flow. Returns the result
     set {(url, status, state, parent)} including duplicate-link BROKEN
-    re-reports."""
+    re-reports; with ``with_order`` also returns {host: [urls in queue-pop
+    order]} — the reference's per-host fetch ordering (north_rule)."""
     cmap, docs_map = _site_maps(site)
     fetcher = make_fused_fetcher(SimpleNamespace(value=cmap), cfg)
     skip_fn = _make_py_skip(cfg.links_to_skip)
@@ -85,16 +86,20 @@ def simulate_fifo(site: SiteBuilder, cfg: CheckOptions):
             seen_seed.add(p)
             seeds.append(p)
     seen = set(seeds)
-    queue = deque((u, True, None) for u in seeds)
+    # each queue item carries its recursion root (inherited from the seed
+    # that discovered it, src/index.ts:786-798)
+    queue = deque((u, True, None, u) for u in seeds)
     results = []          # (url, status, state, parent)
     pending_dups = []     # (url, parent) duplicate edges
     edges_seen = set()
+    order: dict = {}      # host -> urls in pop order (http urls only)
 
     while queue:
-        url, crawl, parent = queue.popleft()
+        url, crawl, parent, root = queue.popleft()
         if not re.match(r"^https?://", url):
             results.append((url, 0, LinkState.SKIPPED, parent))
             continue
+        order.setdefault(url_host_py(url), []).append(url)
         if skip_fn is not None and skip_fn(url):
             results.append((url, None, LinkState.SKIPPED, parent))
             continue
@@ -137,14 +142,13 @@ def simulate_fifo(site: SiteBuilder, cfg: CheckOptions):
                     pending_dups.append((child, url))
                     continue
                 seen.add(child)
-                # recursion root: the crawl's seed (single-seed fuzz sites),
-                # same-prefix + same-host predicate (src/index.ts:786-798)
-                root = seeds[0]
+                # same-prefix + same-host recursion predicate against the
+                # item's inherited root (src/index.ts:786-798)
                 child_crawl = (
                     bool(cfg.recurse) and child.startswith(root)
                     and url_host_py(child) == url_host_py(root)
                 )
-                queue.append((child, child_crawl, url))
+                queue.append((child, child_crawl, url, root))
 
     # duplicate-link BROKEN re-report (src/index.ts:840-875)
     broken = {(u, s, st) for (u, s, st, _p) in results
@@ -154,6 +158,8 @@ def simulate_fifo(site: SiteBuilder, cfg: CheckOptions):
         if u in by_url:
             s, st = by_url[u]
             results.append((u, s, st, p))
+    if with_order:
+        return set(results), order
     return set(results)
 
 
@@ -349,3 +355,82 @@ def test_fuzz_engine_vs_fifo_reference():
                 break
     assert not divergences, (
         f"{len(divergences)} divergent cases; first: {divergences[0]}")
+
+
+# --------------------------------------- per-host ORDER parity (north_rule)
+
+def _random_multiseed_site(rng: random.Random):
+    """Seeds on 2-3 different hosts whose subtrees link into SHARED check
+    hosts — the shape where per-host ordering depends on cross-subtree
+    interleaving. This is where a per-host (rather than global) FIFO rank
+    ties and diverges from the reference queue order."""
+    n_seed_hosts = rng.randrange(2, 4)
+    hosts = [f"http://s{i}.test" for i in range(n_seed_hosts)]
+    shared = [f"http://shared{j}.example/t{k}"
+              for j in range(2) for k in range(4)]
+    site = SiteBuilder()
+    pages_per_host = rng.randrange(2, 5)
+    for h in hosts:
+        for p in range(pages_per_host):
+            links = []
+            if p + 1 < pages_per_host and rng.random() < 0.9:
+                links.append(f"/p{p + 1}")          # crawl chain stays on-host
+            for _ in range(rng.randrange(1, 4)):
+                links.append(rng.choice(shared))     # contended check links
+            if rng.random() < 0.3:
+                links.append(rng.choice(hosts) + "/p0")  # cross-seed dup
+            html = "".join(f'<a href="{x}">l</a>' for x in links)
+            url = f"{h}/" if p == 0 else f"{h}/p{p}"
+            site.page(url, html=html,
+                      status=404 if rng.random() < 0.1 else 200)
+    for s in shared:
+        if rng.random() < 0.8:
+            site.page(s, html="<p>t</p>")
+        # else: unscripted -> BROKEN 0
+    seeds = [f"{h}/" for h in hosts]
+    rng.shuffle(seeds)
+    return site, seeds
+
+
+def _engine_order(res_rows):
+    """{host: [urls by seq]} from run_crawl_fused result rows (rows with
+    host '' never occupied a queue slot: parse errors / pre-enqueue skips)."""
+    per_host: dict = {}
+    for (url, _s, _st, _p, _d, host, seq, _w) in res_rows:
+        if host:
+            per_host.setdefault(host, []).append((seq, url))
+    return {h: [u for _, u in sorted(v)] for h, v in per_host.items()}
+
+
+def test_fuzz_multiseed_per_host_order_matches_fifo_reference():
+    """≥80 seeded multi-host-seed cases: the engine's per-host fetch order
+    (sorted by seq) must equal the sequential FIFO reference's queue-pop
+    order per host — not just the result set. Guards the global-FIFO seq
+    rank against regressing to a per-host rank (whose cross-host ties
+    break reference ordering)."""
+    from linkinator_spark.operators.crawler import LinkChecker
+
+    divergences = []
+    for case in range(80):
+        rng = random.Random(30_000 + case)
+        site, seeds = _random_multiseed_site(rng)
+        cfg = CheckOptions(paths=seeds, recurse=True)
+
+        cmap, docs_map = _site_maps(site)
+        extract = make_candidate_links_udf(cfg.check_css, cfg.markdown)
+        seed_rows = LinkChecker._seed_frontier(
+            SimpleNamespace(spark=None), cfg)
+        res_rows, _ev, _dups, _w, _clock = run_crawl_fused(
+            seed_rows, cmap, docs_map, cfg, extract)
+        engine = _engine_order(res_rows)
+
+        _fifo_set, ref = simulate_fifo(site, cfg, with_order=True)
+        if engine != ref:
+            diff = {h: (engine.get(h), ref.get(h))
+                    for h in set(engine) | set(ref)
+                    if engine.get(h) != ref.get(h)}
+            divergences.append((case, diff))
+            if len(divergences) >= 3:
+                break
+    assert not divergences, (
+        f"{len(divergences)} order-divergent cases; first: {divergences[0]}")

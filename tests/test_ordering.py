@@ -114,3 +114,41 @@ def test_url_seen_set_matches_reference(spark):
         .select("url").distinct().collect()
     }
     assert engine_seen == ref_seen
+
+
+def _tie_site() -> SiteBuilder:
+    """Two crawl subtrees on DIFFERENT hosts, converging on a third check
+    host. Wave-1 parents h1/a and h2/b would TIE under a per-host seq rank
+    (both rank 1 on their host) — the reference's global FIFO orders
+    their h3 children by seed order, so the engine's seq must be a global
+    discovery rank to reproduce it."""
+    site = SiteBuilder()
+    site.page("http://h1.test/", html='<a href="/a">a</a>')
+    site.page("http://h2.test/", html='<a href="/b">b</a>')
+    site.page("http://h1.test/a", html='<a href="http://h3.test/x">x</a>')
+    site.page("http://h2.test/b", html='<a href="http://h3.test/y">y</a>')
+    site.page("http://h3.test/x", html="<p>x</p>")
+    site.page("http://h3.test/y", html="<p>y</p>")
+    return site
+
+
+def test_cross_host_tie_follows_seed_order_all_gears(spark):
+    """north_rule per-host ordering on multi-host-seed crawls: reversing
+    the seed list must reverse the shared host's fetch order, identically
+    in every execution gear (fully-fused, wave-fused, staged)."""
+    pages, docs = _tie_site().build(spark)
+    gears = {"full": {}, "wave": {"per_host_budget": 10**9},
+             "staged": {"chain_map_max_rows": 0}}
+    for seeds, expect in (
+        (["http://h1.test/", "http://h2.test/"],
+         ["http://h3.test/x", "http://h3.test/y"]),
+        (["http://h2.test/", "http://h1.test/"],
+         ["http://h3.test/y", "http://h3.test/x"]),
+    ):
+        for gear, kw in gears.items():
+            res = LinkChecker(spark).check(
+                CheckOptions(paths=list(seeds), recurse=True, **kw),
+                pages, docs)
+            got = [r["url"] for r in res.results
+                   .filter("host = 'h3.test'").orderBy("seq").collect()]
+            assert got == expect, f"{gear} seeds={seeds}: {got}"

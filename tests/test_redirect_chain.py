@@ -217,3 +217,33 @@ def test_resolve_location_python_twin(spark):
         resolve_location(F.col("base"), F.col("loc")).alias("r")).collect()]
     py = [_resolve_location_py(b, l) for b, l in cases]
     assert jvm == py
+
+
+@pytest.mark.parametrize("use_chain", [True, False])
+def test_converging_chains_keep_every_row(spark, use_chain):
+    """Distinct links whose redirect chains land on the SAME url must each
+    keep their result row (the canonical-home-page shape: many 301s to
+    one target). request()'s best-attempt pick is per-row, not per-url —
+    a per-url pick silently dropped all but one converging chain."""
+    s = SiteBuilder()
+    base = "http://conv.local"
+    for i in range(4):
+        s.redirect(f"{base}/r{i}", base + "/home", status=301)
+    s.redirect(base + "/two-hop", base + "/r0", status=302)
+    s.page(base + "/home", html="<p>home</p>")
+    pages, _docs = s.build(spark)
+    pages_dim = prepare_pages_dim(pages)
+    cfg = CheckOptions(paths=[])
+
+    urls = [f"{base}/r{i}" for i in range(4)] + [base + "/two-hop"]
+    df = spark.createDataFrame([(u, 1) for u in urls],
+                               "url string, attempt int")
+    kw = {}
+    if use_chain:
+        kw["chain_bc"] = spark.sparkContext.broadcast(build_chain_map(pages))
+    out = fetch_once(df, pages_dim, F.lit("HEAD"), cfg, None, **kw)
+    rows = {r["url"]: r for r in out.collect()}
+    assert sorted(rows) == sorted(urls)
+    for u in urls:
+        assert rows[u]["status"] == 200
+        assert rows[u]["final_url"] == base + "/home"

@@ -150,3 +150,23 @@ def test_hierarchical_row_number_equals_window(spark):
     joined = naive.join(hrn, ["part", "coarse", "fine"])
     assert joined.filter(F.col("_rn") != F.col("_hrn")).count() == 0
     assert joined.count() == 30_000
+
+
+def test_global_fifo_rank_equals_global_window(spark):
+    """Exactness of the range-partitioned global discovery rank: values
+    must be IDENTICAL to row_number() over (order by coarse, fine) — the
+    reference queue position — without the global window's single task."""
+    from pyspark.sql.window import Window
+
+    from linkinator_spark.operators.politeness import global_fifo_rank
+
+    df = spark.range(0, 30_000).select(
+        (F.col("id") % 4001).alias("coarse"),
+        F.xxhash64("id").alias("fine"),
+    ).distinct()
+    w = Window.orderBy("coarse", "fine")
+    naive = df.withColumn("_rn", F.row_number().over(w).cast("long"))
+    grn = global_fifo_rank(df, "coarse", "fine", out_col="_grn")
+    joined = naive.join(grn, ["coarse", "fine"])
+    assert joined.filter(F.col("_rn") != F.col("_grn")).count() == 0
+    assert joined.count() == naive.count()
