@@ -237,6 +237,16 @@ def main() -> None:
     ann = ann_lsh_recall(spark, SF_DIR)
     broken = broken_link_recall(spark, SF_DIR)
 
+    # end-to-end near-dup clustering (pairs -> connected components ->
+    # canonical keeper); time dominated by the minhash+jaccard pair
+    # generation — the CC step itself takes the fused union-find gear at
+    # this scale (star rounds are the 10^10-pair path)
+    import __spark_entry__ as E
+
+    t0 = time.time()
+    cc_rows = E.queries()["dedup_cc_canonical"](spark, SF_DIR).count()
+    cc = {"sec": round(time.time() - t0, 3), "rows": cc_rows}
+
     # frontier throughput at current parallelism (north-rule metric);
     # warm at FULL scale then best-of-3. A smaller warm pass is not
     # enough: C2 compilation of the codegen'd canonicalize/anti-join/
@@ -261,6 +271,7 @@ def main() -> None:
         "cpus": CPUS,
         "ann_lsh": ann,
         "broken_link": broken,
+        "cc_cluster": cc,
         "notes": (
             "frontier warm protocol fixed in round 3 (full-scale warm "
             "before best-of-3): the round-2 frontier reading (5.7M/s) was "

@@ -407,19 +407,56 @@ def _star_round(edges: DataFrame) -> DataFrame:
     return out
 
 
+def _cc_fused(edges: DataFrame) -> DataFrame:
+    """Whole CC in ONE executor-side task: path-compressed union-find over
+    the edge list in a single Arrow batch. The AQE-style small-input gear
+    (same philosophy as the fused BFS / fused crawl gears): a pair graph
+    that fits one task pays one job instead of O(log n) star rounds each
+    with two shuffles and a driver probe. Result-identical to the star
+    rounds (test asserts equality on random graphs)."""
+    def fn(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["u"], pdf["v"]):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        nodes = list(parent)
+        yield pd.DataFrame({"node": nodes,
+                            "component": [find(x) for x in nodes]})
+
+    schema = "node {t}, component {t}".format(
+        t=edges.schema["u"].dataType.simpleString())
+    return edges.repartition(1).mapInPandas(fn, schema)
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
-    max_rounds: int = 25,
+    max_rounds: int = 25, fuse_max_edges: int = 5_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in `pairs`, where
     `component` is the smallest node id in its connected component.
 
-    Alternating large-star/small-star: converges in O(log n) rounds even
-    on path graphs (plain min-label propagation needs O(diameter)), each
-    round is two window shuffles, and per-round driver traffic is one
-    2-value aggregate row for the convergence probe — nothing scales with
-    node or edge count on the driver. The per-round `localCheckpoint`
-    truncates the iterative lineage so the plan stays O(1) per round.
+    At-scale path — alternating large-star/small-star: converges in
+    O(log n) rounds even on path graphs (plain min-label propagation
+    needs O(diameter)), each round is two window shuffles, and per-round
+    driver traffic is one 2-value aggregate row for the convergence probe
+    — nothing scales with node or edge count on the driver. The per-round
+    `localCheckpoint` truncates the iterative lineage so the plan stays
+    O(1) per round. Edge lists at or under `fuse_max_edges` (~80 MB of
+    int64 pairs) instead take `_cc_fused`, a one-task union-find — the
+    near-dup pair graph of a fixture-scale corpus is latency-bound, not
+    data-bound (measured 8 s -> ~1 s at sf0.1).
     """
     edges = (
         pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
@@ -428,6 +465,17 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    nodes_in = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    if fuse_max_edges and edges.count() <= fuse_max_edges:
+        comp = _cc_fused(edges)
+        return (
+            nodes_in.join(comp, "node", "left")
+            .select("node", F.coalesce("component", "node").alias("component"))
+        )
     prev_sig = None
     for _ in range(max_rounds):
         edges = _star_round(edges).localCheckpoint()
@@ -442,13 +490,8 @@ def connected_components(
             break
         prev_sig = sig
     # converged: every edge is (node, component-min); minima map to themselves
-    nodes = (
-        pairs.select(F.col(id_a).alias("node"))
-        .union(pairs.select(F.col(id_b).alias("node")))
-        .distinct()
-    )
     return (
-        nodes.join(edges.withColumnRenamed("u", "node"), "node", "left")
+        nodes_in.join(edges.withColumnRenamed("u", "node"), "node", "left")
         .select("node", F.coalesce("v", "node").alias("component"))
     )
 

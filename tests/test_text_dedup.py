@@ -293,19 +293,21 @@ def _uf_components(pairs):
     return {n: find(n) for n in parent}
 
 
-def test_connected_components_chain_and_islands(spark):
+@pytest.mark.parametrize("fuse", [5_000_000, 0])
+def test_connected_components_chain_and_islands(spark, fuse):
     from linkinator_spark.functions.dedup import connected_components
 
     # a transitive chain 1-2-3-4 (no direct 1-4 edge), an island {10,11},
-    # and a 2-cycle duplicate edge
+    # and a 2-cycle duplicate edge; fuse=0 forces the star-round gear
     pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)]
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {r["node"]: r["component"]
-           for r in connected_components(df).collect()}
+           for r in connected_components(df, fuse_max_edges=fuse).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
-def test_connected_components_random_vs_union_find(spark):
+@pytest.mark.parametrize("fuse", [5_000_000, 0])
+def test_connected_components_random_vs_union_find(spark, fuse):
     import random
 
     from linkinator_spark.functions.dedup import connected_components
@@ -318,7 +320,7 @@ def test_connected_components_random_vs_union_find(spark):
     pairs = [(a, b) for a, b in pairs if a != b]
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {r["node"]: r["component"]
-           for r in connected_components(df).collect()}
+           for r in connected_components(df, fuse_max_edges=fuse).collect()}
     assert got == _uf_components(pairs)
 
 
