@@ -458,16 +458,22 @@ def connected_components(
     near-dup pair graph of a fixture-scale corpus is latency-bound, not
     data-bound (measured 8 s -> ~1 s at sf0.1).
     """
+    # one checkpoint of the slim pair projection: the (possibly expensive)
+    # pair-generation upstream materializes ONCE and feeds both the edge
+    # list and the node set (deriving nodes from `pairs` directly would
+    # recompute the whole upstream — visible as a doubled pipeline in the
+    # PLANS.md audit)
+    slim = pairs.select(
+        F.col(id_a).alias("x"), F.col(id_b).alias("y")).localCheckpoint()
     edges = (
-        pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
-        .filter(F.col("x") != F.col("y"))
+        slim.filter(F.col("x") != F.col("y"))
         .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
         .distinct()
         .localCheckpoint()
     )
     nodes_in = (
-        pairs.select(F.col(id_a).alias("node"))
-        .union(pairs.select(F.col(id_b).alias("node")))
+        slim.select(F.col("x").alias("node"))
+        .union(slim.select(F.col("y").alias("node")))
         .distinct()
     )
     if fuse_max_edges and edges.count() <= fuse_max_edges:
