@@ -663,6 +663,29 @@ def q_text_fingerprint(spark, sf_dir):
 # similarity / media
 # ---------------------------------------------------------------------------
 
+def q_doc_split(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test split (98/1/1) — the
+    reproducible corpus-split step: reshuffles/re-ingest select exactly
+    the same documents (functions/sampling.hash_split)."""
+    from linkinator_spark.functions import sampling as SMP
+
+    return SMP.hash_split(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_sample_stratified(spark, sf_dir):
+    """Exact-count stratified sampling: exactly ceil(0.2 * n) docs per
+    stratum, chosen by deterministic hash order; the per-stratum rank is
+    hierarchical (hash-bucket stripes + offsets) so a hot stratum never
+    serializes into one window task."""
+    from linkinator_spark.functions import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 7).alias("shard"))
+    return SMP.stratified_sample_exact(docs, "shard", 0.2).select(
+        F.col("id").alias("doc_id"), F.col("stratum").alias("shard"),
+        "sample_rank")
+
+
 def _ann_corpus(spark, sf_dir):
     """embeddings ∪ 4 deterministic near-dup perturbations of each query
     vector (vec_id%100==0): copy j shifts each coordinate by
@@ -836,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "doc_split": q_doc_split,
+        "doc_sample_stratified": q_doc_sample_stratified,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_features": q_media_features,
@@ -1214,6 +1239,34 @@ def oracle_sql() -> dict[str, str]:
                    {_hash_sql(norm_text)} as fingerprint,
                    {kgram} as kgram_fp
             from documents
+        """,
+        "doc_split": f"""
+            select doc_id,
+                   cast({_hash_sql("cast(doc_id as varchar)", "split:")} % 100
+                        as int) as bucket,
+                   case when {_hash_sql("cast(doc_id as varchar)", "split:")}
+                             % 100 < 98 then 'train'
+                        when {_hash_sql("cast(doc_id as varchar)", "split:")}
+                             % 100 < 99 then 'val'
+                        else 'test' end as split
+            from documents
+        """,
+        "doc_sample_stratified": f"""
+            with keyed as (
+              select doc_id, doc_id % 7 as shard,
+                     {_hash_sql("cast(doc_id as varchar)", "sample:")} as h
+              from documents
+            ),
+            ranked as (
+              select doc_id, shard,
+                     cast(row_number() over (partition by shard
+                                             order by h % 1024, h) as bigint)
+                       as sample_rank,
+                     count(*) over (partition by shard) as n
+              from keyed
+            )
+            select doc_id, shard, sample_rank from ranked
+            where sample_rank <= cast(ceil(n * 0.2) as bigint)
         """,
         "dedup_embedding": """
             -- ground truth: exact all-pairs at the threshold. The Spark

@@ -1,0 +1,88 @@
+"""Deterministic corpus splitting and sampling for training pipelines.
+
+Reproducibility is the contract: both operators key on the portable
+60-bit hash (functions/text.portable_hash64, bit-exact in DuckDB), so a
+split/sample computed on one cluster — or recomputed after a reshuffle,
+repartition, or re-ingest — selects exactly the same documents. Spark's
+`sample`/`sampleBy` cannot promise that (partition-dependent RNG
+streams); hash gating costs one codegen expression per row and no
+shuffle at all for `hash_split`.
+
+Scale notes: `hash_split` is pure whole-stage-codegen projection.
+`stratified_sample_exact` needs a per-stratum rank; a hot stratum
+(e.g. one language holding half a 10^10-doc corpus) would serialize a
+naive `row_number() OVER (PARTITION BY stratum)` into one task, so the
+rank runs through politeness.hierarchical_row_number over hash-bucket
+stripes — bounded tasks, values identical to the naive window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkinator_spark.functions.text import portable_hash64
+
+DEFAULT_WEIGHTS = (("train", 98), ("val", 1), ("test", 1))
+
+
+def hash_split(
+    docs: DataFrame, id_col: str = "doc_id",
+    weights=DEFAULT_WEIGHTS, salt: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label by hash bucket.
+
+    `weights` are integer percents summing to 100, consumed in order:
+    with the default 98/1/1, buckets 0-97 -> train, 98 -> val,
+    99 -> test. Changing `salt` re-deals the split without touching the
+    data. Output: input id column + (bucket int, split string)."""
+    total = sum(w for _, w in weights)
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = F.pmod(
+        portable_hash64(F.col(id_col).cast("string"), prefix=f"{salt}:"),
+        F.lit(100),
+    ).cast("int")
+    expr = None
+    edge = 0
+    for name, w in weights:
+        edge += w
+        cond = bucket < edge
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.select(
+        id_col, bucket.alias("bucket"), expr.alias("split"))
+
+
+def stratified_sample_exact(
+    docs: DataFrame, stratum_col: str, fraction: float,
+    id_col: str = "doc_id", salt: str = "sample", stripes: int = 1024,
+) -> DataFrame:
+    """Exact-count stratified sample: from every stratum, keep exactly
+    ceil(fraction * stratum_count) rows — the ones ranked first by the
+    deterministic hash order. Unlike a per-row hash threshold (binomial
+    counts) or `sampleBy` (nondeterministic under reshuffle), the chosen
+    set is exact per stratum and bit-reproducible.
+
+    The per-stratum rank is hierarchical (rank within hash-bucket
+    stripes + per-stripe offsets), so a stratum holding most of the
+    corpus never lands in one task. Output: (id, stratum, sample_rank).
+    """
+    from linkinator_spark.operators.politeness import hierarchical_row_number
+
+    h = portable_hash64(F.col(id_col).cast("string"), prefix=f"{salt}:")
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(stratum_col).alias("stratum"),
+        h.alias("_h"),
+        F.pmod(h, F.lit(stripes)).alias("_stripe"),
+    )
+    ranked = hierarchical_row_number(
+        keyed, "stratum", "_stripe", "_h", out_col="sample_rank")
+    counts = keyed.groupBy("stratum").agg(F.count("*").alias("_n"))
+    quota = F.ceil(F.col("_n") * F.lit(float(fraction))).cast("long")
+    return (
+        ranked.join(F.broadcast(counts.select("stratum", quota.alias("_q"))),
+                    "stratum")
+        .filter(F.col("sample_rank") <= F.col("_q"))
+        .select("id", "stratum", "sample_rank")
+    )

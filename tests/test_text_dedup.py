@@ -340,3 +340,52 @@ def test_near_dup_clusters_transitive_keeper(spark):
     rows = near_dup_clusters(docs, threshold=0.4).collect()
     got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"]) for r in rows}
     assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}  # 9 never enters pairs
+
+
+# ------------------------------------------------- split / sampling
+
+def test_hash_split_deterministic_under_repartition(spark):
+    """The split must select identical documents regardless of physical
+    layout — the reproducibility contract Spark's sample() cannot give."""
+    from linkinator_spark.functions.sampling import hash_split
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {(r["doc_id"], r["split"]) for r in hash_split(docs).collect()}
+    b = {(r["doc_id"], r["split"])
+         for r in hash_split(docs.repartition(13)).collect()}
+    assert a == b
+    by_split = {}
+    for _, s in a:
+        by_split[s] = by_split.get(s, 0) + 1
+    # 98/1/1 within binomial slack at n=2000
+    assert by_split["train"] > 1900
+    assert 0 < by_split["val"] < 80 and 0 < by_split["test"] < 80
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(docs, weights=(("a", 50), ("b", 40)))
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from math import ceil
+
+    from linkinator_spark.functions.sampling import stratified_sample_exact
+
+    docs = spark.range(0, 1100).select(
+        F.col("id").alias("doc_id"),
+        # skewed strata: one hot stratum with ~10x the others
+        F.when(F.col("id") < 1000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 5).cast("string")))
+        .alias("lang"),
+    )
+    got = stratified_sample_exact(docs, "lang", 0.17).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["stratum"], set()).add(r["id"])
+    sizes = {s: len(v) for s, v in per.items()}
+    assert sizes["hot"] == ceil(1000 * 0.17)
+    assert all(sizes[f"s{i}"] == ceil(20 * 0.17) for i in range(5))
+    # identical selection under a different physical layout
+    again = stratified_sample_exact(docs.repartition(7), "lang", 0.17).collect()
+    assert {(r["id"], r["stratum"]) for r in again} == {
+        (r["id"], r["stratum"]) for r in got}
