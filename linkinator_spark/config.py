@@ -28,6 +28,14 @@ class LinkState:
 # statusCodes action values — reference src/options.ts StatusCodeAction
 STATUS_ACTIONS = ("ok", "warn", "skip", "error")
 
+# seq = (wave+1) * SEQ_WAVE_STRIDE + global FIFO rank within the wave.
+# The stride must exceed any single wave's row count: the rank is GLOBAL
+# (reference queue position), so at a 10^10-URL frontier a wave can pass
+# 10^9 rows — 10^12 slots per wave leaves max_waves=1000 waves * 10^12
+# = 10^15, comfortably inside int64. Both execution gears share this
+# constant (staged crawler tail + fused loop).
+SEQ_WAVE_STRIDE = 1_000_000_000_000
+
 
 @dataclass
 class CheckOptions:

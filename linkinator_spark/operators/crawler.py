@@ -54,7 +54,8 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-from linkinator_spark.config import CheckOptions, LinkState
+from linkinator_spark.config import (CheckOptions, LinkState,
+                                     SEQ_WAVE_STRIDE)
 from linkinator_spark.functions.extract import (
     ANCHORS_SCHEMA, CANDIDATE_SCHEMA, make_anchors_udf, make_candidate_links_udf,
 )
@@ -1297,7 +1298,7 @@ class LinkChecker:
             F.lit(0).alias("retry_errors_n"),
             F.lit(float(clock)).alias("not_before"),
             F.lit(wave + 1).alias("wave"),
-            (F.lit((wave + 1) * 1_000_000_000) + F.col("_hrn"))
+            (F.lit((wave + 1) * SEQ_WAVE_STRIDE) + F.col("_hrn"))
             .cast("long").alias("seq"),
         )
         return new_frontier, new_rel, new_dups

@@ -50,7 +50,8 @@ import re
 
 from pyspark.sql import DataFrame
 
-from linkinator_spark.config import CheckOptions, LinkState
+from linkinator_spark.config import (CheckOptions, LinkState,
+                                     SEQ_WAVE_STRIDE)
 from linkinator_spark.operators.fetch import _make_py_skip
 
 _HTML_RE_PY = re.compile("text/html|application/xhtml\\+xml")
@@ -644,7 +645,7 @@ def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
                 "url": resolved, "host": child_host, "parent": page_url,
                 "crawl": crawl, "root_path": root_path, "attempt": 1,
                 "retry_errors_n": 0, "not_before": 0.0, "wave": wave + 1,
-                "seq": (wave + 1) * 1_000_000_000 + rank,
+                "seq": (wave + 1) * SEQ_WAVE_STRIDE + rank,
             })
 
         # ---- fragment validation (staged _validate_fragments twin,
