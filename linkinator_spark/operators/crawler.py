@@ -219,6 +219,16 @@ class LinkChecker:
             ctx["host_rules"] = host_rules_from_pages(
                 pages, documents, cfg.user_agent
             ).localCheckpoint(eager=True)
+        elif cfg.respect_robots and live:
+            # live mode: the rules dim starts empty and grows per wave —
+            # each wave fetches /robots.txt over the network for hosts it
+            # is meeting for the first time (incremental step in the wave
+            # loop below). Missing robots parse to empty rules, so the
+            # host is recorded and never refetched.
+            from linkinator_spark.operators.robots import RULES_SCHEMA
+
+            ctx["host_rules"] = self._empty(RULES_SCHEMA)
+            ctx["live_robots"] = True
 
         # fusion capability (operators/wave_fused.py): scripted tables
         # small enough to broadcast, no robots dim, no URL rewrite.
@@ -367,6 +377,24 @@ class LinkChecker:
                         ready, cfg.per_host_budget, cfg.salt_hot_host_threshold
                     )
                     deferred = deferred.unionByName(overflow)
+
+            # ---- live robots: fetch rules for hosts this wave meets for
+            # the first time, BEFORE the robots gate sees the wave. The
+            # eager checkpoint materializes the network fetch exactly once
+            # (the rules dim has two consumers: the gate join and the next
+            # wave's anti-join).
+            if ctx.get("live_robots"):
+                from linkinator_spark.operators.robots import host_rules_live
+
+                hosts_new = (
+                    ready.groupBy("host").agg(F.min("url").alias("url_sample"))
+                    .join(ctx["host_rules"].select("host"), "host",
+                          "left_anti")
+                )
+                new_rules = host_rules_live(
+                    hosts_new, cfg, cfg.user_agent).localCheckpoint(eager=True)
+                ctx["host_rules"] = ctx["host_rules"].unionByName(
+                    new_rules).localCheckpoint(eager=True)
 
             seen = self._union(seen_parts, "url string")
             relationships = self._union(rel_parts, REL_SCHEMA)
@@ -563,7 +591,8 @@ class LinkChecker:
             # per-host rule dim, bounded by the scripted table's hosts
             # (itself under the chain-map gate) — broadcast-sized
             robots_rules = {
-                r["host"]: (list(r["disallow"] or []), list(r["allow"] or []))
+                r["host"]: (list(r["disallow"] or []), list(r["allow"] or []),
+                            r["crawl_delay"])
                 for r in ctx["host_rules"].collect()
             }
         res_rows, ev_rows, dup_rows, waves, clock = run_crawl_fused(
@@ -827,8 +856,11 @@ class LinkChecker:
                 )
             )
 
-        # ---- per-host delay gate (J3, src/index.ts:325-342)
-        if cfg.retry:
+        # ---- per-host delay gate (J3, src/index.ts:325-342). Active for
+        # 429 retry-after deadlines (cfg.retry) AND for robots Crawl-delay
+        # pacing (rules dim present) — both families merge max-wins into
+        # the same host_delays table
+        if cfg.retry or ctx.get("host_rules") is not None:
             gated = ready.join(
                 F.broadcast(host_delays.withColumnRenamed("not_before", "_host_nb")),
                 "host", "left",
@@ -841,6 +873,25 @@ class LinkChecker:
             ready = gated.filter(
                 F.col("_host_nb").isNull() | (F.col("_host_nb") <= clock + _EPS)
             ).drop("_host_nb")
+
+        # ---- robots Crawl-delay -> per-host pacing (north_star
+        # politeness; the reference has no robots at all): every host
+        # fetched this wave admits no further fetches until
+        # clock + crawl_delay. Wave-granular pacing — combine with
+        # per_host_budget=1 for strict one-fetch-per-delay pacing.
+        if ctx.get("host_rules") is not None:
+            delay_rules = ctx["host_rules"].filter(
+                F.col("crawl_delay").isNotNull()).select("host", "crawl_delay")
+            armed = (
+                ready.select("host").distinct()
+                .join(F.broadcast(delay_rules), "host")
+                .select("host", (F.lit(float(clock)) + F.col("crawl_delay"))
+                        .alias("not_before"))
+            )
+            host_delays = (
+                host_delays.unionByName(armed)
+                .groupBy("host").agg(F.max("not_before").alias("not_before"))
+            )
 
         # ---- fetch: HEAD for leaves, GET when crawling (src/index.ts:344-369)
         fused = (ctx.get("small_wave") and ctx.get("chain_bc") is not None

@@ -153,3 +153,51 @@ def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> tuple[DataFrame
     allowed = tagged.filter(F.col("_robots_ok")).drop(*drop)
     disallowed = tagged.filter(~F.col("_robots_ok")).drop(*drop)
     return allowed, disallowed
+
+
+def host_rules_live(hosts_df: DataFrame, cfg, user_agent: str = "*") -> DataFrame:
+    """Live-mode robots: fetch /robots.txt ONCE per new host over the real
+    network (Arrow-batched mapInPandas, keep-alive pooled per thread,
+    honoring timeout + allow-insecure-certs). Missing, non-200 or erroring
+    robots parse to empty rules — everything allowed — and the host still
+    gets a rules row, so it is never refetched. Input: (host, url_sample);
+    scheme and port ride the sample URL. The output unions into the same
+    broadcast `host_rules` dim the table mode builds up front — at web
+    scale the dim is O(hosts), the standard dimension-table shape."""
+    from linkinator_spark.operators.http_fetch import _HostConnections
+
+    timeout = (cfg.timeout / 1000.0) if cfg.timeout else 30.0
+    insecure = bool(getattr(cfg, "insecure", False))
+    ua = cfg.user_agent
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urlsplit
+
+        conns = _HostConnections(timeout, insecure)
+        for pdf in batches:
+            rows = []
+            for host, sample in zip(pdf["host"], pdf["url_sample"]):
+                body = ""
+                try:
+                    parts = urlsplit(sample)
+                    scheme = parts.scheme or "http"
+                    port = parts.port or (443 if scheme == "https" else 80)
+                    conn = conns.get(scheme, parts.hostname or host, port)
+                    conn.request(
+                        "GET", "/robots.txt",
+                        headers={"User-Agent": ua, "Accept": "*/*",
+                                 "Host": parts.netloc,
+                                 "Connection": "keep-alive"})
+                    resp = conn.getresponse()
+                    raw = resp.read(1_000_000)
+                    while resp.read(65536):
+                        pass
+                    if resp.status == 200:
+                        body = raw.decode("utf-8", errors="replace")
+                except Exception:
+                    body = ""
+                rows.append((host, body))
+            yield pd.DataFrame(rows, columns=["host", "body"])
+
+    with_body = hosts_df.mapInPandas(fn, "host string, body string")
+    return host_rules_from_bodies(with_body, user_agent)

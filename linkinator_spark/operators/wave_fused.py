@@ -317,8 +317,11 @@ def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
         fetchable = still
 
     # ---- per-host delay gate (J3, staged crawler delay join twin):
-    # skipped rows above never reach the gate, matching the staged order
-    if retry_ctx is not None and cfg.retry and retry_ctx["host_delays"]:
+    # skipped rows above never reach the gate, matching the staged order.
+    # Active for 429 deadlines (cfg.retry) AND robots Crawl-delay pacing
+    # (rules dim present), like the staged condition
+    if (retry_ctx is not None and (cfg.retry or rules_map is not None)
+            and retry_ctx["host_delays"]):
         clock = retry_ctx["clock"]
         still = []
         for r in fetchable:
@@ -328,6 +331,18 @@ def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
             else:
                 still.append(r)
         fetchable = still
+
+    # ---- robots Crawl-delay -> per-host pacing (staged arming twin):
+    # every host fetched this wave waits crawl_delay of virtual time
+    # before its next wave of fetches (max-wins merge with 429 deadlines)
+    if rules_map is not None and retry_ctx is not None:
+        clock0 = retry_ctx["clock"]
+        for r in fetchable:
+            rules = rules_map.get(r["host"])
+            if rules is not None and rules[2] is not None:
+                new_delays[r["host"]] = max(
+                    new_delays.get(r["host"], float("-inf")),
+                    clock0 + rules[2])
 
     # ---- fetch choreography (request + chains + 405 + last-gasp),
     # wave-batch gated exactly like the staged aggregate

@@ -1,0 +1,131 @@
+"""Live-mode robots.txt: rules are fetched over the real network, once per
+host, as the crawl meets new hosts (north_star: "robots.txt-aware"
+politeness; the reference has no robots support — this mirrors the
+TABLE-mode robots semantics already oracle-checked by robots_gate).
+"""
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from linkinator_spark.config import CheckOptions
+from linkinator_spark.operators.crawler import check_live
+
+ROBOTS_BODY = (b"User-agent: *\n"
+               b"Disallow: /private/\n"
+               b"Allow: /private/open/\n")
+
+PAGES = {
+    "/": (b'<a href="/private/x.html">p</a>'
+          b'<a href="/private/open/y.html">o</a>'
+          b'<a href="/ok.html">k</a>'),
+    "/private/x.html": b"<p>secret</p>",
+    "/private/open/y.html": b"<p>open</p>",
+    "/ok.html": b"<p>ok</p>",
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    robots_hits = 0
+    lock = threading.Lock()
+
+    def log_message(self, *a):
+        pass
+
+    def _serve(self, method):
+        if self.path == "/robots.txt":
+            with _Handler.lock:
+                _Handler.robots_hits += 1
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(ROBOTS_BODY)))
+            self.end_headers()
+            if method == "GET":
+                self.wfile.write(ROBOTS_BODY)
+            return
+        body = PAGES.get(self.path)
+        if body is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if method == "GET":
+            self.wfile.write(body)
+
+    def do_GET(self):
+        self._serve("GET")
+
+    def do_HEAD(self):
+        self._serve("HEAD")
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_live_robots_gate_and_single_fetch(spark, server):
+    _Handler.robots_hits = 0
+    cfg = CheckOptions(paths=[server + "/"], recurse=True, concurrency=4,
+                       timeout=10_000, respect_robots=True)
+    res = check_live(spark, cfg)
+    rows = {r["url"]: r for r in res.results.collect()}
+
+    x = rows[server + "/private/x.html"]
+    assert x["state"] == "SKIPPED"
+    assert list(x["failure_details"]) == ["robots.txt disallow"]
+    assert rows[server + "/private/open/y.html"]["state"] == "OK"
+    assert rows[server + "/ok.html"]["state"] == "OK"
+    assert res.passed is True
+    # robots.txt is a side-channel fetch, not a crawled link
+    assert server + "/robots.txt" not in rows
+    # fetched exactly once for the host, not per wave / per URL
+    assert _Handler.robots_hits == 1
+
+
+def test_live_robots_missing_allows_everything(spark, server, monkeypatch):
+    """A host without robots.txt (404) must crawl unrestricted, and the
+    host must still be recorded so robots is not re-probed every wave."""
+    _Handler.robots_hits = 0
+    missing = dict(PAGES)
+
+    def serve(self, method):
+        if self.path == "/robots.txt":
+            with _Handler.lock:
+                _Handler.robots_hits += 1
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        body = missing.get(self.path)
+        if body is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if method == "GET":
+            self.wfile.write(body)
+
+    monkeypatch.setattr(_Handler, "_serve", serve)
+    cfg = CheckOptions(paths=[server + "/"], recurse=True, concurrency=4,
+                       timeout=10_000, respect_robots=True)
+    res = check_live(spark, cfg)
+    rows = {r["url"]: r["state"] for r in res.results.collect()}
+    assert rows[server + "/private/x.html"] == "OK"
+    assert rows[server + "/ok.html"] == "OK"
+    assert res.passed is True
+    assert _Handler.robots_hits == 1

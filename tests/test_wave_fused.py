@@ -275,3 +275,40 @@ def test_full_fusion_runs_zero_wave_jobs(spark):
     # builds (RDD-level) and the final isEmpty/persist
     assert mid_calls <= 2, f"fused crawl ran {mid_calls} collects"
     assert res.results.count() > 0
+
+
+def test_robots_crawl_delay_gears_identical(spark):
+    """robots Crawl-delay paces fetches per host on the virtual clock:
+    a host fetched in a wave admits no further fetches until
+    clock + delay. The fused python twin must match the staged
+    gate/arming exactly, and the final clock must show the pacing."""
+    base = "http://cd.test"
+    s = SiteBuilder()
+    s.page(base + "/robots.txt", content_type="text/plain",
+           spans=[{"kind": "text",
+                   "text": "User-agent: *\nCrawl-delay: 3\n",
+                   "media_ref": "", "offset": 0}])
+    s.page(base + "/", html='<a href="/a.html">a</a><a href="/b.html">b</a>')
+    s.page(base + "/a.html", html='<a href="/c.html">c</a>')
+    s.page(base + "/b.html", html="<p>b</p>")
+    s.page(base + "/c.html", html="<p>c</p>")
+
+    def crawl(**knobs):
+        pages, docs = s.build(spark)
+        cfg = CheckOptions(paths=[base + "/"], recurse=True,
+                           respect_robots=True, **knobs)
+        res = LinkChecker(spark).check(cfg, pages, docs)
+        rows = sorted(
+            (r["url"], r["status"], r["state"], r["parent"], r["host"],
+             r["seq"], tuple(r["failure_details"] or []))
+            for r in res.results.collect())
+        return rows, res.passed, res.clock
+
+    fused = crawl()
+    staged = crawl(fused_docs_max_bytes=0)
+    assert fused[0] == staged[0]
+    assert fused[1] == staged[1] is True
+    # wave 0 at t=0 (seed), a/b deferred to t=3, c to t=6
+    assert fused[2] == staged[2] == 6.0
+    states = {u: st for (u, _s, st, _p, _h, _q, _d) in fused[0]}
+    assert all(v == "OK" for v in states.values())
