@@ -228,6 +228,7 @@ class LinkChecker:
             from linkinator_spark.operators.robots import RULES_SCHEMA
 
             ctx["host_rules"] = self._empty(RULES_SCHEMA)
+            ctx["host_rules_parts"] = [ctx["host_rules"]]
             ctx["live_robots"] = True
 
         # fusion capability (operators/wave_fused.py): scripted tables
@@ -391,10 +392,16 @@ class LinkChecker:
                     .join(ctx["host_rules"].select("host"), "host",
                           "left_anti")
                 )
+                # each wave's NEW rules are checkpointed once and the dim is
+                # a union of parts (seen_parts pattern) — re-checkpointing
+                # the cumulative dim would rewrite O(hosts) rows per wave
                 new_rules = host_rules_live(
                     hosts_new, cfg, cfg.user_agent).localCheckpoint(eager=True)
-                ctx["host_rules"] = ctx["host_rules"].unionByName(
-                    new_rules).localCheckpoint(eager=True)
+                ctx["host_rules_parts"].append(new_rules)
+                from linkinator_spark.operators.robots import RULES_SCHEMA
+
+                ctx["host_rules"] = self._union(
+                    ctx["host_rules_parts"], RULES_SCHEMA)
 
             seen = self._union(seen_parts, "url string")
             relationships = self._union(rel_parts, REL_SCHEMA)
