@@ -347,7 +347,14 @@ class LinkChecker:
 
             if not n_ready:
                 # advance to the earliest deadline; its rows become ready by
-                # construction, no recount needed
+                # construction, no recount needed. In LIVE mode the wait is
+                # REAL (the reference's setTimeout semantics): retry-after
+                # and Crawl-delay politeness must hold in wall-clock time
+                # against a remote server, not only in virtual ordering
+                if live and min_nb > clock:
+                    import time as _time
+
+                    _time.sleep(min_nb - clock)
                 clock = float(min_nb)
 
             # adaptive layout: tail waves (and fixture-sized crawls) collapse
@@ -378,30 +385,6 @@ class LinkChecker:
                         ready, cfg.per_host_budget, cfg.salt_hot_host_threshold
                     )
                     deferred = deferred.unionByName(overflow)
-
-            # ---- live robots: fetch rules for hosts this wave meets for
-            # the first time, BEFORE the robots gate sees the wave. The
-            # eager checkpoint materializes the network fetch exactly once
-            # (the rules dim has two consumers: the gate join and the next
-            # wave's anti-join).
-            if ctx.get("live_robots"):
-                from linkinator_spark.operators.robots import host_rules_live
-
-                hosts_new = (
-                    ready.groupBy("host").agg(F.min("url").alias("url_sample"))
-                    .join(ctx["host_rules"].select("host"), "host",
-                          "left_anti")
-                )
-                # each wave's NEW rules are checkpointed once and the dim is
-                # a union of parts (seen_parts pattern) — re-checkpointing
-                # the cumulative dim would rewrite O(hosts) rows per wave
-                new_rules = host_rules_live(
-                    hosts_new, cfg, cfg.user_agent).localCheckpoint(eager=True)
-                ctx["host_rules_parts"].append(new_rules)
-                from linkinator_spark.operators.robots import RULES_SCHEMA
-
-                ctx["host_rules"] = self._union(
-                    ctx["host_rules_parts"], RULES_SCHEMA)
 
             seen = self._union(seen_parts, "url string")
             relationships = self._union(rel_parts, REL_SCHEMA)
@@ -461,7 +444,9 @@ class LinkChecker:
             seen_parts.append(new_frontier.select("url"))
             if cfg.check_fragments:
                 pending = _part(pending)
-            if cfg.retry:
+            if cfg.retry or ctx.get("host_rules") is not None:
+                # host_delays mutates per wave under retry AND under robots
+                # Crawl-delay arming — both need the lineage cut
                 host_delays = _part(host_delays)
 
             # the one forcing action: touch every lazy checkpoint AND
@@ -848,6 +833,31 @@ class LinkChecker:
             )
         )
         ready = ready.filter(~skip_cond)
+
+        # ---- live robots: fetch rules for hosts this wave meets for the
+        # first time. Placed AFTER url_rewrite and the pre-fetch skip so
+        # (a) rules key on the post-rewrite hosts the gate will look up,
+        # and (b) hosts the user skip-ruled out of the crawl are never
+        # contacted, not even for robots.txt.
+        if ctx.get("live_robots"):
+            from linkinator_spark.operators.robots import (
+                RULES_SCHEMA, host_rules_live,
+            )
+
+            hosts_new = (
+                ready.groupBy("host").agg(F.min("url").alias("url_sample"))
+                .join(ctx["host_rules"].select("host"), "host", "left_anti")
+            )
+            # each wave's NEW rules are checkpointed once and the dim is a
+            # union of parts (seen_parts pattern) — re-checkpointing the
+            # cumulative dim would rewrite O(hosts) rows per wave; waves
+            # that meet no new hosts append nothing
+            new_rules = host_rules_live(
+                hosts_new, cfg, cfg.user_agent).localCheckpoint(eager=True)
+            if not new_rules.isEmpty():
+                ctx["host_rules_parts"].append(new_rules)
+                ctx["host_rules"] = self._union(
+                    ctx["host_rules_parts"], RULES_SCHEMA)
 
         # ---- robots.txt gate (north_star politeness; no reference analog)
         if ctx.get("host_rules") is not None:

@@ -158,42 +158,81 @@ def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> tuple[DataFrame
 def host_rules_live(hosts_df: DataFrame, cfg, user_agent: str = "*") -> DataFrame:
     """Live-mode robots: fetch /robots.txt ONCE per new host over the real
     network (Arrow-batched mapInPandas, keep-alive pooled per thread,
-    honoring timeout + allow-insecure-certs). Missing, non-200 or erroring
-    robots parse to empty rules — everything allowed — and the host still
-    gets a rules row, so it is never refetched. Input: (host, url_sample);
-    scheme and port ride the sample URL. The output unions into the same
+    honoring timeout, allow-insecure-certs, custom request headers, and
+    HTTP(S)_PROXY/NO_PROXY exactly like the page-fetch stage — robots must
+    not silently fail where pages succeed through a proxy). A transient
+    error retries once on a fresh connection (the page path's stale
+    keep-alive recovery); a fetch that still fails — or any non-200 —
+    parses to empty rules, everything allowed, and the host still gets a
+    rules row so it is never refetched. Input: (host, url_sample); scheme
+    and port ride the sample URL. The output unions into the same
     broadcast `host_rules` dim the table mode builds up front — at web
     scale the dim is O(hosts), the standard dimension-table shape."""
-    from linkinator_spark.operators.http_fetch import _HostConnections
+    import urllib.request
+
+    from linkinator_spark.operators.http_fetch import (
+        _HostConnections, _no_proxy,
+    )
 
     timeout = (cfg.timeout / 1000.0) if cfg.timeout else 30.0
     insecure = bool(getattr(cfg, "insecure", False))
     ua = cfg.user_agent
+    extra_headers = dict(cfg.headers or {})
+    # driver-resolved, like make_live_requester: executor workers may
+    # predate an env change
+    proxies = urllib.request.getproxies()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from urllib.parse import urlsplit
 
         conns = _HostConnections(timeout, insecure)
+
+        def one(host: str, sample: str) -> str:
+            parts = urlsplit(sample)
+            scheme = parts.scheme or "http"
+            hostname = parts.hostname or host
+            port = parts.port or (443 if scheme == "https" else 80)
+            path = "/robots.txt"
+            proxy = proxies.get(scheme)
+            if proxy and not _no_proxy(hostname, proxies):
+                pparts = urlsplit(
+                    proxy if "://" in proxy else "http://" + proxy)
+                if scheme == "https":
+                    conn_key = ("https", pparts.hostname or "",
+                                pparts.port or 80, (hostname, port))
+                else:
+                    conn_key = ("http", pparts.hostname or "",
+                                pparts.port or 80, None)
+                    path = f"{scheme}://{parts.netloc}/robots.txt"
+            else:
+                conn_key = (scheme, hostname, port, None)
+            headers = {"User-Agent": ua, "Accept": "*/*",
+                       "Host": parts.netloc, "Connection": "keep-alive"}
+            headers.update(extra_headers)
+            try:
+                conn = conns.get(*conn_key)
+                conn.request("GET", path, headers=headers)
+                resp = conn.getresponse()
+            except Exception:
+                # stale keep-alive / transient failure: one fresh retry —
+                # a momentary blip must not permanently disable robots
+                # for the host (empty rules are recorded forever)
+                conns.drop(*conn_key)
+                conn = conns.get(*conn_key)
+                conn.request("GET", path, headers=headers)
+                resp = conn.getresponse()
+            raw = resp.read(1_000_000)
+            while resp.read(65536):
+                pass
+            if resp.status == 200:
+                return raw.decode("utf-8", errors="replace")
+            return ""
+
         for pdf in batches:
             rows = []
             for host, sample in zip(pdf["host"], pdf["url_sample"]):
-                body = ""
                 try:
-                    parts = urlsplit(sample)
-                    scheme = parts.scheme or "http"
-                    port = parts.port or (443 if scheme == "https" else 80)
-                    conn = conns.get(scheme, parts.hostname or host, port)
-                    conn.request(
-                        "GET", "/robots.txt",
-                        headers={"User-Agent": ua, "Accept": "*/*",
-                                 "Host": parts.netloc,
-                                 "Connection": "keep-alive"})
-                    resp = conn.getresponse()
-                    raw = resp.read(1_000_000)
-                    while resp.read(65536):
-                        pass
-                    if resp.status == 200:
-                        body = raw.decode("utf-8", errors="replace")
+                    body = one(host, sample)
                 except Exception:
                     body = ""
                 rows.append((host, body))

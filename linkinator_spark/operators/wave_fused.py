@@ -582,7 +582,7 @@ def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
     State twins (asserted equal to the staged path by
     tests/test_wave_fused.py): URL-seen set, (child,parent) relationship
     set, per-URL first-edge selection (w_url), per-host politeness rank
-    and the (wave+1)*1e9+rank seq formula (_candidates_tail) — plus the
+    and the (wave+1)*SEQ_WAVE_STRIDE+rank seq formula (_candidates_tail) — plus the
     retry-family state (virtual clock, per-host delay gate, 429 requeue,
     error backoff with bit-exact xxhash64 jitter) and the fragment
     machinery (pending pairs, HEAD->GET body refetch, anchors + soft-404

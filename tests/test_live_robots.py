@@ -129,3 +129,75 @@ def test_live_robots_missing_allows_everything(spark, server, monkeypatch):
     assert rows[server + "/ok.html"] == "OK"
     assert res.passed is True
     assert _Handler.robots_hits == 1
+
+
+def test_skip_ruled_host_never_contacted_for_robots(spark, server):
+    """A host the user excluded via links_to_skip must receive NO requests
+    at all — not even the robots.txt probe (the probe runs after the
+    pre-fetch skip, keyed on post-rewrite hosts)."""
+    other = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=other.serve_forever, daemon=True)
+    t.start()
+    other_base = f"http://127.0.0.1:{other.server_address[1]}"
+    try:
+        _Handler.robots_hits = 0
+        # the main site links to the other server, but the user skips it
+        PAGES["/"] = (PAGES["/"]
+                      + f'<a href="{other_base}/ok.html">x</a>'.encode())
+        try:
+            cfg = CheckOptions(
+                paths=[server + "/"], recurse=True, concurrency=4,
+                timeout=10_000, respect_robots=True,
+                links_to_skip=[other_base.replace(".", r"\.")])
+            res = check_live(spark, cfg)
+            rows = {r["url"]: r["state"] for r in res.results.collect()}
+            assert rows[other_base + "/ok.html"] == "SKIPPED"
+            # both servers share the _Handler counter: exactly ONE robots
+            # fetch happened (the crawled host); the skipped host got none
+            assert _Handler.robots_hits == 1
+        finally:
+            PAGES["/"] = PAGES["/"].replace(
+                f'<a href="{other_base}/ok.html">x</a>'.encode(), b"")
+    finally:
+        other.shutdown()
+
+
+def test_live_clock_advance_waits_wall_clock(spark, server, monkeypatch):
+    """Live mode must honor deferred deadlines in REAL time (reference
+    setTimeout semantics): a robots Crawl-delay of 2s makes the crawl take
+    at least ~2s of wall clock between host waves."""
+    import time
+
+    robots = (b"User-agent: *\nCrawl-delay: 2\n")
+
+    def serve(self, method):
+        if self.path == "/robots.txt":
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(robots)))
+            self.end_headers()
+            if method == "GET":
+                self.wfile.write(robots)
+            return
+        body = PAGES.get(self.path)
+        if body is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if method == "GET":
+            self.wfile.write(body)
+
+    monkeypatch.setattr(_Handler, "_serve", serve)
+    cfg = CheckOptions(paths=[server + "/"], recurse=True, concurrency=4,
+                       timeout=10_000, respect_robots=True)
+    t0 = time.time()
+    res = check_live(spark, cfg)
+    elapsed = time.time() - t0
+    assert res.passed is True
+    assert res.clock >= 2.0       # virtual deadline was armed
+    assert elapsed >= 2.0         # and actually waited in wall-clock time
