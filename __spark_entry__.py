@@ -659,6 +659,89 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def _lined_text() -> "F.Column":
+    """The corpus is single-line, so plant a deterministic multi-line shape:
+    every doc gains one 40-char echo line; doc_id % 4 == 0 docs gain it
+    twice (a true duplicate line). Identical construction in the SQL twin,
+    so the repetition signals are value-checked, not vacuously zero."""
+    echo = F.substring(F.col("text"), 1, 40)
+    return F.concat(
+        F.col("text"), F.lit("\n"), echo,
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("\n"), echo)).otherwise(F.lit("")),
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-line fraction (pure codegen array ops) and top-bigram count
+    fraction. The bigram mode is explode -> two-level hash agg keyed by
+    (doc_id, gram): partial map-side combine collapses within-doc repeats
+    before the shuffle, so shuffle volume is O(distinct grams per doc) and
+    the keys are doc-scoped — no global hot key at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = _lined_text()
+    rep = T.repetition_line_features(lined)
+    base = docs.select(
+        "doc_id",
+        rep["n_lines"].alias("n_lines"),
+        rep["dup_line_frac"].alias("dup_line_frac"),
+        T.word_bigrams(F.col("text")).alias("bigrams"),
+    )
+    ex = base.select(
+        "doc_id", "n_lines", "dup_line_frac",
+        F.size("bigrams").alias("n_bigrams"),
+        F.explode_outer("bigrams").alias("gram"),
+    )
+    counts = ex.groupBy(
+        "doc_id", "n_lines", "dup_line_frac", "n_bigrams", "gram"
+    ).agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("doc_id", "n_lines", "dup_line_frac", "n_bigrams")
+        .agg(F.max(F.when(F.col("gram").isNotNull(), F.col("c"))
+                   .otherwise(F.lit(0))).alias("top_cnt"))
+        .select(
+            "doc_id", "n_lines", "dup_line_frac",
+            F.round(F.col("top_cnt").cast("double")
+                    / F.greatest(F.col("n_bigrams"), F.lit(1)), 6)
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+def q_text_pii(spark, sf_dir):
+    """PII detection + redaction over the documents table. The corpus holds
+    no PII, so deterministic synthetic PII is planted from doc_id (email on
+    %3, IPv4 on %5, phone on %7) with the identical construction in the SQL
+    twin — counts AND the redacted text (by md5) are value-checked. All
+    regex work is single-pass codegen; regexes are written to parse the
+    same under Java regex and RE2 (classes + bounded repeats only)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0,
+               F.concat(F.lit(" contact user"), d.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.concat(F.lit(" from 10."), (d % 256).cast("string"),
+                        F.lit(".0."), ((d * 7) % 256).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0,
+               F.concat(F.lit(" call +1 555 0"),
+                        (d % 100 + 100).cast("string"),
+                        F.lit(" 23 45"))).otherwise(F.lit("")),
+    )
+    c = T.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
+        F.md5(T.redact_pii(aug)).alias("redacted_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity / media
 # ---------------------------------------------------------------------------
@@ -859,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii": q_text_pii,
         "doc_split": q_doc_split,
         "doc_sample_stratified": q_doc_sample_stratified,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1239,6 +1324,69 @@ def oracle_sql() -> dict[str, str]:
                    {_hash_sql(norm_text)} as fingerprint,
                    {kgram} as kgram_fp
             from documents
+        """,
+        "text_repetition": f"""
+            with base as (
+              select doc_id,
+                     string_split(
+                       text || chr(10) || substr(text, 1, 40) ||
+                       case when doc_id % 4 = 0
+                            then chr(10) || substr(text, 1, 40)
+                            else '' end,
+                       chr(10)) as lines,
+                     string_split({norm_text}, ' ') as w
+              from documents),
+            line_stats as (
+              select doc_id,
+                     len(lines) as n_lines,
+                     round((len(lines) - len(list_distinct(lines)))::double
+                           / greatest(len(lines), 1), 6) as dup_line_frac,
+                     list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i+1]) as bigrams
+              from base),
+            ex as (
+              select doc_id, unnest(bigrams) as gram from line_stats),
+            counts as (
+              select doc_id, gram, count(*) as c from ex group by 1, 2),
+            top as (
+              select doc_id, max(c) as top_cnt from counts group by 1)
+            select ls.doc_id,
+                   cast(ls.n_lines as int) as n_lines,
+                   ls.dup_line_frac,
+                   round(coalesce(t.top_cnt, 0)::double
+                         / greatest(len(ls.bigrams), 1), 6)
+                     as top_bigram_frac
+            from line_stats ls left join top t using (doc_id)
+        """,
+        "text_pii": f"""
+            with aug as (
+              select doc_id,
+                     text
+                     || case when doc_id % 3 = 0
+                          then ' contact user' || cast(doc_id as varchar)
+                               || '@example.com' else '' end
+                     || case when doc_id % 5 = 0
+                          then ' from 10.' || cast(doc_id % 256 as varchar)
+                               || '.0.' || cast((doc_id * 7) % 256 as varchar)
+                          else '' end
+                     || case when doc_id % 7 = 0
+                          then ' call +1 555 0'
+                               || cast(doc_id % 100 + 100 as varchar)
+                               || ' 23 45' else '' end
+                     as t
+              from documents)
+            select doc_id,
+                   len(regexp_extract_all(t, '{T.PII_EMAIL_RE}'))
+                     as n_emails,
+                   len(regexp_extract_all(t, '{T.PII_IPV4_RE}')) as n_ips,
+                   len(regexp_extract_all(t, '{T.PII_PHONE_RE}'))
+                     as n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                       '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{T.PII_IPV4_RE}', '<IP>', 'g'),
+                       '{T.PII_PHONE_RE}', '<PHONE>', 'g'))
+                     as redacted_md5
+            from aug
         """,
         "doc_split": f"""
             select doc_id,

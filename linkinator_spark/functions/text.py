@@ -129,6 +129,63 @@ def lang_id_sql(expr: str) -> str:
     return f"(select case when best > 0 then {chain} else 'und' end from (select {best} as best))"
 
 
+# ------------------------------------------------------------- repetition
+
+def repetition_line_features(col: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals over lines (Rae et al. 2021 §A1.1):
+    the fraction of duplicated lines is a strong boilerplate indicator.
+    Pure codegen — array ops over the split, no shuffle, no Python."""
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    n_dup = n_lines - F.size(F.array_distinct(lines))
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": F.round(
+            n_dup.cast("double") / F.greatest(n_lines, F.lit(1)), 6),
+    }
+
+
+def word_bigrams(col: Column) -> Column:
+    """Word 2-grams of normalized text as an array column (JVM transform,
+    whole-stage codegen). Guarded by a CASE: Spark's sequence(1, 0) would
+    *descend* ([1, 0]), so <2-word docs short-circuit to an empty array."""
+    w = F.split(normalize_text(col), " ")
+    bi = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat(F.element_at(w, i), F.lit(" "),
+                           F.element_at(w, i + 1)),
+    )
+    return F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(bi)
+
+
+# -------------------------------------------------------------------- PII
+
+# Conservative regexes that parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes + bounded repeats only — no lookaround,
+# no backrefs. Both engines match greedy leftmost, so counts agree.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Occurrence counts per PII class — single-pass codegen expressions."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), 0)),
+        "n_ips": F.size(F.regexp_extract_all(col, F.lit(PII_IPV4_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(col, F.lit(PII_PHONE_RE), 0)),
+    }
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace PII spans with typed placeholders. Email first (its local
+    part can contain digits), then IPv4 (dots would otherwise feed the
+    phone class), then phone."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
 # ------------------------------------------------------------- fingerprint
 
 def normalize_text(col: Column) -> Column:

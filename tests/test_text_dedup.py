@@ -389,3 +389,53 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     again = stratified_sample_exact(docs.repartition(7), "lang", 0.17).collect()
     assert {(r["id"], r["stratum"]) for r in again} == {
         (r["id"], r["stratum"]) for r in got}
+
+
+# ---------------------------------------------------------------- rep / pii
+
+def test_word_bigrams_short_doc_guard(spark):
+    """sequence(1, 0) descends in Spark — the CASE guard must yield [] for
+    docs with fewer than two words, not a bogus [w1 w0] pair."""
+    from linkinator_spark.functions.text import word_bigrams
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("two words",), ("a b a b",)], ["text"]
+    ).select(word_bigrams(F.col("text")).alias("bi"))
+    got = [r["bi"] for r in df.collect()]
+    assert got[0] == [] and got[1] == []
+    assert got[2] == ["two words"]
+    assert got[3] == ["a b", "b a", "a b"]
+
+
+def test_repetition_line_features(spark):
+    from linkinator_spark.functions.text import repetition_line_features
+
+    feats = repetition_line_features(F.col("text"))
+    df = spark.createDataFrame(
+        [("x\ny\nx",), ("a\nb",), ("solo",)], ["text"]
+    ).select(feats["n_lines"].alias("n"), feats["dup_line_frac"].alias("f"))
+    got = df.collect()
+    assert (got[0]["n"], got[0]["f"]) == (3, 0.333333)
+    assert (got[1]["n"], got[1]["f"]) == (2, 0.0)
+    assert (got[2]["n"], got[2]["f"]) == (1, 0.0)
+
+
+def test_pii_counts_and_redaction_order(spark):
+    """Email must redact before IPv4 (digits in local parts) and IPv4
+    before phone (so dotted quads never feed the phone class)."""
+    from linkinator_spark.functions.text import pii_counts, redact_pii
+
+    text = ("mail bob42@host.example.org or root@10.1.2.3 box, "
+            "server 192.168.0.1 up, call +1 555 0100 22 33 now")
+    c = pii_counts(F.col("text"))
+    df = spark.createDataFrame([(text,)], ["text"]).select(
+        c["n_emails"].alias("e"), c["n_ips"].alias("i"),
+        c["n_phones"].alias("p"),
+        redact_pii(F.col("text")).alias("red"),
+    )
+    r = df.collect()[0]
+    # root@10.1.2.3 is NOT an email (no alphabetic TLD) — its quad falls
+    # through to the IPv4 pass, which is why IP must redact before phone
+    assert (r["e"], r["i"], r["p"]) == (1, 2, 1)
+    assert r["red"] == ("mail <EMAIL> or root@<IP> box, server <IP> up, "
+                        "call <PHONE> now")
