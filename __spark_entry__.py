@@ -659,6 +659,35 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing word 8-grams
+    with the eval split (doc_id % 50 == 0 stands in for the benchmark
+    suite). The benchmark n-gram set is distinct-collapsed and BROADCAST —
+    real eval suites are 10^6-10^7 grams, far under the broadcast
+    threshold even at a 100-TB corpus (if a suite ever outgrew it, the
+    same plan degrades to a shuffle hash join on gram). Training grams are
+    exploded and probed against the broadcast set map-side: no shuffle of
+    corpus-sized data; the only exchange is the per-doc count aggregate,
+    which partial-aggregates map-side first. Catches the corpus's planted
+    near-duplicate that crosses the train/eval split."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(T.word_ngrams(F.col("text"), 8)).alias("gram"))
+    bench = (grams.filter(F.col("doc_id") % 50 == 0)
+             .select(F.col("gram").alias("bgram")).distinct())
+    train = grams.filter(F.col("doc_id") % 50 != 0)
+    hits = train.join(F.broadcast(bench),
+                      train["gram"] == bench["bgram"], "left")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count_distinct(
+            F.when(F.col("bgram").isNotNull(), F.col("gram")))
+            .alias("n_shared"))
+        .select("doc_id", "n_shared",
+                (F.col("n_shared") >= 2).alias("contaminated"))
+    )
+
+
 def _lined_text() -> "F.Column":
     """The corpus is single-line, so plant a deterministic multi-line shape:
     every doc gains one 40-char echo line; doc_id % 4 == 0 docs gain it
@@ -944,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
+        "decontaminate": q_decontaminate,
         "doc_split": q_doc_split,
         "doc_sample_stratified": q_doc_sample_stratified,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1357,6 +1387,30 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(ls.bigrams), 1), 6)
                      as top_bigram_frac
             from line_stats ls left join top t using (doc_id)
+        """,
+        "decontaminate": f"""
+            with base as (
+              select doc_id,
+                     string_split({norm_text}, ' ') as w
+              from documents),
+            grams as (
+              select doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(w) - 6, 1)),
+                       i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(8))}))
+                       as gram
+              from base),
+            bench as (
+              select distinct gram from grams where doc_id % 50 = 0),
+            train as (
+              select doc_id, gram from grams where doc_id % 50 <> 0)
+            select t.doc_id,
+                   count(distinct case when b.gram is not null
+                                       then t.gram end) as n_shared,
+                   count(distinct case when b.gram is not null
+                                       then t.gram end) >= 2 as contaminated
+            from train t left join bench b using (gram)
+            group by t.doc_id
         """,
         "text_pii": f"""
             with aug as (

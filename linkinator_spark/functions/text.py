@@ -145,17 +145,23 @@ def repetition_line_features(col: Column) -> dict[str, Column]:
     }
 
 
-def word_bigrams(col: Column) -> Column:
-    """Word 2-grams of normalized text as an array column (JVM transform,
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of normalized text as an array column (JVM transform,
     whole-stage codegen). Guarded by a CASE: Spark's sequence(1, 0) would
-    *descend* ([1, 0]), so <2-word docs short-circuit to an empty array."""
+    *descend* ([1, 0]), so <n-word docs short-circuit to an empty array."""
     w = F.split(normalize_text(col), " ")
-    bi = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat(F.element_at(w, i), F.lit(" "),
-                           F.element_at(w, i + 1)),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]),
     )
-    return F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(bi)
+    return (F.when(F.size(w) < n, F.array().cast("array<string>"))
+            .otherwise(grams))
+
+
+def word_bigrams(col: Column) -> Column:
+    """Word 2-grams (see word_ngrams)."""
+    return word_ngrams(col, 2)
 
 
 # -------------------------------------------------------------------- PII

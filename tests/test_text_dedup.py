@@ -439,3 +439,37 @@ def test_pii_counts_and_redaction_order(spark):
     assert (r["e"], r["i"], r["p"]) == (1, 2, 1)
     assert r["red"] == ("mail <EMAIL> or root@<IP> box, server <IP> up, "
                         "call <PHONE> now")
+
+
+def test_word_ngrams_and_decontaminate(spark):
+    from linkinator_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b c",), ("x y",)], ["text"]
+    ).select(word_ngrams(F.col("text"), 3).alias("g"))
+    got = [r["g"] for r in df.collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b c"]
+    assert got[2] == []  # <n words -> empty, not a descending-sequence pair
+
+    # a train doc that quotes 8+ words of an eval doc must be flagged
+    import __spark_entry__ as E
+    import os
+    import tempfile
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, eval_text, "en", "w", len(eval_text)),        # doc 0: eval split
+        (1, "clean words only here nothing shared at all today folks",
+         "en", "w", 10),
+        (2, "quoted: " + eval_text + " end", "en", "w", 10),  # contaminated
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: (r["n_shared"], r["contaminated"])
+               for r in E.q_decontaminate(spark, d).collect()}
+    assert out[1] == (0, False)
+    assert out[2][0] >= 3 and out[2][1] is True
+    assert 0 not in out  # eval docs are not re-reported
