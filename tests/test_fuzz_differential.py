@@ -434,3 +434,78 @@ def test_fuzz_multiseed_per_host_order_matches_fifo_reference():
                 break
     assert not divergences, (
         f"{len(divergences)} order-divergent cases; first: {divergences[0]}")
+
+
+def _random_robots_site(rng: random.Random):
+    """Random multi-host site where each host carries a random robots.txt:
+    0-3 Disallow prefixes, an occasional longer Allow override, an
+    occasional Crawl-delay, an occasional specific-user-agent group, and
+    sometimes a missing or 500 robots.txt (-> no rules)."""
+    hosts = [f"http://r{c}.test" for c in "abc"[:rng.randrange(2, 4)]]
+    # path shapes chosen so prefix semantics bite: /p1 vs /p1a vs /p1a/x
+    paths = ["/", "/p1", "/p1a", "/p1a/x", "/p2", "/p2/y", "/q3"]
+    all_urls = [h + p for h in hosts for p in paths]
+    site = SiteBuilder()
+    for u in all_urls:
+        links = [rng.choice(all_urls) for _ in range(rng.randrange(1, 4))]
+        html = "".join(f'<a href="{x}">l</a>' for x in links)
+        site.page(u, html=html,
+                  status=404 if rng.random() < 0.1 else 200)
+    for h in hosts:
+        r = rng.random()
+        if r < 0.15:
+            continue                       # no robots.txt scripted at all
+        if r < 0.25:
+            site.page(h + "/robots.txt", status=500,
+                      content_type="text/plain")   # error -> no rules
+            continue
+        lines = []
+        if rng.random() < 0.3:
+            # a non-matching specific group first: must be ignored
+            lines += ["User-agent: otherbot", "Disallow: /"]
+        lines.append("User-agent: *")
+        for _ in range(rng.randrange(0, 4)):
+            lines.append("Disallow: " + rng.choice(
+                ["/p1", "/p1a", "/p2", "/q", "/p2/y", "/"]))
+        if rng.random() < 0.4:
+            lines.append("Allow: " + rng.choice(["/p1a", "/p2/y", "/p1a/x"]))
+        if rng.random() < 0.3:
+            lines.append(f"Crawl-delay: {rng.randrange(1, 3)}")
+        site.page(h + "/robots.txt", content_type="text/plain",
+                  html="\n".join(lines))
+    return site, hosts[0] + "/"
+
+
+def test_fuzz_robots_fused_vs_staged(spark):
+    """Differential fuzz on random robots rulesets x random multi-host
+    graphs: the fully-fused gear (default for robots crawls) vs the staged
+    DataFrame engine must agree row-for-row on results AND verdict —
+    including which URLs are SKIPPED by robots, prefix/Allow overrides,
+    ignored non-matching user-agent groups, and broken robots.txt.
+
+    Staged robots crawls pay Catalyst latency per wave, so the default
+    case count is small; raise LK_FUZZ_ROBOTS_CASES for a deep sweep."""
+    import os
+
+    from linkinator_spark.operators.crawler import LinkChecker
+
+    robots_bit = False
+    for case in range(int(os.environ.get("LK_FUZZ_ROBOTS_CASES", "3"))):
+        rng = random.Random(30_000 + case)
+        site, seed = _random_robots_site(rng)
+        outs = []
+        for knobs in ({}, {"fused_docs_max_bytes": 0}):
+            pages, docs = site.build(spark)
+            cfg = CheckOptions(paths=[seed], recurse=True,
+                               respect_robots=True, **knobs)
+            res = LinkChecker(spark).check(cfg, pages, docs)
+            rows = sorted(
+                (r["url"], r["status"], r["state"], r["parent"],
+                 tuple(r["failure_details"] or []))
+                for r in res.results.collect())
+            outs.append((rows, res.passed))
+        assert outs[0] == outs[1], f"case {case} diverged (seed {30_000+case})"
+        robots_bit = robots_bit or any(
+            "robots" in " ".join(r[4]) for r in outs[0][0])
+    # the sweep is vacuous if no seed ever produced a robots skip
+    assert robots_bit, "no random ruleset ever bit — regen the seeds"
