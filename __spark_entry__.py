@@ -688,6 +688,39 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_corpus_build(spark, sf_dir):
+    """End-to-end training-corpus assembly — the composition a real
+    pipeline runs as one declarative dataflow: exact-dedup keeper ->
+    benchmark decontamination -> language + quality gate ->
+    deterministic split assignment.
+
+    Scale shape: the dedup keeper is a groupBy(content_key) + key-pair
+    join (two hash-partitioned shuffles on uniformly-distributed md5
+    keys); decontamination reuses the broadcast 8-gram probe (no
+    corpus-sized shuffle); the language/quality gates and the split label
+    are pure whole-stage-codegen projections, so Catalyst pushes them
+    into the surviving rows only. Nothing in the chain collects to the
+    driver or keys a shuffle on a skewable column."""
+    from linkinator_spark.functions import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "text",
+        F.md5(T.normalize_text(F.col("text"))).alias("ck"))
+    keepers = keyed.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
+    kept = keyed.join(keepers, ["ck", "doc_id"]).select("doc_id", "text")
+    clean = (q_decontaminate(spark, sf_dir)
+             .filter(~F.col("contaminated")).select("doc_id"))
+    bucket, split = SMP.split_expr("doc_id")
+    return (
+        kept.join(clean, "doc_id")
+        .withColumn("lang_pred", T.lang_id(F.col("text")))
+        .withColumn("quality", T.quality_score(F.col("text")))
+        .filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.7))
+        .select("doc_id", "lang_pred", "quality", split.alias("split"))
+    )
+
+
 def _lined_text() -> "F.Column":
     """The corpus is single-line, so plant a deterministic multi-line shape:
     every doc gains one 40-char echo line; doc_id % 4 == 0 docs gain it
@@ -974,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "decontaminate": q_decontaminate,
+        "corpus_build": q_corpus_build,
         "doc_split": q_doc_split,
         "doc_sample_stratified": q_doc_sample_stratified,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1387,6 +1421,50 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(ls.bigrams), 1), 6)
                      as top_bigram_frac
             from line_stats ls left join top t using (doc_id)
+        """,
+        "corpus_build": f"""
+            with keyed as (
+              select doc_id, text, md5({norm_text}) as ck from documents),
+            keepers as (
+              select ck, min(doc_id) as doc_id from keyed group by 1),
+            kept as (
+              select k.doc_id, k.text from keyed k
+              join keepers u on u.ck = k.ck and u.doc_id = k.doc_id),
+            gbase as (
+              select doc_id, string_split({norm_text}, ' ') as w
+              from documents),
+            grams as (
+              select doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(w) - 6, 1)),
+                       i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(8))}))
+                       as gram
+              from gbase),
+            bench as (
+              select distinct gram from grams where doc_id % 50 = 0),
+            train as (
+              select doc_id, gram from grams where doc_id % 50 <> 0),
+            clean as (
+              select t.doc_id
+              from train t left join bench b using (gram)
+              group by t.doc_id
+              having count(distinct case when b.gram is not null
+                                         then t.gram end) < 2),
+            corpus as (
+              select kept.doc_id, kept.text
+              from kept join clean using (doc_id))
+            select doc_id,
+                   case when {best} > 0 then {chain} else 'und' end
+                     as lang_pred,
+                   {quality_score} as quality,
+                   case when {_hash_sql("cast(doc_id as varchar)", "split:")}
+                             % 100 < 98 then 'train'
+                        when {_hash_sql("cast(doc_id as varchar)", "split:")}
+                             % 100 < 99 then 'val'
+                        else 'test' end as split
+            from corpus
+            where (case when {best} > 0 then {chain} else 'und' end) = 'en'
+              and {quality_score} >= 0.7
         """,
         "decontaminate": f"""
             with base as (

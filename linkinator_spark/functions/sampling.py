@@ -26,16 +26,11 @@ from linkinator_spark.functions.text import portable_hash64
 DEFAULT_WEIGHTS = (("train", 98), ("val", 1), ("test", 1))
 
 
-def hash_split(
-    docs: DataFrame, id_col: str = "doc_id",
-    weights=DEFAULT_WEIGHTS, salt: str = "split",
-) -> DataFrame:
-    """Assign every row a deterministic split label by hash bucket.
-
-    `weights` are integer percents summing to 100, consumed in order:
-    with the default 98/1/1, buckets 0-97 -> train, 98 -> val,
-    99 -> test. Changing `salt` re-deals the split without touching the
-    data. Output: input id column + (bucket int, split string)."""
+def split_expr(
+    id_col: str = "doc_id", weights=DEFAULT_WEIGHTS, salt: str = "split",
+):
+    """The (bucket, split) column pair behind hash_split, as expressions —
+    composable into a wider projection without a join."""
     total = sum(w for _, w in weights)
     if total != 100:
         raise ValueError(f"split weights must sum to 100, got {total}")
@@ -49,6 +44,20 @@ def hash_split(
         edge += w
         cond = bucket < edge
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return bucket, expr
+
+
+def hash_split(
+    docs: DataFrame, id_col: str = "doc_id",
+    weights=DEFAULT_WEIGHTS, salt: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label by hash bucket.
+
+    `weights` are integer percents summing to 100, consumed in order:
+    with the default 98/1/1, buckets 0-97 -> train, 98 -> val,
+    99 -> test. Changing `salt` re-deals the split without touching the
+    data. Output: input id column + (bucket int, split string)."""
+    bucket, expr = split_expr(id_col, weights, salt)
     return docs.select(
         id_col, bucket.alias("bucket"), expr.alias("split"))
 
