@@ -247,6 +247,14 @@ def main() -> None:
     cc_rows = E.queries()["dedup_cc_canonical"](spark, SF_DIR).count()
     cc = {"sec": round(time.time() - t0, 3), "rows": cc_rows}
 
+    # end-to-end corpus assembly (dedup keeper -> decontamination ->
+    # lang/quality gates -> split): the composition a training pipeline
+    # actually ships; measured whole so the broadcast-probe + two-shuffle
+    # dedup shape has a tracked number
+    t0 = time.time()
+    corpus_rows = E.queries()["corpus_build"](spark, SF_DIR).count()
+    corpus = {"sec": round(time.time() - t0, 3), "rows": corpus_rows}
+
     # frontier throughput at current parallelism (north-rule metric);
     # warm at FULL scale then best-of-3. A smaller warm pass is not
     # enough: C2 compilation of the codegen'd canonicalize/anti-join/
@@ -272,6 +280,7 @@ def main() -> None:
         "ann_lsh": ann,
         "broken_link": broken,
         "cc_cluster": cc,
+        "corpus_build": corpus,
         "notes": (
             "frontier warm protocol fixed in round 3 (full-scale warm "
             "before best-of-3): the round-2 frontier reading (5.7M/s) was "
