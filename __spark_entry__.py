@@ -688,6 +688,19 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_doc_pack(spark, sf_dir):
+    """Deterministic token-budget sharding (sequence-packing layout):
+    hash-deal documents into independent bucket streams, one window
+    cumsum per bucket, greedy cut every 512 tokens. One shuffle keyed by
+    the uniform hash bucket; no global sort, no driver state
+    (functions/sampling.pack_shards)."""
+    from linkinator_spark.functions import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+    return SMP.pack_shards(docs, max_tokens=512, n_buckets=8)
+
+
 def q_corpus_build(spark, sf_dir):
     """End-to-end training-corpus assembly — the composition a real
     pipeline runs as one declarative dataflow: exact-dedup keeper ->
@@ -1008,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
+        "doc_pack": q_doc_pack,
         "doc_split": q_doc_split,
         "doc_sample_stratified": q_doc_sample_stratified,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1421,6 +1435,25 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(len(ls.bigrams), 1), 6)
                      as top_bigram_frac
             from line_stats ls left join top t using (doc_id)
+        """,
+        "doc_pack": f"""
+            with keyed as (
+              select doc_id as id,
+                     cast(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as bigint)
+                       as tok,
+                     {_hash_sql("cast(doc_id as varchar)", "pack:")} as h
+              from documents),
+            b as (select id, tok, h, h % 8 as bucket from keyed),
+            c as (select id, bucket, tok,
+                         sum(tok) over (partition by bucket
+                                        order by h, id) as cum
+                  from b)
+            select id, bucket,
+                   cast(floor((cum - tok) / 512) as bigint) as shard_seq,
+                   bucket * 4294967296
+                     + cast(floor((cum - tok) / 512) as bigint) as shard_id
+            from c
         """,
         "corpus_build": f"""
             with keyed as (

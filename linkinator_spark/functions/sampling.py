@@ -95,3 +95,46 @@ def stratified_sample_exact(
         .filter(F.col("sample_rank") <= F.col("_q"))
         .select("id", "stratum", "sample_rank")
     )
+
+
+def pack_shards(
+    docs: DataFrame, max_tokens: int, n_buckets: int = 1024,
+    id_col: str = "doc_id", tokens_col: str = "n_tokens",
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic token-budget sharding (sequence-packing layout):
+    assign each document to a shard so every shard's documents total
+    roughly `max_tokens`, reproducibly across reshuffles and clusters.
+
+    Documents are dealt into `n_buckets` independent streams by portable
+    hash, ordered within the bucket by the same hash, and cut greedily:
+    a document belongs to the shard where its running token sum starts
+    (`floor((cumsum - tokens) / max_tokens)`), so shards are contiguous
+    hash ranges and the whole layout is a pure function of (ids, token
+    counts, salt).
+
+    Scale: one shuffle, keyed by the hash bucket — 10^10 docs spread
+    over n_buckets tasks of ~equal size (hash-uniform); the window
+    cumsum is a single ordered pass per bucket, never a global sort.
+    Output: (id, bucket, shard_seq, shard_id) where shard_id is unique
+    across buckets (bucket * 2^32 + shard_seq).
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash64(F.col(id_col).cast("string"), prefix=f"{salt}:")
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("_tok"),
+        h.alias("_h"),
+        F.pmod(h, F.lit(n_buckets)).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("_h", "id")
+    cum = F.sum("_tok").over(w)
+    shard_seq = F.floor((cum - F.col("_tok"))
+                        / F.lit(int(max_tokens))).cast("long")
+    return keyed.select(
+        "id", "bucket",
+        shard_seq.alias("shard_seq"),
+        (F.col("bucket").cast("long") * F.lit(2 ** 32)
+         + shard_seq).alias("shard_id"),
+    )

@@ -473,3 +473,40 @@ def test_word_ngrams_and_decontaminate(spark):
     assert out[1] == (0, False)
     assert out[2][0] >= 3 and out[2][1] is True
     assert 0 not in out  # eval docs are not re-reported
+
+
+def test_pack_shards_deterministic_and_correct(spark):
+    """Sequence-packing layout: bit-identical under reshuffle, and equal
+    to a pandas twin of the greedy per-bucket cut."""
+    from linkinator_spark.functions.sampling import pack_shards
+    from linkinator_spark.functions.text import portable_hash64
+
+    docs = spark.range(0, 700).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 10).alias("n_tokens"),
+    )
+    got = pack_shards(docs, max_tokens=200, n_buckets=4).collect()
+    again = pack_shards(docs.repartition(11), max_tokens=200,
+                        n_buckets=4).collect()
+    key = lambda rows: sorted((r["id"], r["bucket"], r["shard_seq"],
+                               r["shard_id"]) for r in rows)
+    assert key(got) == key(again)
+
+    # pandas twin of the greedy cut, over the same portable hash
+    hashes = {r["doc_id"]: r["h"] for r in docs.select(
+        "doc_id", portable_hash64(F.col("doc_id").cast("string"),
+                                  prefix="pack:").alias("h")).collect()}
+    toks = {r["doc_id"]: r["n_tokens"] for r in docs.collect()}
+    expected = {}
+    buckets: dict = {}
+    for d, h in hashes.items():
+        buckets.setdefault(h % 4, []).append((h, d))
+    for b, items in buckets.items():
+        cum = 0
+        for h, d in sorted(items):
+            expected[d] = (b, (cum // 200))
+            cum += toks[d]
+    assert {r["id"]: (r["bucket"], r["shard_seq"]) for r in got} == expected
+    # shard_id embeds the bucket uniquely
+    assert all(r["shard_id"] == r["bucket"] * 2**32 + r["shard_seq"]
+               for r in got)
