@@ -671,20 +671,35 @@ def q_decontaminate(spark, sf_dir):
     which partial-aggregates map-side first. Catches the corpus's planted
     near-duplicate that crosses the train/eval split."""
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(T.word_ngrams(F.col("text"), 8)).alias("gram"))
-    bench = (grams.filter(F.col("doc_id") % 50 == 0)
+    return _decontaminate_over(docs.filter(F.col("doc_id") % 50 != 0), docs)
+
+
+def _decontaminate_over(train_docs, all_docs):
+    """Shared decontamination core: score `train_docs` against the eval
+    split of `all_docs`. Docs too short to produce any 8-gram cannot be
+    contaminated and are reported with n_shared = 0 (the gram explode
+    drops them, so the count re-attaches by a left join from the doc
+    base — an inner join here would silently drop every short doc)."""
+    def grams_of(df):
+        return df.select(
+            "doc_id",
+            F.explode(T.word_ngrams(F.col("text"), 8)).alias("gram"))
+
+    bench = (grams_of(all_docs.filter(F.col("doc_id") % 50 == 0))
              .select(F.col("gram").alias("bgram")).distinct())
-    train = grams.filter(F.col("doc_id") % 50 != 0)
-    hits = train.join(F.broadcast(bench),
-                      train["gram"] == bench["bgram"], "left")
+    hits = (
+        grams_of(train_docs)
+        .join(F.broadcast(bench), F.col("gram") == F.col("bgram"), "inner")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("_hits"))
+    )
     return (
-        hits.groupBy("doc_id")
-        .agg(F.count_distinct(
-            F.when(F.col("bgram").isNotNull(), F.col("gram")))
-            .alias("n_shared"))
-        .select("doc_id", "n_shared",
-                (F.col("n_shared") >= 2).alias("contaminated"))
+        train_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce(F.col("_hits"), F.lit(0)).alias("n_shared"),
+                (F.coalesce(F.col("_hits"), F.lit(0)) >= 2)
+                .alias("contaminated"))
     )
 
 
@@ -722,8 +737,13 @@ def q_corpus_build(spark, sf_dir):
         F.md5(T.normalize_text(F.col("text"))).alias("ck"))
     keepers = keyed.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
     kept = keyed.join(keepers, ["ck", "doc_id"]).select("doc_id", "text")
-    clean = (q_decontaminate(spark, sf_dir)
-             .filter(~F.col("contaminated")).select("doc_id"))
+    # decontaminate only the surviving keepers (the gram explode is the
+    # heaviest map-side stage — running it over rows the dedup join is
+    # about to discard would be pure waste); the eval gram set still
+    # comes from the untouched documents table
+    clean = (_decontaminate_over(
+        kept.filter(F.col("doc_id") % 50 != 0), docs)
+        .filter(~F.col("contaminated")).select("doc_id"))
     bucket, split = SMP.split_expr("doc_id")
     return (
         kept.join(clean, "doc_id")
@@ -1135,6 +1155,19 @@ def oracle_sql() -> dict[str, str]:
     """
 
     norm_text = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+    def gram8(src: str) -> str:
+        """Word 8-grams of `src` (doc_id, text) — the one definition both
+        decontamination oracles share, so gram width and construction can
+        never drift between them."""
+        parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(8))
+        return f"""(
+            select doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                                         i -> {parts})) as gram
+            from (select doc_id, string_split({norm_text}, ' ') as w
+                  from {src})
+        )"""
     kgram = (
         f"list_min(list_transform("
         f"range(1, greatest(length({norm_text}) - 7, 1) + 1), "
@@ -1451,7 +1484,7 @@ def oracle_sql() -> dict[str, str]:
                   from b)
             select id, bucket,
                    cast(floor((cum - tok) / 512) as bigint) as shard_seq,
-                   bucket * 4294967296
+                   bucket * 281474976710656
                      + cast(floor((cum - tok) / 512) as bigint) as shard_id
             from c
         """,
@@ -1463,26 +1496,19 @@ def oracle_sql() -> dict[str, str]:
             kept as (
               select k.doc_id, k.text from keyed k
               join keepers u on u.ck = k.ck and u.doc_id = k.doc_id),
-            gbase as (
-              select doc_id, string_split({norm_text}, ' ') as w
-              from documents),
-            grams as (
-              select doc_id,
-                     unnest(list_transform(
-                       range(1, greatest(len(w) - 6, 1)),
-                       i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(8))}))
-                       as gram
-              from gbase),
             bench as (
-              select distinct gram from grams where doc_id % 50 = 0),
-            train as (
-              select doc_id, gram from grams where doc_id % 50 <> 0),
+              select distinct gram from {gram8("documents")}
+              where doc_id % 50 = 0),
+            kept_train as (
+              select doc_id, text from kept where doc_id % 50 <> 0),
+            hits as (
+              select g.doc_id, count(distinct g.gram) as n_shared
+              from {gram8("kept_train")} g join bench b using (gram)
+              group by 1),
             clean as (
-              select t.doc_id
-              from train t left join bench b using (gram)
-              group by t.doc_id
-              having count(distinct case when b.gram is not null
-                                         then t.gram end) < 2),
+              select k.doc_id from kept_train k
+              left join hits h using (doc_id)
+              where coalesce(h.n_shared, 0) < 2),
             corpus as (
               select kept.doc_id, kept.text
               from kept join clean using (doc_id))
@@ -1500,28 +1526,20 @@ def oracle_sql() -> dict[str, str]:
               and {quality_score} >= 0.7
         """,
         "decontaminate": f"""
-            with base as (
-              select doc_id,
-                     string_split({norm_text}, ' ') as w
-              from documents),
-            grams as (
-              select doc_id,
-                     unnest(list_transform(
-                       range(1, greatest(len(w) - 6, 1)),
-                       i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(8))}))
-                       as gram
-              from base),
-            bench as (
-              select distinct gram from grams where doc_id % 50 = 0),
-            train as (
-              select doc_id, gram from grams where doc_id % 50 <> 0)
-            select t.doc_id,
-                   count(distinct case when b.gram is not null
-                                       then t.gram end) as n_shared,
-                   count(distinct case when b.gram is not null
-                                       then t.gram end) >= 2 as contaminated
-            from train t left join bench b using (gram)
-            group by t.doc_id
+            with bench as (
+              select distinct gram from {gram8("documents")}
+              where doc_id % 50 = 0),
+            hits as (
+              select g.doc_id, count(distinct g.gram) as n_shared
+              from {gram8("documents")} g join bench b using (gram)
+              where g.doc_id % 50 <> 0
+              group by 1),
+            train_docs as (
+              select doc_id from documents where doc_id % 50 <> 0)
+            select d.doc_id,
+                   coalesce(h.n_shared, 0) as n_shared,
+                   coalesce(h.n_shared, 0) >= 2 as contaminated
+            from train_docs d left join hits h using (doc_id)
         """,
         "text_pii": f"""
             with aug as (

@@ -117,10 +117,17 @@ def pack_shards(
     over n_buckets tasks of ~equal size (hash-uniform); the window
     cumsum is a single ordered pass per bucket, never a global sort.
     Output: (id, bucket, shard_seq, shard_id) where shard_id is unique
-    across buckets (bucket * 2^32 + shard_seq).
+    across buckets (bucket * 2^48 + shard_seq: collision-free while a
+    bucket totals < 2^48 * max_tokens tokens — at max_tokens=512 that is
+    ~1.4e17 tokens per bucket, far past any corpus; n_buckets is capped
+    at 2^15 so the product stays inside int64).
     """
     from pyspark.sql import Window
 
+    if n_buckets > 32768:
+        raise ValueError(
+            f"n_buckets must be <= 32768 to keep shard_id in int64, "
+            f"got {n_buckets}")
     h = portable_hash64(F.col(id_col).cast("string"), prefix=f"{salt}:")
     keyed = docs.select(
         F.col(id_col).alias("id"),
@@ -135,6 +142,6 @@ def pack_shards(
     return keyed.select(
         "id", "bucket",
         shard_seq.alias("shard_seq"),
-        (F.col("bucket").cast("long") * F.lit(2 ** 32)
+        (F.col("bucket").cast("long") * F.lit(2 ** 48)
          + shard_seq).alias("shard_id"),
     )

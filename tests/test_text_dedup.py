@@ -474,6 +474,18 @@ def test_word_ngrams_and_decontaminate(spark):
     assert out[2][0] >= 3 and out[2][1] is True
     assert 0 not in out  # eval docs are not re-reported
 
+    # a doc too short for any 8-gram cannot be contaminated — it must
+    # still be REPORTED (n_shared 0), not silently dropped by the gram
+    # explode; corpus_build relies on this to keep short docs
+    rows.append((3, "short title only", "en", "w", 16))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out2 = {r["doc_id"]: (r["n_shared"], r["contaminated"])
+                for r in E.q_decontaminate(spark, d).collect()}
+    assert out2[3] == (0, False)
+
 
 def test_pack_shards_deterministic_and_correct(spark):
     """Sequence-packing layout: bit-identical under reshuffle, and equal
@@ -507,6 +519,8 @@ def test_pack_shards_deterministic_and_correct(spark):
             expected[d] = (b, (cum // 200))
             cum += toks[d]
     assert {r["id"]: (r["bucket"], r["shard_seq"]) for r in got} == expected
-    # shard_id embeds the bucket uniquely
-    assert all(r["shard_id"] == r["bucket"] * 2**32 + r["shard_seq"]
+    # shard_id embeds the bucket uniquely (2^48 stride: see docstring)
+    assert all(r["shard_id"] == r["bucket"] * 2**48 + r["shard_seq"]
                for r in got)
+    with pytest.raises(ValueError):
+        pack_shards(docs, max_tokens=200, n_buckets=65536)
