@@ -376,18 +376,20 @@ def _star_round(edges: DataFrame) -> DataFrame:
     Rastogi, Vassilvitskii — "Connected Components in MapReduce and
     Beyond", SoCC 2014). `edges` holds undirected edges as (u, v); the
     output again holds (u, v) with every edge pointing both endpoints
-    closer to the component minimum. Each half is one window-min over a
-    hash shuffle on the grouping node — two shuffles per round, O(log n)
-    rounds, no driver-side state."""
-    from pyspark.sql import Window
-
+    closer to the component minimum. Per-node minima are computed with a
+    combiner-friendly groupBy().agg(min) + join rather than a window min:
+    the partial aggregate collapses a hot node's neighborhood map-side
+    (a template page near-dup to millions of docs never buffers its whole
+    neighborhood in one window task), and the fan-out join streams/spills
+    instead of materializing the partition."""
     # large-star over the symmetrized neighborhood: every neighbor v > u
     # re-attaches to m = min(N(u) ∪ {u})
     sym = edges.select("u", "v").union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    w = Window.partitionBy("u")
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
     large = (
-        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        sym.join(mins, "u")
+        .withColumn("m", F.least(F.col("_mn"), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
@@ -395,8 +397,8 @@ def _star_round(edges: DataFrame) -> DataFrame:
     # neighbors re-attach to the smallest of them
     oriented = large.filter(F.col("u") != F.col("v")).select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-    w2 = Window.partitionBy("u")
-    small = oriented.withColumn("m", F.min("v").over(w2))
+    mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    small = oriented.join(mins2, "u")
     out = (
         small.select(F.col("v").alias("u"), F.col("m").alias("v"))
         .union(small.select("u", F.col("m").alias("v")))
@@ -482,7 +484,7 @@ def connected_components(
             nodes_in.join(comp, "node", "left")
             .select("node", F.coalesce("component", "node").alias("component"))
         )
-    prev_sig = None
+    prev_sig, converged = None, False
     for _ in range(max_rounds):
         edges = _star_round(edges).localCheckpoint()
         # bit_xor is order-independent and cannot overflow under ANSI mode
@@ -493,8 +495,17 @@ def connected_components(
         ).collect()[0]
         sig = (row["n"], row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # an unconverged edge set is NOT a node->component mapping; silently
+        # returning it would yield wrong clusters with no signal. The star
+        # rounds converge in O(log n); 25 rounds covers ~2^25 nodes, so
+        # hitting this means a pathological input or a too-small max_rounds.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} star "
+            "rounds; raise max_rounds")
     # converged: every edge is (node, component-min); minima map to themselves
     return (
         nodes_in.join(edges.withColumnRenamed("u", "node"), "node", "left")

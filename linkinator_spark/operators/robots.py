@@ -162,12 +162,18 @@ def host_rules_live(hosts_df: DataFrame, cfg, user_agent: str = "*") -> DataFram
     HTTP(S)_PROXY/NO_PROXY exactly like the page-fetch stage — robots must
     not silently fail where pages succeed through a proxy). A transient
     error retries once on a fresh connection (the page path's stale
-    keep-alive recovery); a fetch that still fails — or any non-200 —
-    parses to empty rules, everything allowed, and the host still gets a
-    rules row so it is never refetched. Input: (host, url_sample); scheme
-    and port ride the sample URL. The output unions into the same
-    broadcast `host_rules` dim the table mode builds up front — at web
-    scale the dim is O(hosts), the standard dimension-table shape."""
+    keep-alive recovery). Status handling follows RFC 9309 §2.3.1:
+    3xx Location is followed up to 5 hops (http→https and apex→www
+    redirects are the common real-web case), 4xx (incl. 404) parses to
+    empty rules (allow-all), and 5xx / still-unreachable / redirect-loop
+    is treated as DISALLOW-ALL for this run — crawling a host whose
+    robots.txt cannot be read would silently violate its policy. Either
+    way the host gets a rules row so robots is probed once per host per
+    run (RFC 9309 permits caching up to 24h; a run is shorter). Input:
+    (host, url_sample); scheme and port ride the sample URL. The output
+    unions into the same broadcast `host_rules` dim the table mode builds
+    up front — at web scale the dim is O(hosts), the standard
+    dimension-table shape."""
     import urllib.request
 
     from linkinator_spark.operators.http_fetch import (
@@ -182,17 +188,26 @@ def host_rules_live(hosts_df: DataFrame, cfg, user_agent: str = "*") -> DataFram
     # predate an env change
     proxies = urllib.request.getproxies()
 
+    # RFC 9309 §2.3.1.2: crawlers should follow at least 5 redirect hops
+    # before giving up; past that, treat as unreachable.
+    max_hops = 5
+    # synthetic body: parses to one Disallow:/ rule, i.e. disallow-all
+    DISALLOW_ALL = "User-agent: *\nDisallow: /\n"
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from urllib.parse import urlsplit
+        from urllib.parse import urljoin, urlsplit
 
         conns = _HostConnections(timeout, insecure)
 
-        def one(host: str, sample: str) -> str:
-            parts = urlsplit(sample)
+        def fetch(robots_url: str) -> tuple[int, str, str]:
+            """One GET of `robots_url` -> (status, location, body)."""
+            parts = urlsplit(robots_url)
             scheme = parts.scheme or "http"
-            hostname = parts.hostname or host
+            hostname = parts.hostname or ""
             port = parts.port or (443 if scheme == "https" else 80)
-            path = "/robots.txt"
+            path = parts.path or "/robots.txt"
+            if parts.query:
+                path += "?" + parts.query
             proxy = proxies.get(scheme)
             if proxy and not _no_proxy(hostname, proxies):
                 pparts = urlsplit(
@@ -203,7 +218,7 @@ def host_rules_live(hosts_df: DataFrame, cfg, user_agent: str = "*") -> DataFram
                 else:
                     conn_key = ("http", pparts.hostname or "",
                                 pparts.port or 80, None)
-                    path = f"{scheme}://{parts.netloc}/robots.txt"
+                    path = f"{scheme}://{parts.netloc}{path}"
             else:
                 conn_key = (scheme, hostname, port, None)
             headers = {"User-Agent": ua, "Accept": "*/*",
@@ -215,8 +230,8 @@ def host_rules_live(hosts_df: DataFrame, cfg, user_agent: str = "*") -> DataFram
                 resp = conn.getresponse()
             except Exception:
                 # stale keep-alive / transient failure: one fresh retry —
-                # a momentary blip must not permanently disable robots
-                # for the host (empty rules are recorded forever)
+                # a momentary blip must not permanently misclassify robots
+                # for the host (the rules row is recorded for the run)
                 conns.drop(*conn_key)
                 conn = conns.get(*conn_key)
                 conn.request("GET", path, headers=headers)
@@ -224,18 +239,33 @@ def host_rules_live(hosts_df: DataFrame, cfg, user_agent: str = "*") -> DataFram
             raw = resp.read(1_000_000)
             while resp.read(65536):
                 pass
-            if resp.status == 200:
-                return raw.decode("utf-8", errors="replace")
-            return ""
+            return (resp.status, resp.headers.get("Location") or "",
+                    raw.decode("utf-8", errors="replace"))
+
+        def one(host: str, sample: str) -> str:
+            parts = urlsplit(sample)
+            scheme = parts.scheme or "http"
+            netloc = parts.netloc or host
+            url = f"{scheme}://{netloc}/robots.txt"
+            for _ in range(max_hops + 1):
+                try:
+                    status, location, body = fetch(url)
+                except Exception:
+                    return DISALLOW_ALL  # unreachable after retry
+                if 300 <= status < 400 and location:
+                    url = urljoin(url, location)
+                    continue
+                if 200 <= status < 300:
+                    return body
+                if 400 <= status < 500:
+                    return ""  # no robots.txt -> everything allowed
+                return DISALLOW_ALL  # 5xx / other: policy unreadable
+            return DISALLOW_ALL  # redirect chain exceeded max_hops
 
         for pdf in batches:
             rows = []
             for host, sample in zip(pdf["host"], pdf["url_sample"]):
-                try:
-                    body = one(host, sample)
-                except Exception:
-                    body = ""
-                rows.append((host, body))
+                rows.append((host, one(host, sample)))
             yield pd.DataFrame(rows, columns=["host", "body"])
 
     with_body = hosts_df.mapInPandas(fn, "host string, body string")

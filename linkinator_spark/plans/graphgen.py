@@ -152,7 +152,10 @@ order by wave, url
 """
 
 
-def redirect_target_sql(expr: str, n: int) -> str:
+def redirect_target_sql(expr: str, n: "str | int") -> str:
+    # `n` is spliced verbatim into the SQL text: callers pass either an int
+    # literal or a SQL snippet (the redirect_resolve oracle passes
+    # '(select n from n)'), so this is a string contract, not arithmetic.
     return (
         f"case when {expr} % 25 = 0 then {expr} + 1 "
         f"when {expr} % 125 = 120 then {expr} - 15 "

@@ -201,3 +201,110 @@ def test_live_clock_advance_waits_wall_clock(spark, server, monkeypatch):
     assert res.passed is True
     assert res.clock >= 2.0       # virtual deadline was armed
     assert elapsed >= 2.0         # and actually waited in wall-clock time
+
+
+def _make_serve(robots_responder):
+    """Build a _serve replacement whose /robots.txt behavior is
+    `robots_responder(self, method, path) -> bool handled`."""
+    def serve(self, method):
+        if robots_responder(self, method, self.path):
+            return
+        body = PAGES.get(self.path)
+        if body is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if method == "GET":
+            self.wfile.write(body)
+    return serve
+
+
+def test_live_robots_follows_redirect(spark, server, monkeypatch):
+    """RFC 9309 §2.3.1.2: a 301 on /robots.txt must be followed (http→https
+    and apex→www robots redirects are the common real-web case); the rules
+    at the redirect target apply."""
+    def responder(self, method, path):
+        if path == "/robots.txt":
+            self.send_response(301)
+            self.send_header("Location", "/actual-robots.txt")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return True
+        if path == "/actual-robots.txt":
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(ROBOTS_BODY)))
+            self.end_headers()
+            if method == "GET":
+                self.wfile.write(ROBOTS_BODY)
+            return True
+        return False
+
+    monkeypatch.setattr(_Handler, "_serve", _make_serve(responder))
+    cfg = CheckOptions(paths=[server + "/"], recurse=True, concurrency=4,
+                       timeout=10_000, respect_robots=True)
+    res = check_live(spark, cfg)
+    rows = {r["url"]: r["state"] for r in res.results.collect()}
+    # the redirected-to rules (Disallow /private/, Allow /private/open/) apply
+    assert rows[server + "/private/x.html"] == "SKIPPED"
+    assert rows[server + "/private/open/y.html"] == "OK"
+    assert rows[server + "/ok.html"] == "OK"
+
+
+def test_live_robots_5xx_disallows_all(spark, server, monkeypatch):
+    """RFC 9309 §2.3.1.4: an unreachable robots.txt (5xx) means the policy
+    cannot be read — the crawler MUST assume complete disallow rather than
+    silently crawling disallowed paths: the whole host (seed included) is
+    robots-SKIPPED and no page on it is ever requested."""
+    page_hits = []
+
+    def responder(self, method, path):
+        if path == "/robots.txt":
+            self.send_response(503)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return True
+        page_hits.append(path)
+        return False
+
+    monkeypatch.setattr(_Handler, "_serve", _make_serve(responder))
+    cfg = CheckOptions(paths=[server + "/"], recurse=True, concurrency=4,
+                       timeout=10_000, respect_robots=True)
+    res = check_live(spark, cfg)
+    rows = {r["url"]: r for r in res.results.collect()}
+    seed = rows[server + "/"]
+    assert seed["state"] == "SKIPPED"
+    assert list(seed["failure_details"]) == ["robots.txt disallow"]
+    # nothing on the host was fetched, so no links were ever discovered
+    assert server + "/ok.html" not in rows
+    assert page_hits == []
+
+
+def test_live_robots_redirect_loop_disallows_all(spark, server, monkeypatch):
+    """A robots.txt redirect chain past 5 hops is 'unreachable' (RFC 9309
+    §2.3.1.2) -> treated as complete disallow, and the probe gives up
+    rather than looping."""
+    def responder(self, method, path):
+        if path.startswith("/robots"):
+            with _Handler.lock:
+                _Handler.robots_hits += 1
+            self.send_response(302)
+            self.send_header("Location", "/robots.txt?hop")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return True
+        return False
+
+    _Handler.robots_hits = 0
+    monkeypatch.setattr(_Handler, "_serve", _make_serve(responder))
+    cfg = CheckOptions(paths=[server + "/"], recurse=True, concurrency=4,
+                       timeout=10_000, respect_robots=True)
+    res = check_live(spark, cfg)
+    rows = {r["url"]: r["state"] for r in res.results.collect()}
+    assert rows[server + "/"] == "SKIPPED"  # whole host disallowed
+    assert _Handler.robots_hits <= 6  # initial fetch + 5 followed hops
