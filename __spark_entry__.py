@@ -100,10 +100,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # crawl-core queries
 # ---------------------------------------------------------------------------
 
-def q_crawl_bfs_engine(spark, sf_dir):
+def q_crawl_bfs_engine(spark, sf_dir, staged: bool = False):
     docs = _t(spark, sf_dir, "documents")
     pages, sdocs = G.pages_from_documents(docs)
-    cfg = CheckOptions(paths=[G.ROOT], recurse=True)
+    # staged=True zeroes the fused-gear gates so the oracle exercises the
+    # staged wave loop + iterative redirect hops — the exact plan that runs
+    # above the gates at 10^10 scale (gear equivalence pinned by an
+    # EXTERNAL oracle, not only by pytest)
+    cfg = CheckOptions(paths=[G.ROOT], recurse=True,
+                       chain_map_max_rows=0 if staged else 200_000)
     res = LinkChecker(spark).check(cfg, pages, sdocs)
     return (
         res.results.groupBy("url")
@@ -113,6 +118,14 @@ def q_crawl_bfs_engine(spark, sf_dir):
             F.min("state").alias("state"),
         )
     )
+
+
+def q_crawl_bfs_engine_staged(spark, sf_dir):
+    """The full crawl engine FORCED onto the staged at-scale gears
+    (chain_map_max_rows=0 disables both the fused wave loop and the
+    broadcast chain map), checked against the SAME DuckDB oracle as
+    crawl_bfs_engine."""
+    return q_crawl_bfs_engine(spark, sf_dir, staged=True)
 
 
 _BFS_FUSE_MAX_EDGES = 5_000_000  # ~80 MB of int64 arrays in one task
@@ -170,16 +183,17 @@ def _bfs_fused(edges: DataFrame, max_wave: int) -> DataFrame:
     return edges.repartition(1).mapInPandas(fn, "id long, wave int")
 
 
-def q_frontier_bfs(spark, sf_dir):
+def q_frontier_bfs(spark, sf_dir, fuse_max_edges: int = _BFS_FUSE_MAX_EDGES):
     """The wave join in isolation: iterative anti-join BFS over the derived
     edge list (no fetch simulation) — the shape that runs at 10^10 scale.
-    Small inputs (edge list fits one task) take the fused single-job path."""
+    Small inputs (edge list fits one task) take the fused single-job path;
+    fuse_max_edges=0 forces the staged iterative loop regardless of size."""
     docs = _t(spark, sf_dir, "documents")
     edges = G.edges_df(docs)
     ok_src = G.status_expr(F.col("src")) == 200
     edges = edges.filter(ok_src).localCheckpoint(eager=True)
 
-    if edges.count() <= _BFS_FUSE_MAX_EDGES:
+    if edges.count() <= fuse_max_edges:
         reach = _bfs_fused(edges, max_wave=64)
         return reach.select(
             G.url_expr(F.col("id")).alias("url"),
@@ -242,6 +256,13 @@ def q_frontier_bfs(spark, sf_dir):
         G.status_expr(F.col("id")).alias("status"),
         F.when(G.status_expr(F.col("id")) == 200, "OK").otherwise("BROKEN").alias("state"),
     )
+
+
+def q_frontier_bfs_staged(spark, sf_dir):
+    """The BFS wave join FORCED onto the staged batched-anti-join loop
+    (fuse_max_edges=0), checked against the SAME DuckDB oracle as
+    frontier_bfs — the at-scale plan gets the external hash check."""
+    return q_frontier_bfs(spark, sf_dir, fuse_max_edges=0)
 
 
 def q_extract_links(spark, sf_dir):
@@ -1011,7 +1032,9 @@ def q_events_windowed(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_bfs_engine": q_crawl_bfs_engine,
+        "crawl_bfs_engine_staged": q_crawl_bfs_engine_staged,
         "frontier_bfs": q_frontier_bfs,
+        "frontier_bfs_staged": q_frontier_bfs_staged,
         "extract_links": q_extract_links,
         "top_hosts": q_top_hosts,
         "url_canonicalize": q_url_canonicalize,
@@ -1208,7 +1231,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "frontier_bfs": G.bfs_oracle_sql(n_sf001),
+        "frontier_bfs_staged": G.bfs_oracle_sql(n_sf001),
         "crawl_bfs_engine": G.bfs_oracle_sql(n_sf001),
+        "crawl_bfs_engine_staged": G.bfs_oracle_sql(n_sf001),
         "extract_links": extract_links,
         "top_hosts": f"""
             select host, count(*) as n_links, count(distinct link) as n_urls
