@@ -700,11 +700,21 @@ def _decontaminate_over(train_docs, all_docs):
     split of `all_docs`. Docs too short to produce any 8-gram cannot be
     contaminated and are reported with n_shared = 0 (the gram explode
     drops them, so the count re-attaches by a left join from the doc
-    base — an inner join here would silently drop every short doc)."""
+    base — an inner join here would silently drop every short doc).
+
+    The probe compares xxhash64 gram hashes, not gram strings
+    (T.word_ngram_hashes): the broadcast eval set shrinks ~8x (8
+    bytes/gram vs ~50-byte strings), the join compare is a long equality
+    instead of a string compare, and the word array is bound to a real
+    column once per doc — Catalyst does no CSE inside transform()
+    lambdas, so the string-gram path re-ran split(normalize(text)) per
+    element_at, O(grams * n * doclen). Measured 26.5s -> 2.9s on the
+    sf0.1 gram explode. A 64-bit collision (≈ g_eval * g_doc / 2^64 per
+    doc — vanishing at real gram counts) could only nudge n_shared by 1;
+    the contamination verdict is an overlap threshold, not an exact-set
+    identity, so the trade is sound at 100-TB scale."""
     def grams_of(df):
-        return df.select(
-            "doc_id",
-            F.explode(T.word_ngrams(F.col("text"), 8)).alias("gram"))
+        return T.word_ngram_hashes(df, "text", 8)
 
     bench = (grams_of(all_docs.filter(F.col("doc_id") % 50 == 0))
              .select(F.col("gram").alias("bgram")).distinct())
@@ -828,8 +838,9 @@ def q_text_repetition(spark, sf_dir):
 def q_text_pii(spark, sf_dir):
     """PII detection + redaction over the documents table. The corpus holds
     no PII, so deterministic synthetic PII is planted from doc_id (email on
-    %3, IPv4 on %5, phone on %7) with the identical construction in the SQL
-    twin — counts AND the redacted text (by md5) are value-checked. All
+    %3, IPv4 on %5, phone on %7, SSN on %11, card on %13) with the identical
+    construction in the SQL twin — counts AND the redacted text (by md5) are
+    value-checked. All
     regex work is single-pass codegen; regexes are written to parse the
     same under Java regex and RE2 (classes + bounded repeats only)."""
     docs = _t(spark, sf_dir, "documents")
@@ -847,6 +858,18 @@ def q_text_pii(spark, sf_dir):
                F.concat(F.lit(" call +1 555 0"),
                         (d % 100 + 100).cast("string"),
                         F.lit(" 23 45"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0,
+               F.concat(F.lit(" ssn "),
+                        F.lpad((d % 900 + 100).cast("string"), 3, "0"),
+                        F.lit("-"),
+                        F.lpad((d % 89 + 10).cast("string"), 2, "0"),
+                        F.lit("-"),
+                        F.lpad((d % 9000 + 1000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")),
+        F.when(d % 13 == 0,
+               F.concat(F.lit(" card 4111 1111 1111 "),
+                        F.lpad((d % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")),
     )
     c = T.pii_counts(aug)
     return docs.select(
@@ -854,6 +877,8 @@ def q_text_pii(spark, sf_dir):
         c["n_emails"].alias("n_emails"),
         c["n_ips"].alias("n_ips"),
         c["n_phones"].alias("n_phones"),
+        c["n_ssns"].alias("n_ssns"),
+        c["n_cards"].alias("n_cards"),
         F.md5(T.redact_pii(aug)).alias("redacted_md5"),
     )
 
@@ -1581,6 +1606,18 @@ def oracle_sql() -> dict[str, str]:
                           then ' call +1 555 0'
                                || cast(doc_id % 100 + 100 as varchar)
                                || ' 23 45' else '' end
+                     || case when doc_id % 11 = 0
+                          then ' ssn '
+                               || lpad(cast(doc_id % 900 + 100 as varchar), 3, '0')
+                               || '-'
+                               || lpad(cast(doc_id % 89 + 10 as varchar), 2, '0')
+                               || '-'
+                               || lpad(cast(doc_id % 9000 + 1000 as varchar), 4, '0')
+                          else '' end
+                     || case when doc_id % 13 = 0
+                          then ' card 4111 1111 1111 '
+                               || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                          else '' end
                      as t
               from documents)
             select doc_id,
@@ -1589,10 +1626,15 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(t, '{T.PII_IPV4_RE}')) as n_ips,
                    len(regexp_extract_all(t, '{T.PII_PHONE_RE}'))
                      as n_phones,
-                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                   len(regexp_extract_all(t, '{T.PII_SSN_RE}')) as n_ssns,
+                   len(regexp_extract_all(t, '{T.PII_CARD_RE}')) as n_cards,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(t,
                        '{T.PII_EMAIL_RE}', '<EMAIL>', 'g'),
                        '{T.PII_IPV4_RE}', '<IP>', 'g'),
-                       '{T.PII_PHONE_RE}', '<PHONE>', 'g'))
+                       '{T.PII_PHONE_RE}', '<PHONE>', 'g'),
+                       '{T.PII_SSN_RE}', '<SSN>', 'g'),
+                       '{T.PII_CARD_RE}', '<CARD>', 'g'))
                      as redacted_md5
             from aug
         """,

@@ -164,6 +164,34 @@ def word_bigrams(col: Column) -> Column:
     return word_ngrams(col, 2)
 
 
+def word_ngram_hashes(df: DataFrame, text_col: str, n: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """(id_col, gram:bigint) — one row per word n-gram of `text_col`,
+    hashed to xxhash64 of the n-word tuple. This is the FAST gram path:
+
+    - the word array is bound to a real column in its own projection
+      first. Catalyst does no CSE inside transform() lambdas, so building
+      grams directly off ``split(normalize(text))`` re-evaluates the
+      regexp+split once per element_at — O(grams * n * doclen) instead of
+      O(doclen + grams * n). Measured 26.5s -> 2.9s over sf0.1 documents
+      (236k 8-grams). CollapseProject keeps the projection separate
+      because the alias is referenced n+2 times.
+    - the gram is hashed as an n-column xxhash64 tuple, never
+      materialized as a concatenated string.
+    """
+    w = F.col("_w")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at(w, i + j) for j in range(n)]))
+    grams = (F.when(F.size(w) < n, F.array().cast("array<bigint>"))
+             .otherwise(grams))
+    return (
+        df.select(id_col,
+                  F.split(normalize_text(F.col(text_col)), " ").alias("_w"))
+        .select(id_col, F.explode(grams).alias("gram"))
+    )
+
+
 # -------------------------------------------------------------------- PII
 
 # Conservative regexes that parse identically under Java regex (Spark) and
@@ -172,6 +200,12 @@ def word_bigrams(col: Column) -> Column:
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 PII_PHONE_RE = r"\+[0-9][0-9()\- ]{6,}[0-9]"
+# SSN-shaped: ddd-dd-dddd with hard word boundaries
+PII_SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+# card-shaped: 13-19 digits with optional single space/dash group
+# separators (too few digits for a phone match to pre-empt it; SSNs are
+# 9 digits so the classes cannot overlap)
+PII_CARD_RE = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
 
 
 def pii_counts(col: Column) -> dict[str, Column]:
@@ -180,16 +214,22 @@ def pii_counts(col: Column) -> dict[str, Column]:
         "n_emails": F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL_RE), 0)),
         "n_ips": F.size(F.regexp_extract_all(col, F.lit(PII_IPV4_RE), 0)),
         "n_phones": F.size(F.regexp_extract_all(col, F.lit(PII_PHONE_RE), 0)),
+        "n_ssns": F.size(F.regexp_extract_all(col, F.lit(PII_SSN_RE), 0)),
+        "n_cards": F.size(F.regexp_extract_all(col, F.lit(PII_CARD_RE), 0)),
     }
 
 
 def redact_pii(col: Column) -> Column:
     """Replace PII spans with typed placeholders. Email first (its local
     part can contain digits), then IPv4 (dots would otherwise feed the
-    phone class), then phone."""
+    phone class), then phone, then SSN (9 digits — never card-shaped),
+    then card last (longest digit runs; earlier passes have already
+    consumed the digit spans of the other classes)."""
     out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
-    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    out = F.regexp_replace(out, PII_SSN_RE, "<SSN>")
+    return F.regexp_replace(out, PII_CARD_RE, "<CARD>")
 
 
 # ------------------------------------------------------------- fingerprint

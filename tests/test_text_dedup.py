@@ -524,3 +524,54 @@ def test_pack_shards_deterministic_and_correct(spark):
                for r in got)
     with pytest.raises(ValueError):
         pack_shards(docs, max_tokens=200, n_buckets=65536)
+
+
+def test_pii_ssn_and_card_classes(spark):
+    """SSN redacts before card (9 digits can never match the 13-19 digit
+    card class, but order is pinned anyway); separators inside card
+    numbers (space or dash) are covered; a bare 12-digit run is neither."""
+    from linkinator_spark.functions.text import pii_counts, redact_pii
+
+    text = ("ssn 123-45-6789 here, card 4111 1111 1111 1234 and "
+            "4111-1111-1111-1234 too, ref 123456789012 stays")
+    c = pii_counts(F.col("text"))
+    df = spark.createDataFrame([(text,)], ["text"]).select(
+        c["n_ssns"].alias("s"), c["n_cards"].alias("k"),
+        redact_pii(F.col("text")).alias("red"))
+    r = df.collect()[0]
+    assert (r["s"], r["k"]) == (1, 2)
+    assert r["red"] == ("ssn <SSN> here, card <CARD> and <CARD> too, "
+                        "ref 123456789012 stays")
+
+
+def test_word_ngram_hashes_matches_string_grams(spark):
+    """The fast tuple-hash gram path must agree with the string-gram path
+    on gram COUNT per doc and on cross-doc equality structure: two docs
+    share k distinct string 8-grams iff they share k distinct hashes."""
+    from linkinator_spark.functions.text import (word_ngram_hashes,
+                                                 word_ngrams)
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "X alpha beta gamma delta epsilon zeta eta theta Y"),
+        (3, "unrelated words that share nothing with the others at all"),
+        (4, "short doc"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fast = word_ngram_hashes(df, "text", 8)
+    slow = df.select("doc_id",
+                     F.explode(word_ngrams(F.col("text"), 8)).alias("g"))
+    n_fast = {r["doc_id"]: r["n"] for r in
+              fast.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    n_slow = {r["doc_id"]: r["n"] for r in
+              slow.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert n_fast == n_slow
+
+    def overlap(pairs_df, col):
+        a = pairs_df.filter(F.col("doc_id") == 1).select(col).distinct()
+        b = pairs_df.filter(F.col("doc_id") == 2).select(col).distinct()
+        return a.intersect(b).count()
+
+    # docs 1/2 share exactly the one aligned 8-word window
+    assert overlap(fast, "gram") == overlap(slow, "g") == 1
