@@ -641,6 +641,35 @@ def q_dedup_embedding(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+# 26 lowercase words so normalize_text is a no-op on it; planted into
+# doc_id % 9 == 0 docs (identically in the SQL twin) so the corpus has
+# cross-doc verbatim PASSAGES inside otherwise-distinct documents — the
+# case doc-level dedup misses and substring dedup must catch.
+_SUBSTR_PASSAGE = (
+    "shared canonical passage the training corpus repeats verbatim across "
+    "documents so substring level deduplication must flag it even when "
+    "every other word differs between containing docs")
+
+
+def q_dedup_substring(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): flag 20-token windows
+    shared verbatim across distinct docs. The corpus is documents ∪ exact
+    copies (full-doc spans) ∪ a 26-word passage planted into doc_id%9==0
+    rows (partial spans inside otherwise-distinct docs — the case
+    doc-level exact/minhash dedup keeps). k=20 here because the synthetic
+    docs run 10-99 words; the operator default is Lee et al.'s k=50."""
+    docs = _docs_with_dups(spark, sf_dir)
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit(" " + _SUBSTR_PASSAGE)).otherwise(F.lit("")),
+        ).alias("text"))
+    return D.duplicate_spans(corpus, k=20)
+
+
 # ---------------------------------------------------------------------------
 # text analysis queries
 # ---------------------------------------------------------------------------
@@ -1081,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_canonical": q_dedup_cc_canonical,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_substring": q_dedup_substring,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1204,14 +1234,14 @@ def oracle_sql() -> dict[str, str]:
 
     norm_text = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-    def gram8(src: str) -> str:
-        """Word 8-grams of `src` (doc_id, text) — the one definition both
-        decontamination oracles share, so gram width and construction can
-        never drift between them."""
-        parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(8))
+    def gram8(src: str, k: int = 8) -> str:
+        """Word k-grams of `src` (doc_id, text) — the one definition the
+        decontamination and substring-dedup oracles share, so gram width
+        and construction can never drift between them."""
+        parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
         return f"""(
             select doc_id,
-                   unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+                   unnest(list_transform(range(1, greatest(len(w) - {k - 2}, 1)),
                                          i -> {parts})) as gram
             from (select doc_id, string_split({norm_text}, ' ') as w
                   from {src})
@@ -1464,6 +1494,32 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": f"""
             select doc_id, {_simhash_sql('text', SIMHASH_BITS)} as simhash
             from {_DOCS_WITH_DUPS_SQL} c
+        """,
+        "dedup_substring": f"""
+            with corpus as (
+              select doc_id,
+                     text || case when doc_id % 9 = 0
+                                  then ' {_SUBSTR_PASSAGE}' else '' end as text
+              from {_DOCS_WITH_DUPS_SQL}),
+            grams as (select * from {gram8("corpus", 20)} g),
+            dup as (
+              select gram
+              from (select distinct doc_id, gram from grams)
+              group by gram having count(*) > 1),
+            per as (
+              select doc_id, cast(count(*) as bigint) as n_dup_windows
+              from grams join dup using (gram) group by 1),
+            base as (
+              select doc_id,
+                     cast(greatest(
+                       len(string_split({norm_text}, ' ')) - 19, 0) as bigint)
+                       as n_windows
+              from corpus)
+            select b.doc_id, b.n_windows,
+                   coalesce(p.n_dup_windows, cast(0 as bigint))
+                     as n_dup_windows,
+                   coalesce(p.n_dup_windows, 0) > 0 as has_dup_span
+            from base b left join per p using (doc_id)
         """,
         "text_tokens": """
             select doc_id,

@@ -535,3 +535,72 @@ def near_dup_clusters(
         F.count("*").over(Window.partitionBy("component"))
         .cast("bigint").alias("cluster_size"),
     )
+
+
+# ------------------------------------------------- substring-level dedup
+
+def duplicate_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): flag k-token passages
+    shared VERBATIM across >=2 distinct documents. Doc-level
+    exact/minhash/simhash dedup keeps documents that merely share long
+    verbatim passages; this operator catches those spans.
+
+    Scale shape — no suffix arrays needed: explode k-token rolling
+    windows hashed as xxhash64 word tuples (O(tokens) map-side rows,
+    never materialized as strings), take distinct (doc, window) pairs
+    and groupBy(window) keeping count > 1 — both shuffles key on the
+    uniform 64-bit window hash and partial-aggregate map-side — then map
+    the duplicated-window set back per doc with a hash join on the same
+    uniform key. Bucketed end to end, never all-pairs: the exact shape
+    that survives a 100-TB corpus (same plan family as the benchmark
+    decontamination probe).
+
+    Output: (doc_id, n_windows, n_dup_windows, has_dup_span) for EVERY
+    input doc. Docs shorter than k tokens produce no windows and report
+    (0, 0, false) — the window explode drops them, so counts re-attach
+    via a left join from the doc base (an inner join would silently
+    drop every short doc). A window repeated only WITHIN one doc is not
+    "duplicated" (cross-doc is the dedup signal), but once a window is
+    duplicated, all of its occurrences in a doc count toward
+    n_dup_windows.
+
+    A 64-bit window-hash collision could only nudge a count by 1; the
+    verdict is span-overlap detection, not exact-set identity, so the
+    trade is sound at scale (same argument as the decontamination
+    probe).
+    """
+    from linkinator_spark.functions.text import word_ngram_hashes
+
+    grams = word_ngram_hashes(docs, text_col, k, id_col)
+    duplicated = (
+        grams.select(id_col, "gram").distinct()
+        .groupBy("gram").agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("gram")
+    )
+    per_doc = (
+        grams.join(duplicated, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_dup"))
+    )
+    w = F.split(normalize_text(F.col(text_col)), " ")
+    n_windows = (
+        F.when(F.size(w) < k, F.lit(0))
+        .otherwise(F.size(w) - (k - 1))
+        .cast("bigint")
+    )
+    return (
+        docs.select(id_col, n_windows.alias("n_windows"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("bigint")
+            .alias("n_dup_windows"),
+            (F.coalesce(F.col("_dup"), F.lit(0)) > 0).alias("has_dup_span"),
+        )
+    )

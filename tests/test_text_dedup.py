@@ -575,3 +575,71 @@ def test_word_ngram_hashes_matches_string_grams(spark):
 
     # docs 1/2 share exactly the one aligned 8-word window
     assert overlap(fast, "gram") == overlap(slow, "g") == 1
+
+
+def test_duplicate_spans_planted_passage(spark):
+    """A 60-token passage shared verbatim between two otherwise-distinct
+    ~200-word docs is found at the k=50 default (Lee et al. 2022 shape):
+    both carriers flag has_dup_span with n_dup_windows == 11 (60-50+1),
+    while unrelated docs and <k-token docs report (0, false)."""
+    from linkinator_spark.functions.dedup import duplicate_spans
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+
+    def words(n, salt):
+        r = random.Random(salt)
+        return " ".join(r.choice(vocab) for _ in range(n))
+
+    passage = " ".join(f"p{i}" for i in range(60))
+    rows = [
+        # two distinct docs sharing ONLY the planted passage
+        (1, words(100, 1) + " " + passage + " " + words(40, 11)),
+        (2, words(70, 2) + " " + passage + " " + words(70, 22)),
+        # a long doc with no shared content
+        (3, words(200, 3)),
+        # too short to produce any 50-token window
+        (4, words(20, 4)),
+    ]
+    out = {r["doc_id"]: r for r in duplicate_spans(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=50
+    ).collect()}
+
+    assert out[1]["has_dup_span"] and out[2]["has_dup_span"]
+    # the only 50-windows common to docs 1 and 2 are those fully inside
+    # the 60-token passage: 60 - 50 + 1 = 11
+    assert out[1]["n_dup_windows"] == 11
+    assert out[2]["n_dup_windows"] == 11
+    assert out[1]["n_windows"] == 100 + 60 + 40 - 49
+    assert not out[3]["has_dup_span"] and out[3]["n_dup_windows"] == 0
+    assert out[4]["n_windows"] == 0 and not out[4]["has_dup_span"]
+
+
+def test_duplicate_spans_within_doc_repeat_not_flagged(spark):
+    """A window repeated only WITHIN one doc is not cross-doc duplicated;
+    but when a window IS duplicated across docs, every occurrence counts."""
+    from linkinator_spark.functions.dedup import duplicate_spans
+
+    span = " ".join(f"s{i}" for i in range(10))  # exactly one 10-window
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(10))
+    filler_c = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        # doc 1 repeats the span twice internally; doc 2 carries it once
+        (1, span + " " + filler_a + " " + span),
+        (2, filler_b + " " + span),
+        # doc 3 repeats ITS OWN private span twice — never flagged
+        (3, filler_c + " " + filler_c),
+    ]
+    # k=10 so only the exact planted spans align across docs
+    out = {r["doc_id"]: r for r in duplicate_spans(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=10
+    ).collect()}
+
+    assert out[1]["has_dup_span"] and out[2]["has_dup_span"]
+    # doc1's two occurrences of the cross-doc span both count...
+    assert out[1]["n_dup_windows"] >= 2
+    # ...but doc3's purely internal repeat does not flag it
+    assert not out[3]["has_dup_span"]
