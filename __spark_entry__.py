@@ -776,6 +776,24 @@ def q_doc_pack(spark, sf_dir):
     return SMP.pack_shards(docs, max_tokens=512, n_buckets=8)
 
 
+def q_doc_pack_bpe(spark, sf_dir):
+    """Token-budget sharding under the pluggable BPE tokenizer
+    (functions/tokenize.py): same single uniform-hash-shuffle pack as
+    doc_pack, but budgets by greedy vendored-merge BPE counts instead of
+    whitespace counts — the real-pipeline configuration, where rare-word
+    heavy docs consume more shard budget than their word count suggests.
+    BPE is not SQL-expressible, so this entry is rows-only checked; the
+    tokenizer semantics and the 2x-inflation packing law are pinned in
+    pytest (test_text_dedup), and the pack layout itself is hash-checked
+    via the whitespace doc_pack oracle."""
+    from linkinator_spark.functions import sampling as SMP
+    from linkinator_spark.functions import tokenize as TOK
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", TOK.bpe_token_count(F.col("text")).alias("n_tokens"))
+    return SMP.pack_shards(docs, max_tokens=512, n_buckets=8)
+
+
 def q_corpus_build(spark, sf_dir):
     """End-to-end training-corpus assembly — the composition a real
     pipeline runs as one declarative dataflow: exact-dedup keeper ->
@@ -1120,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "doc_pack": q_doc_pack,
+        "doc_pack_bpe": q_doc_pack_bpe,
         "doc_split": q_doc_split,
         "doc_sample_stratified": q_doc_sample_stratified,
         "ann_cosine_topk": q_ann_cosine_topk,

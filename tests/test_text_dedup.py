@@ -643,3 +643,52 @@ def test_duplicate_spans_within_doc_repeat_not_flagged(spark):
     assert out[1]["n_dup_windows"] >= 2
     # ...but doc3's purely internal repeat does not flag it
     assert not out[3]["has_dup_span"]
+
+
+def test_bpe_token_count_semantics(spark):
+    """Greedy lowest-rank-first merges: 'the' collapses via (t,h)->(th,e)
+    to ONE token; unmergeable words stay one token per char; counting is
+    case-normalized and null-safe."""
+    from linkinator_spark.functions.tokenize import (
+        DEFAULT_MERGES, bpe_token_count, bpe_word_tokens,
+    )
+
+    ranks = {p: i for i, p in enumerate(DEFAULT_MERGES)}
+    assert bpe_word_tokens("the", ranks) == 1
+    assert bpe_word_tokens("and", ranks) == 1
+    assert bpe_word_tokens("xq", ranks) == 2       # no merge applies
+    assert bpe_word_tokens("z", ranks) == 1
+
+    rows = [(1, "the and"), (2, "THE"), (3, "xq z"), (4, None)]
+    out = {r["doc_id"]: r["n"] for r in spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).select("doc_id", bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert out[1] == 2 and out[2] == 1 and out[3] == 3 and out[4] == 0
+
+
+def test_pack_shards_pluggable_tokenizer_inflation(spark):
+    """Packing under a 2x-inflating tokenizer is EXACTLY packing the
+    original counts at half the budget (cumsums scale linearly), so a
+    tokenizer swap changes the layout through `tokens_col` alone — and
+    per-shard doc counts drop to ~half."""
+    from linkinator_spark.functions.sampling import pack_shards
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 10).alias("n_tokens"))
+    inflated = docs.withColumn("n_tokens", F.col("n_tokens") * 2)
+
+    base = pack_shards(docs, max_tokens=512, n_buckets=8)
+    doubled = pack_shards(inflated, max_tokens=512, n_buckets=8)
+    halved_budget = pack_shards(docs, max_tokens=256, n_buckets=8)
+
+    assert doubled.orderBy("id").collect() == \
+        halved_budget.orderBy("id").collect()
+
+    def docs_per_shard(df):
+        n_docs = df.count()
+        n_shards = df.select("shard_id").distinct().count()
+        return n_docs / n_shards
+
+    b, d = docs_per_shard(base), docs_per_shard(doubled)
+    assert d < 0.62 * b, f"expected ~halved docs/shard, got {b} -> {d}"
