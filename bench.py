@@ -299,16 +299,50 @@ def main() -> None:
         # local[32] crosses into SMT siblings, which caps ANY workload (incl.
         # pure multiprocessing) well below 4x; 4-vs-16 is membw-capped at
         # ~0.79 even for pure codegen. See BENCH/BASELINE.md.
-        # full 2/4/8/16 curve for context; the official N-vs-4N pair stays
-        # 2-vs-8 for the membw reasons above
-        legs = {c: one_leg(c, FRONTIER_N * 2) for c in (2, 4, 8, 16)}
-        eff = (legs[8]["urls_per_sec"] / legs[2]["urls_per_sec"]) / 4.0
+        #
+        # PRIMARY statistic: median of SAME-EXECUTION N/4N pairings — both
+        # legs of a pairing run back-to-back in one execution window, so a
+        # noisy box interval hits both legs of that pairing rather than
+        # inflating/deflating the ratio. Secondary: pooled-min per leg
+        # across executions — the least-interfered reading of each leg,
+        # NOT a conservative bound (a min 2-core anchor lowers the ratio
+        # but a min 8-core anchor raises it).
+        execs = []
+        for _ in range(3):
+            l2 = one_leg(2, FRONTIER_N * 2)
+            l8 = one_leg(8, FRONTIER_N * 2)
+            execs.append({
+                "n": l2, "four_n": l8,
+                "efficiency": round(
+                    (l8["urls_per_sec"] / l2["urls_per_sec"]) / 4.0, 3),
+            })
+        per_exec = sorted(e["efficiency"] for e in execs)
+        median_eff = per_exec[len(per_exec) // 2]
+        pooled = {}
+        for c, key in ((2, "n"), (8, "four_n")):
+            best = min((e[key] for e in execs), key=lambda l: l["sec"])
+            pooled[key] = best
+        pooled_eff = round((pooled["four_n"]["urls_per_sec"]
+                            / pooled["n"]["urls_per_sec"]) / 4.0, 3)
+        # full 2/4/8/16 curve for context (4/16 measured once; 2/8 reuse
+        # the pooled-min legs); the official N-vs-4N pair stays 2-vs-8
+        # for the membw reasons above
+        curve_legs = {2: pooled["n"], 8: pooled["four_n"],
+                      4: one_leg(4, FRONTIER_N * 2),
+                      16: one_leg(16, FRONTIER_N * 2)}
         out["scaling"] = {
-            "n": legs[2], "four_n": legs[8],
-            "efficiency": round(eff, 3),
-            "curve": {str(c): {"sec": legs[c]["sec"],
-                               "urls_per_sec": legs[c]["urls_per_sec"]}
-                      for c in sorted(legs)},
+            "efficiency": median_eff,
+            "statistic": "median same-execution N/4N pairing",
+            "per_execution_efficiency": [e["efficiency"] for e in execs],
+            "executions": execs,
+            "n": pooled["n"], "four_n": pooled["four_n"],
+            "pooled_min_efficiency": pooled_eff,
+            "pooled_min_note": (
+                "secondary view: least-interfered reading per leg, not a "
+                "conservative bound"),
+            "curve": {str(c): {"sec": curve_legs[c]["sec"],
+                               "urls_per_sec": curve_legs[c]["urls_per_sec"]}
+                      for c in sorted(curve_legs)},
             "measured": "this run",
             "measured_at_commit": _git_head(),
         }

@@ -290,6 +290,11 @@ class LinkChecker:
             events_parts = [state["events"]]
             pending = state["pending_fragments"]
             host_delays = state["host_delays"]
+            if ctx.get("live_robots") and "host_rules" in state:
+                # live robots rules ride the wave commit — resume must
+                # not re-contact every known host for robots.txt
+                ctx["host_rules"] = state["host_rules"]
+                ctx["host_rules_parts"] = [state["host_rules"]]
         else:
             seeds = self._seed_frontier(cfg)
             frontier = (
@@ -302,6 +307,19 @@ class LinkChecker:
             host_delays = self._empty(DELAY_SCHEMA)
             clock = 0.0
             wave = 0
+
+        # mid-wave fetch journal (north_rule "resumes mid-wave without
+        # re-fetching"): live crawls publish each fetch stage's output
+        # durably as it materializes; a resume into the crashed wave
+        # replays it instead of re-requesting. Table-join crawls are
+        # pure compute — no journal, wave-boundary resume suffices.
+        ctx["journal_store"] = store if (
+            live and store is not None
+            and hasattr(store, "commit_partial")) else None
+        if ctx["journal_store"] is not None and resume:
+            ctx["journal_wave"] = wave
+            ctx["fetch_journal"] = ctx["journal_store"].load_partials(
+                spark, wave)
 
         next_stats = None  # (n_total, min_nb, n_ready) piggybacked on touch
         while wave < cfg.max_waves:
@@ -502,6 +520,10 @@ class LinkChecker:
                 # via the per-part footer pass, so the manifest stays O(1).
                 full["host_metrics"] = wave_results.groupBy("host").agg(
                     F.count("*").alias("n_fetched"))
+                if ctx.get("live_robots"):
+                    # live robots rules ride the commit so resume never
+                    # re-contacts a known host for robots.txt
+                    full["host_rules"] = ctx["host_rules"]
                 metrics = {"wave": wave, "clock": clock}
                 state = store.commit(wave, clock, full, metrics)
                 frontier = state["frontier"]
@@ -512,6 +534,9 @@ class LinkChecker:
                 events_parts = [state["events"]]
                 pending = state["pending_fragments"]
                 host_delays = state["host_delays"]
+                if ctx.get("live_robots") and "host_rules" in state:
+                    ctx["host_rules"] = state["host_rules"]
+                    ctx["host_rules_parts"] = [state["host_rules"]]
 
             # wave outputs are materialized (touch + store both ran) —
             # release the wave-scoped caches (fetch/classify/candidates),
@@ -519,6 +544,11 @@ class LinkChecker:
             # wave
             for df in ctx.pop("wave_cached", []):
                 df.unpersist(blocking=False)
+            if store and ctx.get("journal_store") is not None:
+                # the wave's full commit supersedes its intra-wave fetch
+                # journal (and every derived frame was re-read from the
+                # committed wave dir above) — drop the journal now
+                ctx["journal_store"].clear_partials(wave)
             wave += 1
 
         results = self._union(results_parts, RESULT_SCHEMA)
@@ -750,6 +780,34 @@ class LinkChecker:
         return rows
 
     # ---------------------------------------------------------- fused wave
+    def _journal_fetch(self, ctx: dict, wave: int, stage: str, inp,
+                       fetch_fn, key: str = "url"):
+        """Mid-wave resume without re-fetching (north_rule): on live
+        checkpointed crawls, publish this fetch stage's output to the
+        store's intra-wave journal the moment it materializes (atomic
+        per-stage publish, per-partition lineage in the sidecar), and on
+        a resume into the same wave replay journaled rows per-`key` —
+        only rows the journal misses hit the network. Pure-compute
+        crawls (table-join fetch) skip the journal entirely:
+        re-deriving a join has no side effects to avoid, so the
+        wave-boundary commit already gives byte-identical resume there.
+        """
+        store = ctx.get("journal_store")
+        if store is None:
+            return fetch_fn(inp)
+        replay = (ctx.get("fetch_journal", {}).get(stage)
+                  if ctx.get("journal_wave") == wave else None)
+        if replay is None:
+            out = fetch_fn(inp)
+        else:
+            hits = replay.join(inp.select(key).distinct(), key, "semi")
+            miss = inp.join(replay.select(key), key, "left_anti")
+            out = hits.unionByName(fetch_fn(miss))
+        # the write job scans the old journal while writing .tmp; the
+        # atomic rename happens only after it finishes, so replay-over-
+        # rewrite is safe. Returned frame re-reads the published stage.
+        return store.commit_partial(wave, stage, out)
+
     def _run_wave_fused(
         self, ready, cfg: CheckOptions, clock: float, wave: int, ctx: dict,
         seen, relationships, pending_fragments, host_delays,
@@ -852,8 +910,12 @@ class LinkChecker:
             # union of parts (seen_parts pattern) — re-checkpointing the
             # cumulative dim would rewrite O(hosts) rows per wave; waves
             # that meet no new hosts append nothing
-            new_rules = host_rules_live(
-                hosts_new, cfg, cfg.user_agent).localCheckpoint(eager=True)
+            new_rules = self._journal_fetch(
+                ctx, wave, "robots", hosts_new,
+                lambda d: host_rules_live(
+                    d, cfg, cfg.user_agent).localCheckpoint(eager=True),
+                key="host",
+            )
             if not new_rules.isEmpty():
                 ctx["host_rules_parts"].append(new_rules)
                 ctx["host_rules"] = self._union(
@@ -923,11 +985,13 @@ class LinkChecker:
             wave_cached.append(cur)
         else:
             method = F.when(F.col("crawl"), F.lit("GET")).otherwise(F.lit("HEAD"))
-            cur = fetch_once(ready, pages_dim, method, cfg, skip_match,
-                             ctx.get("host_defaults"),
-                             requester=ctx.get("requester"),
-                             chain_bc=ctx.get("chain_bc"),
-                             cache_into=wave_cached).persist()
+            cur = self._journal_fetch(
+                ctx, wave, "fetch", ready,
+                lambda d: fetch_once(
+                    d, pages_dim, method, cfg, skip_match,
+                    ctx.get("host_defaults"), requester=ctx.get("requester"),
+                    chain_bc=ctx.get("chain_bc"), cache_into=wave_cached),
+            ).persist()
             wave_cached.append(cur)
 
         c405 = (F.col("status") == 405) & F.col("redirect_skipped").isNull()
@@ -974,22 +1038,26 @@ class LinkChecker:
                 F.sum(F.when(cerr, 1).otherwise(0)),
             ).collect()[0]
 
-        def _refetch(subset: DataFrame) -> DataFrame:
-            re = fetch_once(
-                subset.withColumn("_prev_failures", F.col("fetch_failures"))
-                .drop(*FETCH_COLS),
-                pages_dim, F.lit("GET"), cfg, skip_match,
-                ctx.get("host_defaults"), requester=ctx.get("requester"),
-                chain_bc=ctx.get("chain_bc"), cache_into=wave_cached,
-            )
-            return re.withColumn(
-                "fetch_failures",
-                F.concat(F.col("_prev_failures"), F.col("fetch_failures")),
-            ).drop("_prev_failures")
+        def _refetch(subset: DataFrame, stage: str) -> DataFrame:
+            def _go(sub: DataFrame) -> DataFrame:
+                re = fetch_once(
+                    sub.withColumn("_prev_failures", F.col("fetch_failures"))
+                    .drop(*FETCH_COLS),
+                    pages_dim, F.lit("GET"), cfg, skip_match,
+                    ctx.get("host_defaults"), requester=ctx.get("requester"),
+                    chain_bc=ctx.get("chain_bc"), cache_into=wave_cached,
+                )
+                return re.withColumn(
+                    "fetch_failures",
+                    F.concat(F.col("_prev_failures"), F.col("fetch_failures")),
+                ).drop("_prev_failures")
+
+            return self._journal_fetch(ctx, wave, stage, subset, _go)
 
         # 405 -> retry as GET (src/index.ts:378-388)
         if n405:
-            cur = cur.filter(~c405).unionByName(_refetch(cur.filter(c405))).persist()
+            cur = cur.filter(~c405).unionByName(
+                _refetch(cur.filter(c405), "fetch405")).persist()
             wave_cached.append(cur)
             nlg = cur.agg(F.sum(F.when(lg_cond, 1).otherwise(0))).collect()[0][0]
 
@@ -1001,7 +1069,8 @@ class LinkChecker:
                 (~F.col("has_response") | (F.col("status") < 200) | (F.col("status") >= 300))
                 & ~F.col("crawl") & F.col("redirect_skipped").isNull()
             )
-            cur = cur.filter(~lg_full).unionByName(_refetch(cur.filter(lg_full))).persist()
+            cur = cur.filter(~lg_full).unionByName(
+                _refetch(cur.filter(lg_full), "fetchlg")).persist()
             wave_cached.append(cur)
 
         if n405 or nlg:
@@ -1088,7 +1157,8 @@ class LinkChecker:
             if n_need:
                 re_got = (
                     with_body_flag(
-                        _refetch(need_body.drop("_is_html", "_is_css", "has_body"))
+                        _refetch(need_body.drop("_is_html", "_is_css", "has_body"),
+                                 "fetchfrag")
                     )
                     .withColumn("_is_html", F.col("content_type").rlike(_HTML_RE))
                     .withColumn("_is_css", F.col("content_type").rlike(_CSS_RE))

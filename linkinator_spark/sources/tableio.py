@@ -107,6 +107,65 @@ class WaveStore:
         with open(ptr) as f:
             return json.load(f)["wave"]
 
+    # ---- intra-wave journal (mid-wave resume without re-fetching) ----
+    #
+    # The wave commit above is the durable boundary; a crash mid-wave
+    # would otherwise repeat that wave's side effects (live HTTP
+    # requests) on resume. Fetch stages therefore publish their output
+    # here as soon as they materialize — each stage is its own atomic
+    # tmp-then-rename publish with per-partition lineage in a sidecar —
+    # and a resume into the same wave replays journaled rows instead of
+    # re-requesting them. The wave's full commit supersedes the journal
+    # (clear_partials). Pure-compute stages never journal: re-deriving
+    # a table join has no side effects to avoid.
+
+    def _partial_dir(self, wave: int) -> str:
+        return self._wave_dir(wave) + ".partial"
+
+    def commit_partial(self, wave: int, name: str,
+                       df: DataFrame) -> DataFrame:
+        """Atomically publish one intra-wave artifact (a fetch stage's
+        output); returns the re-read DataFrame (materialized, lineage
+        truncated)."""
+        pdir = self._partial_dir(wave)
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, name + ".tmp")
+        final = os.path.join(pdir, name)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        lineage = self._partition_lineage(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)  # atomic publish of the stage
+        side = os.path.join(pdir, name + ".lineage.tmp")
+        with open(side, "w") as f:
+            json.dump({"wave": wave, "stage": name, "lineage": lineage}, f)
+        os.replace(side, os.path.join(pdir, name + ".lineage.json"))
+        return df.sparkSession.read.parquet(final)
+
+    def load_partials(self, spark: SparkSession,
+                      wave: int) -> dict[str, DataFrame]:
+        """Every published intra-wave artifact of `wave` (stage name ->
+        DataFrame); {} when the wave has no journal. Unpublished .tmp
+        leftovers from a crash mid-write are ignored (and cleaned)."""
+        pdir = self._partial_dir(wave)
+        if not os.path.isdir(pdir):
+            return {}
+        out: dict[str, DataFrame] = {}
+        for name in sorted(os.listdir(pdir)):
+            path = os.path.join(pdir, name)
+            if name.endswith(".tmp"):
+                shutil.rmtree(path, ignore_errors=True)
+                continue
+            if name.endswith(".json") or not os.path.isdir(path):
+                continue
+            out[name] = spark.read.parquet(path)
+        return out
+
+    def clear_partials(self, wave: int) -> None:
+        shutil.rmtree(self._partial_dir(wave), ignore_errors=True)
+
     def load(self, spark: SparkSession, wave: int) -> tuple[dict, dict[str, DataFrame]]:
         wave_dir = self._wave_dir(wave)
         with open(os.path.join(wave_dir, MANIFEST)) as f:
@@ -200,6 +259,39 @@ class IcebergWaveStore:
             f"select max(wave) from {self.prefix}.wave_manifest"
         ).collect()
         return None if not rows or rows[0][0] is None else int(rows[0][0])
+
+    # ---- intra-wave journal (same contract as WaveStore's) ----
+    # one Iceberg table per (wave, stage); createOrReplace is the atomic
+    # publish, exactly like the parquet store's dir rename. Never
+    # referenced by any manifest row — the journal is superseded by the
+    # wave's full commit and dropped then.
+
+    def _partial_tbl(self, wave: int, name: str) -> str:
+        return f"{self.prefix}.pw{wave:05d}_{name}"
+
+    def commit_partial(self, wave: int, name: str,
+                       df: DataFrame) -> DataFrame:
+        tbl = self._partial_tbl(wave, name)
+        df.writeTo(tbl).using("iceberg").createOrReplace()
+        return self.spark.read.table(tbl)
+
+    def load_partials(self, spark: SparkSession,
+                      wave: int) -> dict[str, DataFrame]:
+        pref = f"pw{wave:05d}_"
+        out: dict[str, DataFrame] = {}
+        for r in spark.sql(f"show tables in {self.prefix}").collect():
+            t = r["tableName"]
+            if t.startswith(pref):
+                out[t[len(pref):]] = spark.read.table(f"{self.prefix}.{t}")
+        return out
+
+    def clear_partials(self, wave: int) -> None:
+        pref = f"pw{wave:05d}_"
+        for r in self.spark.sql(f"show tables in {self.prefix}").collect():
+            t = r["tableName"]
+            if t.startswith(pref):
+                self.spark.sql(
+                    f"drop table if exists {self.prefix}.{t}")
 
     def load(self, spark: SparkSession, wave: int):
         row = spark.sql(
