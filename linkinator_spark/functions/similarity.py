@@ -3,10 +3,16 @@
 * `cosine_topk` — brute-force exact top-k (the baseline & the oracle-checked
   query): broadcast the query set, one pass over the corpus, per-query window
   rank. Exact, O(corpus x queries), fully JVM-side.
-* `lsh_topk` — the scale path: sign-sketch (random-hyperplane) bucketing via
+* `lsh_topk` — a scale path: sign-sketch (random-hyperplane) bucketing via
   a vectorized Arrow UDF (numpy matmul per batch), candidate generation by
   bucket join with multi-probe, exact re-rank inside candidates. At 10^10
   vectors the bucket join replaces the full cross product.
+* `ivf_topk` — the other scale path: an inverted-file index (deterministic
+  seed codebook + optional DataFrame-native Lloyd refinement), nearest-cell
+  assignment by broadcast argmax, nprobe-cell candidate generation, exact
+  re-rank. Gives a tunable candidate budget (~nprobe/n_lists of the corpus)
+  where LSH's budget depends on bucket balance; full probe provably equals
+  brute force.
 """
 
 from __future__ import annotations
@@ -114,6 +120,127 @@ def lsh_topk(
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id").select(
+        "query_id", "neighbor_id",
+        cosine_similarity(F.col("cv"), F.col("qv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
+    )
+
+
+# --------------------------------------------------------------------- IVF
+# The inverted-file (coarse-quantizer) scale path: partition the corpus
+# into n_lists Voronoi cells around a small codebook, probe only the
+# nprobe cells nearest each query, re-rank exactly inside the candidates.
+# Complements lsh_topk: IVF gives a *tunable candidate budget* (nprobe/
+# n_lists of the corpus on average) where LSH's budget is a function of
+# the data's bucket balance. At 10^10 vectors the assignment is one
+# broadcast-join + map-side-combined argmax (no corpus-sized shuffle key
+# other than the uniform vid), and the probe join fans each query out to
+# nprobe cells only.
+
+
+def ivf_centroids(
+    corpus: DataFrame, n_lists: int = 16, iters: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(list_id, centroid:array<double>) codebook.
+
+    Seeds are the `n_lists` corpus vectors with the smallest ids —
+    deterministic and reproducible in plain SQL (the driver oracle
+    recomputes them), via a TakeOrdered top-K, never a full sort. `iters`
+    Lloyd rounds refine the codebook DataFrame-natively: broadcast
+    assign + posexplode + per-(list, dim) mean — k-means without any
+    driver-side loop over rows. Refined codebooks are NOT oracle-checked
+    (group-sum accumulation order makes the last ulp engine-specific);
+    the oracle query pins iters=0.
+    """
+    seeds = corpus.orderBy(id_col).limit(n_lists)
+    w = Window.orderBy(id_col)
+    cents = seeds.select(
+        F.row_number().over(w).alias("list_id"),
+        F.col(vec_col).cast("array<double>").alias("centroid"),
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    for _ in range(iters):
+        assign = _nearest_lists(vecs, cents, 1).select("vid", "list_id")
+        cents = (
+            vecs.join(assign, "vid")
+            .select("list_id", F.posexplode("v").alias("dim", "x"))
+            .groupBy("list_id", "dim").agg(F.avg("x").alias("x"))
+            .groupBy("list_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "x"))).alias("s"))
+            .select("list_id",
+                    F.transform("s", lambda e: e["x"]).alias("centroid"))
+        )
+        cents = cents.localCheckpoint(eager=True)  # cut the iteration lineage
+    return cents
+
+
+def _nearest_lists(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """(vid, list_id, cos) of each vector's `nprobe` nearest centroids.
+    Broadcast the codebook; nprobe=1 aggregates with a map-side-combined
+    max_by (no per-vid shuffle group survives un-combined), the window
+    rank form only runs for the (small) query side."""
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vid", "list_id",
+        cosine_similarity(F.col("v"), F.col("centroid")).alias("cos"),
+    )
+    if nprobe == 1:
+        # max_by over (cos, -list_id): smallest list wins cosine ties,
+        # matching the oracle's `order by cos desc, list_id asc`
+        return scored.groupBy("vid").agg(
+            F.max_by(F.struct("list_id", "cos"),
+                     F.struct(F.col("cos"), -F.col("list_id"))).alias("m")
+        ).select("vid", F.col("m.list_id").alias("list_id"),
+                 F.col("m.cos").alias("cos"))
+    w = Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("list_id"))
+    return (scored.withColumn("pr", F.row_number().over(w))
+            .filter(F.col("pr") <= nprobe).drop("pr"))
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    n_lists: int = 16, nprobe: int = 4, iters: int = 0,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k through an IVF index built on the fly.
+
+    1. codebook: `ivf_centroids` (deterministic seeds, optional Lloyd)
+    2. corpus assignment: nearest cell per vector (broadcast argmax)
+    3. query probes: `nprobe` nearest cells per query
+    4. candidates: cell-equality join, exact cosine re-rank, top-k
+
+    With nprobe == n_lists every cell is probed and the result equals
+    `cosine_topk` exactly (tested); smaller nprobe trades recall for a
+    candidate budget of ~nprobe/n_lists of the corpus. Candidate
+    generation never compares query x corpus directly — the only
+    corpus-wide joins are broadcast (codebook) and cell-bucketed."""
+    cents = ivf_centroids(corpus, n_lists, iters, id_col, vec_col)
+    cvecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    qvecs = queries.select(
+        F.col(query_id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    cassign = _nearest_lists(cvecs, cents, 1).select(
+        F.col("vid").alias("neighbor_id"), "list_id")
+    qprobe = _nearest_lists(qvecs, cents, nprobe).select(
+        F.col("vid").alias("query_id"), "list_id")
+    cand = qprobe.join(cassign, "list_id").select(
+        "query_id", "neighbor_id").distinct()
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
     scored = cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id").select(
         "query_id", "neighbor_id",
         cosine_similarity(F.col("cv"), F.col("qv")).alias("cos"),
