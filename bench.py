@@ -134,10 +134,21 @@ def ann_lsh_recall(spark, sf_dir: str) -> dict:
     approx = {(r["query_id"], r["neighbor_id"])
               for r in lsh_topk(corpus, queries, dim=64, k=5,
                                 n_planes=8, n_tables=4).collect()}
+    t1 = time.time()
+    from linkinator_spark.functions.similarity import ivf_topk
+
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_topk(corpus, queries, k=5, n_lists=16,
+                             nprobe=2).collect()}
     return {
         "recall_at_5": round(len(approx & exact) / max(len(exact), 1), 4),
         "tables": 4, "planes": 8, "k": 5,
         "lsh_sec": round(time.time() - t0, 3),
+        "ivf": {
+            "recall_at_5": round(len(ivf & exact) / max(len(exact), 1), 4),
+            "n_lists": 16, "nprobe": 2, "k": 5,
+            "ivf_sec": round(time.time() - t1, 3),
+        },
     }
 
 
