@@ -10,7 +10,7 @@ join-guaranteed — the reference semantics demand the exact set,
 
 Implementation: a numpy bit array built from the 64-bit url hashes, k derived
 hash probes via splitmix64 remixing — vectorized construction (one numpy
-bitmap per partition, OR-merged executor-side via ``treeAggregate``) and
+bitmap per partition, OR-merged executor-side via ``tree_fold``) and
 vectorized probing inside an Arrow-batched mapInPandas. No per-row Python,
 and no row ever reaches the driver — only bitmaps do.
 """
@@ -61,7 +61,7 @@ class BloomFilter:
 
 def partition_bitmaps(hashed: DataFrame, n_bits: int, k: int) -> DataFrame:
     """One summary row per partition: the partition's local Bloom bitmap.
-    Rows never reach the driver — only bitmaps do (via treeAggregate)."""
+    Rows never reach the driver — only bitmaps do (via tree_fold)."""
     size = n_bits // 8
 
     def fn(batches):
@@ -83,23 +83,28 @@ def build_bloom(seen: DataFrame, url_col: str = "url",
                 expected: int = 1_000_000, fpp: float = 0.01) -> BloomFilter:
     """Distributed build: hash JVM-side (xxhash64), one numpy bitmap per
     partition (Arrow-batched, vectorized), OR-merged executor-side via
-    ``treeAggregate`` (depth 2). The driver sees only bitmaps — never rows —
-    so a 10^10-key frontier builds without driver materialization."""
+    ``tree_fold`` (DataFrame-native depth-2 tree). The driver sees only
+    bitmaps — never rows — so a 10^10-key frontier builds without driver
+    materialization."""
+    from linkinator_spark.plans.treefold import tree_fold
+
     bloom = BloomFilter(expected, fpp)
     hashed = seen.select(F.xxhash64(F.col(url_col)).alias("h"))
     maps = partition_bitmaps(hashed, bloom.n_bits, bloom.k)
 
     size = bloom.n_bits // 8
 
-    def _or(acc: np.ndarray, other) -> np.ndarray:
-        # seqOp gets a Row(bits=bytes); combOp gets another ndarray
-        buf = other if isinstance(other, np.ndarray) else np.frombuffer(
-            other["bits"], dtype=np.uint8)
-        np.bitwise_or(acc, buf, out=acc)
+    def _fold(acc: np.ndarray, pdf) -> np.ndarray:
+        for b in pdf["bits"]:
+            np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
         return acc
 
-    merged = maps.rdd.treeAggregate(np.zeros(size, dtype=np.uint8), _or, _or, depth=2)
-    bloom.bits = merged
+    def _or(acc: np.ndarray, other: np.ndarray) -> np.ndarray:
+        np.bitwise_or(acc, other, out=acc)
+        return acc
+
+    bloom.bits = tree_fold(
+        maps, lambda: np.zeros(size, dtype=np.uint8), _fold, _or)
     return bloom
 
 

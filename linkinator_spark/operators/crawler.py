@@ -72,6 +72,7 @@ from linkinator_spark.operators.cuckoo import (
     CuckooFilter, broadcast_cuckoo, build_cuckoo, cuckoo_prefilter,
 )
 from linkinator_spark.operators.politeness import politeness_budget_split
+from linkinator_spark.plans.treefold import tree_fold
 from linkinator_spark.operators.skiprules import (
     make_fragment_skip_match, make_skip_match,
 )
@@ -189,7 +190,7 @@ class LinkChecker:
             "requester": requester if live else None,
             # table mode: redirect chains resolve against this broadcast map
             # in ONE batch per wave (no per-hop driver barriers). The map is
-            # built executor-side (treeAggregate of per-partition dict
+            # built executor-side (tree_fold of per-partition dict
             # fragments — no driver row materialization), but the merged
             # dict still lives on the driver to broadcast, so it's gated on
             # chain_map_max_rows and falls back to the iterative hop loop
@@ -340,7 +341,7 @@ class LinkChecker:
 
             # ---- URL-seen Bloom pre-filter (J2 scale path). Built once the
             # frontier crosses the activation threshold (one pass over the
-            # seen set, treeAggregate — no driver rows), then maintained
+            # seen set, tree_fold — no driver rows), then maintained
             # incrementally by the touch job. Each wave broadcasts a bits
             # snapshot; candidates the filter proves unseen skip the exact
             # anti-join shuffle entirely (bloom.py docstring for why false
@@ -473,7 +474,7 @@ class LinkChecker:
             # always-non-null marker so it cannot silently drop a row whose
             # not_before is null. When the Bloom filter is active, the same
             # job also folds the new-frontier url hashes into per-partition
-            # bitmaps (treeAggregate OR-merge) — incremental maintenance
+            # bitmaps (tree_fold OR-merge) — incremental maintenance
             # with zero extra barriers.
             bloom = ctx["bloom"]
             touch = None
@@ -637,7 +638,7 @@ class LinkChecker:
     def _touch_stats_with_bloom(self, touch, bloom: BloomFilter, clock: float):
         """Bloom-maintaining form of the wave's single forcing job: per
         partition, fold the frontier stats AND the new-frontier url hashes
-        into a local numpy bitmap; a depth-2 ``treeAggregate`` merges
+        into a local numpy bitmap; a depth-2 ``tree_fold`` merges
         executor-side, so the driver receives a handful of bitmaps and zero
         rows. Folds the merged bits into `bloom` (rebinding, not mutating —
         broadcast snapshots of earlier waves stay valid) and returns
@@ -671,22 +672,27 @@ class LinkChecker:
 
         rows = touch.mapInPandas(fn, "n long, mn double, nr long, bits binary")
 
-        def seq(acc, row):
+        def fold(acc, pdf):
             n, mn, nr, bits = acc
-            rmn = row["mn"]
-            if rmn is not None and rmn == rmn:  # non-null, non-NaN
-                mn = rmn if mn is None else min(mn, rmn)
-            np.bitwise_or(bits, np.frombuffer(row["bits"], dtype=np.uint8),
-                          out=bits)
-            return (n + row["n"], mn, nr + row["nr"], bits)
+            for rn, rmn, rnr, rbits in zip(
+                    pdf["n"], pdf["mn"], pdf["nr"], pdf["bits"]):
+                if rmn is not None and rmn == rmn:  # non-null, non-NaN
+                    rmn = float(rmn)
+                    mn = rmn if mn is None else min(mn, rmn)
+                np.bitwise_or(bits, np.frombuffer(rbits, dtype=np.uint8),
+                              out=bits)
+                n += int(rn)
+                nr += int(rnr)
+            return (n, mn, nr, bits)
 
         def comb(a, b):
             mns = [x for x in (a[1], b[1]) if x is not None]
             np.bitwise_or(a[3], b[3], out=a[3])
             return (a[0] + b[0], min(mns) if mns else None, a[2] + b[2], a[3])
 
-        zero = (0, None, 0, np.zeros(size, dtype=np.uint8))
-        n, mn, nr, new_bits = rows.rdd.treeAggregate(zero, seq, comb, depth=2)
+        n, mn, nr, new_bits = tree_fold(
+            rows, lambda: (0, None, 0, np.zeros(size, dtype=np.uint8)),
+            fold, comb)
         bloom.bits = np.bitwise_or(bloom.bits, new_bits)
         return (n, mn, nr)
 
@@ -695,7 +701,7 @@ class LinkChecker:
         stats fold is identical to the Bloom twin, but the new-frontier url
         hashes come back as sparse (bucket, fingerprint) pairs — O(new keys
         this wave) bytes on the wire, not a dense table snapshot — merged
-        executor-side by concatenation via ``treeAggregate`` and relocated
+        executor-side by concatenation via ``tree_fold`` and relocated
         into `cf` with one vectorized ``insert_pairs`` on the driver.
         In-place mutation is safe: ``broadcast_cuckoo`` snapshots the table
         bytes, so earlier waves' broadcasts stay valid. At 10^10-frontier
@@ -742,22 +748,26 @@ class LinkChecker:
         rows = touch.mapInPandas(
             fn, "n long, mn double, nr long, idx binary, fp binary")
 
-        def seq(acc, row):
+        def fold(acc, pdf):
             n, mn, nr, idxs, fps = acc
-            rmn = row["mn"]
-            if rmn is not None and rmn == rmn:  # non-null, non-NaN
-                mn = rmn if mn is None else min(mn, rmn)
-            idxs.append(np.frombuffer(row["idx"], dtype=np.int64))
-            fps.append(np.frombuffer(row["fp"], dtype=np.uint16))
-            return (n + row["n"], mn, nr + row["nr"], idxs, fps)
+            for rn, rmn, rnr, ridx, rfp in zip(
+                    pdf["n"], pdf["mn"], pdf["nr"], pdf["idx"], pdf["fp"]):
+                if rmn is not None and rmn == rmn:  # non-null, non-NaN
+                    rmn = float(rmn)
+                    mn = rmn if mn is None else min(mn, rmn)
+                idxs.append(np.frombuffer(ridx, dtype=np.int64))
+                fps.append(np.frombuffer(rfp, dtype=np.uint16))
+                n += int(rn)
+                nr += int(rnr)
+            return (n, mn, nr, idxs, fps)
 
         def comb(a, b):
             mns = [x for x in (a[1], b[1]) if x is not None]
             return (a[0] + b[0], min(mns) if mns else None, a[2] + b[2],
                     a[3] + b[3], a[4] + b[4])
 
-        zero = (0, None, 0, [], [])
-        n, mn, nr, idxs, fps = rows.rdd.treeAggregate(zero, seq, comb, depth=2)
+        n, mn, nr, idxs, fps = tree_fold(
+            rows, lambda: (0, None, 0, [], []), fold, comb)
         idxs = [a for a in idxs if len(a)]
         fps = [a for a in fps if len(a)]
         if idxs:

@@ -35,7 +35,7 @@ no per-row Python):
   insertion fully vectorized (a kick chain is inherently sequential).
 * distributed build mirrors ``build_bloom``: one mini-filter per partition
   (same geometry as the final filter), merged executor-side via
-  ``treeAggregate`` by fingerprint relocation — the driver receives
+  ``tree_fold`` by fingerprint relocation — the driver receives
   filters, never rows.
 
 At 10^10-frontier scale the filter is sharded by ``url_hash`` range across
@@ -99,7 +99,7 @@ class CuckooFilter:
 
     @classmethod
     def zero(cls, m: int, b: int) -> "CuckooFilter":
-        """An empty filter of an explicit geometry (treeAggregate zero /
+        """An empty filter of an explicit geometry (tree_fold zero /
         per-partition mini builds)."""
         cf = cls.__new__(cls)
         cf.m, cf.b = int(m), int(b)
@@ -249,7 +249,7 @@ class CuckooFilter:
 def partition_filters(hashed: DataFrame, m: int, b: int) -> DataFrame:
     """One summary row per partition: the partition's local cuckoo filter
     (same geometry as the final one). Rows never reach the driver — only
-    filters do (via treeAggregate), mirroring ``bloom.partition_bitmaps``."""
+    filters do (via tree_fold), mirroring ``bloom.partition_bitmaps``."""
 
     def fn(batches):
         cf = CuckooFilter.zero(m, b)
@@ -269,23 +269,23 @@ def build_cuckoo(seen: DataFrame, url_col: str = "url",
                  expected: int = 1_000_000) -> CuckooFilter:
     """Distributed build: hash JVM-side (xxhash64), one mini cuckoo filter
     per partition (Arrow-batched, vectorized), merged executor-side by
-    fingerprint relocation via ``treeAggregate`` (depth 2). The driver sees
-    only filter tables — never rows."""
+    fingerprint relocation via ``tree_fold`` (DataFrame-native depth-2
+    tree). The driver sees only filter tables — never rows."""
+    from linkinator_spark.plans.treefold import tree_fold
+
     proto = CuckooFilter(expected)
     hashed = seen.select(F.xxhash64(F.col(url_col)).alias("h"))
     minis = partition_filters(hashed, proto.m, proto.b)
     m, b = proto.m, proto.b
 
-    def _merge(acc: CuckooFilter, other) -> CuckooFilter:
-        # seqOp gets a Row(table=…, stash=…); combOp gets a CuckooFilter
-        if isinstance(other, CuckooFilter):
-            return acc.merge(other)
-        return acc.merge(CuckooFilter.from_payload(
-            {"m": m, "b": b, "table": other["table"], "stash": other["stash"]}
-        ))
+    def _fold(acc: CuckooFilter, pdf) -> CuckooFilter:
+        for table, stash in zip(pdf["table"], pdf["stash"]):
+            acc = acc.merge(CuckooFilter.from_payload(
+                {"m": m, "b": b, "table": table, "stash": stash}))
+        return acc
 
-    return minis.rdd.treeAggregate(CuckooFilter.zero(m, b), _merge, _merge,
-                                   depth=2)
+    return tree_fold(minis, lambda: CuckooFilter.zero(m, b), _fold,
+                     lambda a, b_: a.merge(b_))
 
 
 def broadcast_cuckoo(spark, cf: CuckooFilter):

@@ -178,12 +178,13 @@ def build_chain_map(pages: DataFrame):
     `prepare_pages_dim` field for field.
 
     Built executor-side: each partition folds its rows into a dict fragment
-    and ``treeAggregate`` (depth 2) merges fragments on executors, so the
-    driver never materializes pages rows — it receives a handful of
-    pre-merged dicts (same shape as the Bloom build). Test-mode only: the
-    scripted table already broadcasts per wave, so this is strictly smaller
-    state; the live-HTTP mode keeps the iterative hop loop (network hops
-    can't be table-resolved)."""
+    and ``tree_fold`` (DataFrame-native depth-2 tree) merges fragments on
+    executors, so the driver never materializes pages rows — it receives a
+    handful of pre-merged dicts (same shape as the Bloom build). Test-mode
+    only: the scripted table already broadcasts per wave, so this is
+    strictly smaller state; the live-HTTP mode keeps the iterative hop loop
+    (network hops can't be table-resolved)."""
+    from linkinator_spark.plans.treefold import tree_fold
     src = pages.select(
         "url", "method", "attempt", "status",
         F.element_at("headers", "location").alias("location"),
@@ -197,18 +198,26 @@ def build_chain_map(pages: DataFrame):
         F.col("final_url"),
     )
 
-    def _fold(acc: dict, row) -> dict:
-        if isinstance(row, dict):  # combOp: merge a fragment
-            for k, v in row.items():
-                acc.setdefault(k, []).extend(v)
-        else:  # seqOp: fold one Row
-            acc.setdefault((row["url"], row["method"]), []).append(
-                (row["attempt"], row["status"], row["location"],
-                 row["retry_after"], row["cf_mitigated"],
-                 row["content_type"], row["body_doc_id"], row["final_url"]))
+    def _fold(acc: dict, pdf) -> dict:
+        def _i(x):
+            # Arrow->pandas renders nullable ints as NaN floats
+            return None if x is None or x != x else int(x)
+
+        for row in pdf.itertuples(index=False):
+            attempt = _i(row.attempt)
+            status = _i(row.status)
+            acc.setdefault((row.url, row.method), []).append(
+                (attempt, status, row.location, row.retry_after,
+                 bool(row.cf_mitigated), row.content_type,
+                 row.body_doc_id, row.final_url))
         return acc
 
-    cmap = src.rdd.treeAggregate({}, _fold, _fold, depth=2)
+    def _merge(acc: dict, other: dict) -> dict:
+        for k, v in other.items():
+            acc.setdefault(k, []).extend(v)
+        return acc
+
+    cmap = tree_fold(src, dict, _fold, _merge)
     for v in cmap.values():
         v.sort(key=lambda t: t[0])
     return cmap

@@ -83,24 +83,29 @@ def docs_bytes_ok(documents: DataFrame, max_bytes: int) -> bool:
 
 
 def build_docs_map(documents: DataFrame):
-    """{doc_id: [span dicts]} via executor-side treeAggregate (same shape
+    """{doc_id: [span dicts]} via executor-side ``tree_fold`` (same shape
     as build_chain_map — the driver receives merged fragments, never
     rows). Spans become the same dict shape Arrow hands the staged
     extraction UDF."""
+    from linkinator_spark.plans.treefold import tree_fold
+
     src = documents.select("doc_id", "spans")
 
-    def _fold(acc: dict, row) -> dict:
-        if isinstance(row, dict):
-            acc.update(row)
-        else:
-            acc[row["doc_id"]] = [
+    def _fold(acc: dict, pdf) -> dict:
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            acc[doc_id] = [
                 {"kind": s["kind"], "text": s["text"],
-                 "media_ref": s["media_ref"], "offset": s["offset"]}
-                for s in (row["spans"] or [])
+                 "media_ref": s["media_ref"],
+                 "offset": None if s["offset"] is None else int(s["offset"])}
+                for s in (spans if spans is not None else [])
             ]
         return acc
 
-    return src.rdd.treeAggregate({}, _fold, _fold, depth=2)
+    def _merge(acc: dict, other: dict) -> dict:
+        acc.update(other)
+        return acc
+
+    return tree_fold(src, dict, _fold, _merge)
 
 
 def status_code_action_py(status: int, status_codes: dict) -> str | None:

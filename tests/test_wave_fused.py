@@ -271,9 +271,12 @@ def test_full_fusion_runs_zero_wave_jobs(spark):
         res = checker.check(cfg, pages, docs)
         mid_calls = calls["collect"]
     # the loop itself must do no driver-side collect at all; the only
-    # Spark work before materialization is the two treeAggregate map
-    # builds (RDD-level) and the final isEmpty/persist
-    assert mid_calls <= 2, f"fused crawl ran {mid_calls} collects"
+    # Spark work before materialization is the two one-time map builds
+    # (chain map + docs map, one tree_fold collect of ~fanin pickled
+    # fragment blobs each — never data rows) plus at most two byte-gate /
+    # finalization probes. A per-wave collect would blow well past this
+    # bound on the multi-wave rich site.
+    assert mid_calls <= 4, f"fused crawl ran {mid_calls} collects"
     assert res.results.count() > 0
 
 
