@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from linkinator_spark.config import CheckOptions  # noqa: E402
 from linkinator_spark.functions import dedup as D  # noqa: E402
+from linkinator_spark.functions import graph as GR  # noqa: E402
 from linkinator_spark.functions import media as M  # noqa: E402
 from linkinator_spark.functions import similarity as S  # noqa: E402
 from linkinator_spark.functions import text as T  # noqa: E402
@@ -289,6 +290,19 @@ def q_top_hosts(spark, sf_dir):
         .orderBy(F.desc("n_links"), "host")
         .limit(10)
     )
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Host/page authority over the deterministic crawl graph: 5 power
+    iterations at damping 0.85 (functions/graph.pagerank — iterative
+    DataFrame joins + map-side-combined aggregates, rank vector
+    localCheckpoint-ed per round). The DuckDB oracle replays all 5
+    iterations as unrolled SQL, so the iterative dataflow itself is
+    value-checked end to end. 6dp rounding absorbs engine-specific
+    double accumulation order."""
+    docs = _t(spark, sf_dir, "documents")
+    pr = GR.pagerank(G.edges_df(docs), iters=5, damping=0.85)
+    return pr.select("node", F.round("pagerank", 6).alias("pagerank"))
 
 
 def q_url_canonicalize(spark, sf_dir):
@@ -1128,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_bfs_staged": q_frontier_bfs_staged,
         "extract_links": q_extract_links,
         "top_hosts": q_top_hosts,
+        "link_pagerank": q_link_pagerank,
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "dedup_bloom_exact": q_dedup_bloom_exact,
@@ -1354,6 +1369,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cuckoo_exact": """
             select concat('http://corpus.test/p/', cast(doc_id as varchar)) as url
             from documents where doc_id % 2 = 1
+        """,
+        "link_pagerank": f"""
+            -- unrolled 5-iteration power method over the same derived
+            -- edge set (functions/graph.pagerank_oracle_sql)
+            select node, round(pagerank, 6) as pagerank
+            from ({GR.pagerank_oracle_sql(
+                G.edges_sql(n_sf001),
+                "select doc_id as id from documents",
+                iters=5, damping=0.85)})
         """,
         "dup_broken_rereport": f"""
             with e as (select distinct src, dst from {G.edges_sql(n_sf001)} t),
