@@ -293,12 +293,13 @@ def main() -> None:
         "cc_cluster": cc,
         "corpus_build": corpus,
         "notes": (
-            "frontier warm protocol fixed in round 3 (full-scale warm "
-            "before best-of-3): the round-2 frontier reading (5.7M/s) was "
-            "accidentally JIT-warmed by the then-staged 122s broken-link "
-            "leg; honest steady state is 2.6-3.2M/s at 32 threads, "
-            "consistent with the per-core curve. broken_link now runs at "
-            "sf0.01 (was sf0.001). See BENCH/BASELINE.md."),
+            "frontier leg warms at FULL scale before best-of-3 (round-3 "
+            "fix); honest steady state is 2.6-3.6M/s at 32 threads, "
+            "consistent with the per-core curve. Round 4: scaling's "
+            "primary statistic is the median same-execution N/4N pairing "
+            "(pooled-min kept as the secondary least-interfered view), "
+            "and ann_lsh carries an ivf sub-block for the second ANN "
+            "scale path. See BENCH/BASELINE.md."),
     }
 
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
