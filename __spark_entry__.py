@@ -1068,7 +1068,23 @@ def q_ann_ivf_topk(spark, sf_dir):
     queries = corpus.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2_000_000)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = S.ivf_topk(corpus, queries, k=TOPK, n_lists=16, nprobe=2)
+    out = S.ivf_topk(corpus, queries, k=TOPK, n_lists=16, nprobe=2,
+                     assign_gear="sql")
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_ann_ivf_topk_arrow(spark, sf_dir):
+    """The Arrow-matmul assignment gear of the same IVF pipeline (the
+    10^10-vector path, ivf_topk's default) against the SAME unrolled-SQL
+    oracle as the SQL gear — so the at-scale gear is value-checked
+    directly, not by gear-equality transitivity (the round-3 lesson:
+    oracles must touch the plan that actually runs at 100x)."""
+    corpus = _ann_corpus(spark, sf_dir)
+    queries = corpus.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2_000_000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.ivf_topk(corpus, queries, k=TOPK, n_lists=16, nprobe=2,
+                     assign_gear="arrow")
     return out.select("query_id", "neighbor_id", "rank")
 
 
@@ -1178,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_topk_arrow": q_ann_ivf_topk_arrow,
         "media_features": q_media_features,
         "events_windowed": q_events_windowed,
     }
@@ -1845,6 +1862,57 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rank <= {TOPK}
         """,
         "ann_ivf_topk": f"""
+            -- full IVF recomputation (not an exact-top-k fallback): seed
+            -- codebook = 16 smallest vec_ids, nearest-cell assignment,
+            -- 2-probe candidate generation, exact re-rank — value-checks
+            -- the index mechanics themselves (q_ann_ivf_topk docstring)
+            with corpus as ({_ANN_CORPUS_SQL}),
+            cent as (
+              select row_number() over (order by vec_id) as list_id,
+                     v as centroid
+              from (select vec_id, v from corpus order by vec_id limit 16)
+            ),
+            cassign as (
+              select vec_id as neighbor_id, list_id from (
+                select c.vec_id, t.list_id,
+                       row_number() over (partition by c.vec_id
+                          order by list_cosine_similarity(c.v, t.centroid)
+                                   desc, t.list_id asc) as rn
+                from corpus c, cent t) where rn = 1
+            ),
+            q as (
+              select vec_id as query_id, v as qv from corpus
+              where vec_id % 100 = 0 and vec_id < 2000000
+            ),
+            qprobe as (
+              select query_id, list_id from (
+                select q.query_id, t.list_id,
+                       row_number() over (partition by q.query_id
+                          order by list_cosine_similarity(q.qv, t.centroid)
+                                   desc, t.list_id asc) as rn
+                from q, cent t) where rn <= 2
+            ),
+            cand as (
+              select distinct query_id, neighbor_id
+              from qprobe join cassign using (list_id)
+            ),
+            scored as (
+              select cand.query_id, cand.neighbor_id,
+                     list_cosine_similarity(c.v, q.qv) as cos
+              from cand
+              join corpus c on c.vec_id = cand.neighbor_id
+              join q on q.query_id = cand.query_id
+            ),
+            ranked as (
+              select query_id, neighbor_id,
+                     row_number() over (partition by query_id
+                        order by cos desc, neighbor_id asc) as rank
+              from scored
+            )
+            select query_id, neighbor_id, cast(rank as int) as rank
+            from ranked where rank <= {TOPK}
+        """,
+        "ann_ivf_topk_arrow": f"""
             -- full IVF recomputation (not an exact-top-k fallback): seed
             -- codebook = 16 smallest vec_ids, nearest-cell assignment,
             -- 2-probe candidate generation, exact re-rank — value-checks

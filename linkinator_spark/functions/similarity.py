@@ -210,7 +210,7 @@ def ivf_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     n_lists: int = 16, nprobe: int = 4, iters: int = 0,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    query_id_col: str = "query_id",
+    query_id_col: str = "query_id", assign_gear: str = "arrow",
 ) -> DataFrame:
     """ANN top-k through an IVF index built on the fly.
 
@@ -223,17 +223,32 @@ def ivf_topk(
     `cosine_topk` exactly (tested); smaller nprobe trades recall for a
     candidate budget of ~nprobe/n_lists of the corpus. Candidate
     generation never compares query x corpus directly — the only
-    corpus-wide joins are broadcast (codebook) and cell-bucketed."""
+    corpus-wide joins are broadcast (codebook) and cell-bucketed.
+
+    `assign_gear` picks the nearest-cell implementation: "arrow"
+    (default — numpy GEMM per Arrow batch against the broadcast
+    codebook, the 10^10-vector path, measured ~4.7x end-to-end on a
+    1M-vector run) or "sql" (interpreted cosine aggregates + max_by, every
+    step a Catalyst expression). Both gears implement the same argmax
+    with the same smaller-list tie-break; the driver oracle value-checks
+    BOTH against one unrolled SQL recomputation, and pytest asserts
+    assignment equality on real data."""
+    if assign_gear not in ("arrow", "sql"):
+        raise ValueError(f"unknown assign_gear {assign_gear!r}")
+    nearest = _nearest_lists_arrow if assign_gear == "arrow" else (
+        lambda v, c, p: _nearest_lists(v, c, p).select("vid", "list_id"))
     cents = ivf_centroids(corpus, n_lists, iters, id_col, vec_col)
+    # the codebook feeds two gear lookups; compute it once
+    cents = cents.localCheckpoint(eager=True)
     cvecs = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"))
     qvecs = queries.select(
         F.col(query_id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"))
-    cassign = _nearest_lists(cvecs, cents, 1).select(
+    cassign = nearest(cvecs, cents, 1).select(
         F.col("vid").alias("neighbor_id"), "list_id")
-    qprobe = _nearest_lists(qvecs, cents, nprobe).select(
+    qprobe = nearest(qvecs, cents, nprobe).select(
         F.col("vid").alias("query_id"), "list_id")
     cand = qprobe.join(cassign, "list_id").select(
         "query_id", "neighbor_id").distinct()
@@ -251,3 +266,43 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+def _nearest_lists_arrow(vecs: DataFrame, cents: DataFrame,
+                         nprobe: int) -> DataFrame:
+    """Arrow-matmul gear of `_nearest_lists` — the 10^10-vector assignment
+    path. One numpy GEMM per Arrow batch against the driver-broadcast
+    codebook (n_lists rows — the ONLY thing collected) replaces the
+    interpreted per-element cosine aggregates of the SQL gear; measured
+    ~4.7x end-to-end on a 1M-vector x 64-list ivf_topk (58.7s -> 12.4s
+    warm, SCALE.md §5b). Semantics are
+    identical: cosine over doubles, ties to the smaller list_id (argmax /
+    stable argsort take the first maximum and the codebook columns are in
+    list_id order) — the driver oracle value-checks this gear against the
+    same unrolled SQL as the SQL gear."""
+    rows = cents.orderBy("list_id").collect()
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    lids = np.array([r["list_id"] for r in rows], dtype=np.int32)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    id_type = vecs.schema["vid"].dataType.simpleString()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].map(
+                lambda v: np.asarray(v, dtype=np.float64)))
+            Mn = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            cos = Mn @ Cn.T  # (batch, n_lists), columns in list_id order
+            if nprobe == 1:
+                yield pd.DataFrame({"vid": pdf["vid"].values,
+                                    "list_id": lids[cos.argmax(axis=1)]})
+            else:
+                top = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+                yield pd.DataFrame({
+                    "vid": np.repeat(pdf["vid"].values, top.shape[1]),
+                    "list_id": lids[top].reshape(-1),
+                })
+
+    return vecs.mapInPandas(fn, f"vid {id_type}, list_id int")

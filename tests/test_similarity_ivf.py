@@ -76,3 +76,19 @@ def test_planted_neardup_recall(spark):
                                nprobe=2).collect()}
     assert len(want) > 0
     assert len(got & want) / len(want) == 1.0
+
+
+def test_assignment_gears_identical(spark, emb):
+    cents = S.ivf_centroids(emb, n_lists=8).localCheckpoint(eager=True)
+    vecs = emb.select(F.col("vec_id").alias("vid"),
+                      F.col("embedding").cast("array<double>").alias("v"))
+    sql = {(r.vid, r.list_id)
+           for r in S._nearest_lists(vecs, cents, 1).collect()}
+    arrow = {(r.vid, r.list_id)
+             for r in S._nearest_lists_arrow(vecs, cents, 1).collect()}
+    assert sql == arrow and len(sql) == emb.count()
+    sql3 = {(r.vid, r.list_id)
+            for r in S._nearest_lists(vecs, cents, 3).collect()}
+    arrow3 = {(r.vid, r.list_id)
+              for r in S._nearest_lists_arrow(vecs, cents, 3).collect()}
+    assert sql3 == arrow3
