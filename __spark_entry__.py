@@ -971,6 +971,25 @@ def q_doc_sample_stratified(spark, sf_dir):
         "sample_rank")
 
 
+def q_domain_cap(spark, sf_dir):
+    """Per-domain quota (C4/RefinedWeb rule): keep the 40 longest docs per
+    source, ties broken by deterministic hash. Two-phase exact top-K —
+    stripe-local rank then rank-of-survivors — so a hot domain never
+    serializes into one window task; output identical to the naive
+    single-window form (the oracle computes exactly that)."""
+    from linkinator_spark.functions import sampling as SMP
+
+    # plant a hot domain holding half the corpus (the skew case the
+    # two-phase rank exists for) so the cap actually evicts rows
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "domain",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example"))
+        .otherwise(F.col("source")))
+    return SMP.domain_cap(
+        docs, cap=15, domain_col="domain", score_col="n_chars"
+    ).select(F.col("id").alias("doc_id"), "domain", "cap_rank")
+
+
 def _ann_corpus(spark, sf_dir):
     """embeddings ∪ 4 deterministic near-dup perturbations of each query
     vector (vec_id%100==0): copy j shifts each coordinate by
@@ -1191,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_bpe": q_doc_pack_bpe,
         "doc_split": q_doc_split,
         "doc_sample_stratified": q_doc_sample_stratified,
+        "domain_cap": q_domain_cap,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1801,6 +1821,28 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, shard, sample_rank from ranked
             where sample_rank <= cast(ceil(n * 0.2) as bigint)
+        """,
+        "domain_cap": f"""
+            -- naive single-window form; the Spark side runs the two-phase
+            -- skew-safe top-K, which must produce identical rows
+            with keyed as (
+              select doc_id,
+                     case when doc_id % 2 = 0 then 'hot.example'
+                          else source end as domain,
+                     n_chars,
+                     {_hash_sql("cast(doc_id as varchar)", "cap:")} as h
+              from documents
+            ),
+            ranked as (
+              select doc_id, domain,
+                     cast(row_number() over (
+                       partition by domain
+                       order by n_chars desc, h, doc_id) as bigint)
+                       as cap_rank
+              from keyed
+            )
+            select doc_id, domain, cap_rank from ranked
+            where cap_rank <= 15
         """,
         "dedup_embedding": """
             -- ground truth: exact all-pairs at the threshold. The Spark

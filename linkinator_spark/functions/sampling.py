@@ -145,3 +145,54 @@ def pack_shards(
         (F.col("bucket").cast("long") * F.lit(2 ** 48)
          + shard_seq).alias("shard_id"),
     )
+
+
+def domain_cap(
+    docs: DataFrame, cap: int, domain_col: str = "source",
+    id_col: str = "doc_id", score_col: str | None = None,
+    salt: str = "cap", stripes: int = 64,
+) -> DataFrame:
+    """Per-domain quota: keep at most `cap` documents per domain — the
+    C4/RefinedWeb-style rule that stops one boilerplate-heavy host from
+    dominating a training corpus. With `score_col` (any numeric column,
+    e.g. a quality score or n_chars) the `cap` BEST rows per domain
+    survive (score desc); without it the choice is the deterministic
+    portable-hash order (random-but-reproducible, like a hash-seeded
+    reservoir). Ties always break on the hash, so the kept set is a pure
+    function of (ids, scores, salt) — bit-stable across reshuffles and
+    clusters, which `Window.orderBy(rand())` cannot promise.
+
+    Scale shape — two-phase exact top-K, same family as the politeness
+    budget: a naive `row_number() OVER (PARTITION BY domain)` serializes
+    a hot domain (10^7 docs from one host) into one task. Phase 1 ranks
+    within (domain, hash-stripe) and keeps `cap` per stripe — tasks
+    bounded by the stripe share of the domain; phase 2 ranks the
+    survivors, at most cap*stripes rows per domain — bounded regardless
+    of domain size. Any row with true rank <= cap has stripe-local rank
+    <= cap, so phase 1 never evicts a winner and the output is IDENTICAL
+    to the single-window form (asserted by tests).
+
+    Output: (id, domain, cap_rank) for the kept rows, cap_rank in
+    [1, cap] — join back on id to materialize the capped corpus.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash64(F.col(id_col).cast("string"), prefix=f"{salt}:")
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        *([F.col(score_col).alias("_s")] if score_col else []),
+        h.alias("_h"),
+        F.pmod(h, F.lit(stripes)).alias("_stripe"),
+    )
+    order = ([F.desc("_s")] if score_col else []) + [F.asc("_h"), F.asc("id")]
+    w1 = Window.partitionBy("domain", "_stripe").orderBy(*order)
+    local = (keyed.withColumn("_r1", F.row_number().over(w1))
+             .filter(F.col("_r1") <= cap))
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (
+        local.withColumn("cap_rank",
+                         F.row_number().over(w2).cast("long"))
+        .filter(F.col("cap_rank") <= cap)
+        .select("id", "domain", "cap_rank")
+    )

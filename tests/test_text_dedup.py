@@ -692,3 +692,56 @@ def test_pack_shards_pluggable_tokenizer_inflation(spark):
 
     b, d = docs_per_shard(base), docs_per_shard(doubled)
     assert d < 0.62 * b, f"expected ~halved docs/shard, got {b} -> {d}"
+
+
+# ---------------------------------------------------------------- domain cap
+
+def test_domain_cap_equals_naive_window_and_is_deterministic(spark):
+    """Two-phase skew-safe top-K == naive row_number() OVER (PARTITION BY
+    domain) on a skewed corpus; selection stable under reshuffle; stripe
+    count never changes the kept set."""
+    from pyspark.sql import Window
+
+    from linkinator_spark.functions.sampling import domain_cap
+    from linkinator_spark.functions.text import portable_hash64
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        # hot domain holds 80% of the corpus
+        F.when(F.col("id") % 5 != 0, F.lit("hot.example"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % 7).cast("string")))
+        .alias("host"),
+        (F.col("id") * 37 % 211).alias("score"),
+    )
+    got = domain_cap(docs, cap=25, domain_col="host", id_col="doc_id",
+                     score_col="score").collect()
+
+    h = portable_hash64(F.col("doc_id").cast("string"), prefix="cap:")
+    w = Window.partitionBy("host").orderBy(
+        F.desc("score"), h.asc(), F.asc("doc_id"))
+    naive = (docs.withColumn("cap_rank", F.row_number().over(w).cast("long"))
+             .filter(F.col("cap_rank") <= 25)
+             .select(F.col("doc_id").alias("id"),
+                     F.col("host").alias("domain"), "cap_rank").collect())
+    key = lambda rows: sorted((r["id"], r["domain"], r["cap_rank"])
+                              for r in rows)
+    assert key(got) == key(naive)
+    # hot domain is actually capped; small domains are not
+    per = {}
+    for r in got:
+        per[r["domain"]] = per.get(r["domain"], 0) + 1
+    assert per["hot.example"] == 25
+    assert all(v <= 25 for v in per.values())
+
+    # invariant under physical layout and stripe count
+    again = domain_cap(docs.repartition(13), cap=25, domain_col="host",
+                       id_col="doc_id", score_col="score",
+                       stripes=7).collect()
+    assert key(again) == key(got)
+
+    # hash-order variant (no score): still exact-cap and deterministic
+    nos = domain_cap(docs, cap=10, domain_col="host").collect()
+    nos2 = domain_cap(docs.repartition(3), cap=10, domain_col="host",
+                      stripes=256).collect()
+    assert key(nos) == key(nos2)
+    assert sum(1 for r in nos if r["domain"] == "hot.example") == 10
