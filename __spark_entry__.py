@@ -990,6 +990,27 @@ def q_domain_cap(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"), "domain", "cap_rank")
 
 
+BM25_QUERIES = [
+    ("q1", "spark"), ("q1", "window"),
+    ("q2", "hash"), ("q2", "merge"), ("q2", "sort"),
+    ("q3", "zzzunseen"),
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Lexical retrieval: BM25 top-10 docs per keyword query. Query terms
+    broadcast and prune the exploded corpus before any shuffle; scores
+    are integer micro-points (per-term contributions rounded at 1e-6
+    then summed) so ranking is exact and engine-independent; per-query
+    top-k is the two-phase stripe rank. Queries include an
+    out-of-vocabulary term (q3) that must return nothing."""
+    from linkinator_spark.functions import search as SRCH
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id string, term string")
+    return SRCH.bm25_topk(docs, q, k=10)
+
+
 def _ann_corpus(spark, sf_dir):
     """embeddings ∪ 4 deterministic near-dup perturbations of each query
     vector (vec_id%100==0): copy j shifts each coordinate by
@@ -1211,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": q_doc_split,
         "doc_sample_stratified": q_doc_sample_stratified,
         "domain_cap": q_domain_cap,
+        "bm25_topk": q_bm25_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1226,6 +1248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _hash_sql(expr: str, prefix: str = "") -> str:
     return T.portable_hash64_sql(expr, prefix)
+
+
+def _bm25_values_sql() -> str:
+    return ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
 
 
 def _shingles_sql(expr: str, k: int) -> str:
@@ -1843,6 +1869,47 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, domain, cap_rank from ranked
             where cap_rank <= 15
+        """,
+        "bm25_topk": f"""
+            -- same integer micro-point BM25 (k1=1.2, b=0.75); naive
+            -- window top-k vs Spark's two-phase stripe rank
+            with q(query_id, term) as (values {_bm25_values_sql()}),
+            qterms as (select distinct query_id, lower(term) as term from q),
+            toks as (
+              select doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') as t
+              from documents
+            ),
+            dl as (select doc_id, len(t) as dl, t from toks),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            tf as (
+              select doc_id, term, count(*) as tf, max(dl) as dl
+              from (select doc_id, dl, unnest(t) as term from dl)
+              where term in (select term from qterms)
+              group by doc_id, term
+            ),
+            dft as (select term, count(*) as df from tf group by term),
+            contrib as (
+              select t.doc_id, t.term,
+                     cast(round(1e6
+                       * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * (t.tf * 2.2)
+                         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))
+                     ) as bigint) as c
+              from tf t join dft d using (term) cross join stats s
+            ),
+            scored as (
+              select qt.query_id, c.doc_id, sum(c.c) as score_micro
+              from contrib c join qterms qt using (term)
+              group by 1, 2
+            )
+            select query_id, doc_id, score_micro, rank from (
+              select query_id, doc_id, score_micro,
+                     cast(row_number() over (
+                       partition by query_id
+                       order by score_micro desc, doc_id) as bigint) as rank
+              from scored
+            ) where rank <= 10
         """,
         "dedup_embedding": """
             -- ground truth: exact all-pairs at the threshold. The Spark

@@ -1,0 +1,109 @@
+"""BM25 keyword retrieval over a document corpus.
+
+The text-side complement of the ANN operators (similarity.py): given a
+small set of keyword queries, return the top-k documents per query under
+BM25 (Robertson/Sparck Jones; the Lucene-style `ln(1 + (N-df+.5)/(df+.5))`
+idf that stays positive). This is the lexical retrieval step a training
+pipeline uses for targeted corpus audits ("show me the docs about X"),
+eval-set curation, and hard-negative mining next to embedding search.
+
+Scale shape (100-TB lens):
+- The query-term dictionary is broadcast and semi-joins the exploded
+  corpus tokens BEFORE any aggregation, so the only shuffled rows are
+  (doc, term) pairs for terms that appear in some query — the corpus
+  vocabulary never shuffles.
+- Document frequency and corpus stats (N, avgdl) are one tiny aggregate
+  each, broadcast back; no corpus-sized join keys off the uniform doc id.
+- Scores are integer micro-points: each per-term contribution rounds to
+  1e-6 before the sum, so the total is an exact int64 — summation order
+  (and therefore the top-k cut) is identical on any engine or partition
+  layout, which a float sum cannot promise.
+- The per-query top-k is the two-phase stripe rank (same family as
+  sampling.domain_cap / the politeness budget): a query matching 10^8
+  docs never serializes into one window task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linkinator_spark.functions.text import portable_hash64
+
+WORD_RE = "[a-z0-9]+"
+
+
+def bm25_topk(
+    docs: DataFrame, queries: DataFrame, k: int = 10,
+    k1: float = 1.2, b: float = 0.75,
+    id_col: str = "doc_id", text_col: str = "text",
+    query_id_col: str = "query_id", term_col: str = "term",
+    stripes: int = 64,
+) -> DataFrame:
+    """Top-k docs per query by BM25.
+
+    `queries` is (query_id, term) — one row per query term (duplicate
+    terms within a query are deduplicated; BM25 term saturation already
+    handles within-doc repetition). Output: (query_id, doc_id,
+    score_micro, rank) with rank in [1, k]; `score_micro` is the BM25
+    score in integer micro-points (sum of per-term contributions each
+    rounded at 1e-6 — exact, order-independent, rank-stable).
+    """
+    from pyspark.sql import Window
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.lower(F.col(term_col)).alias("term"),
+    ).distinct()
+    vocab = qterms.select("term").distinct()
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+        .alias("_toks"),
+    ).select("id", "_toks", F.size("_toks").alias("dl"))
+
+    # broadcast-prune to query terms BEFORE the (doc, term) aggregation:
+    # the corpus vocabulary never reaches a shuffle
+    tf = (
+        toks.select("id", "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(vocab), "term", "semi")
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = toks.agg(F.count("*").alias("n"),
+                     F.avg("dl").alias("avgdl"))
+
+    idf = F.log(F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("id", "term",
+                F.round(idf * tf_norm * 1e6, 0).cast("long").alias("_c"))
+    )
+    scored = (
+        contrib.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "id")
+        .agg(F.sum("_c").alias("score_micro"))
+    )
+
+    # two-phase exact top-k per query (see module doc): identical output
+    # to row_number() OVER (PARTITION BY query_id ORDER BY score desc, id)
+    h = F.pmod(portable_hash64(F.col("id").cast("string"), prefix="bm25:"),
+               F.lit(stripes))
+    order = [F.desc("score_micro"), F.asc("id")]
+    w1 = Window.partitionBy("query_id", "_stripe").orderBy(*order)
+    local = (scored.withColumn("_stripe", h)
+             .withColumn("_r1", F.row_number().over(w1))
+             .filter(F.col("_r1") <= k))
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("doc_id"),
+                "score_micro", "rank")
+    )

@@ -1,0 +1,73 @@
+"""BM25 lexical retrieval: scoring sanity, two-phase top-k equivalence,
+determinism under reshuffle, OOV behavior."""
+
+from pyspark.sql import functions as F
+
+from linkinator_spark.functions.search import bm25_topk
+
+
+def _corpus(spark):
+    rows = [
+        (0, "spark shuffle join spark spark"),
+        (1, "spark window"),
+        (2, "window window window sort"),
+        (3, "totally unrelated words here"),
+        (4, "spark"),
+        (5, "sort merge sort merge join join join"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bm25_ranks_rare_term_and_saturates(spark):
+    docs = _corpus(spark)
+    q = spark.createDataFrame(
+        [("a", "spark"), ("b", "merge"), ("c", "nosuchterm")],
+        "query_id string, term string")
+    got = bm25_topk(docs, q, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # OOV query returns nothing
+    assert "c" not in by_q
+    # 'merge' appears only in doc 5
+    assert [r["doc_id"] for r in by_q["b"]] == [5]
+    # 'spark' docs rank by tf with length normalization: doc 4 (tf=1 but
+    # dl=1) beats doc 1 (tf=1, dl=2); doc 0 (tf=3 of dl=5) is first
+    a = [r["doc_id"] for r in by_q["a"]]
+    assert len(a) == 3 and a[0] == 0 and set(a) == {0, 1, 4}
+    # ranks are 1..k and score_micro weakly decreasing
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score_micro"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_two_phase_equals_naive_window(spark):
+    from pyspark.sql import Window
+
+    # 400 docs from a tiny vocab so queries match many docs with ties
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.when(F.col("id") % 2 == 0, "alpha").otherwise("beta"),
+            F.when(F.col("id") % 3 == 0, "alpha alpha").otherwise("gamma"),
+            F.lit("filler"),
+        ).alias("text"),
+    )
+    q = spark.createDataFrame(
+        [("q", "alpha"), ("q", "gamma")], "query_id string, term string")
+    got = bm25_topk(docs, q, k=17, stripes=5)
+    # naive single-window form over the same integer scores
+    scored = bm25_topk(docs, q, k=10**9, stripes=1)  # rank == naive rank
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id"))
+    naive = (scored.select("query_id", "doc_id", "score_micro")
+             .withColumn("rank", F.row_number().over(w).cast("long"))
+             .filter(F.col("rank") <= 17))
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(got) == key(naive)
+    # deterministic under physical layout
+    again = bm25_topk(docs.repartition(7), q, k=17, stripes=64)
+    assert key(again) == key(got)
