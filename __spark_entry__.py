@@ -1011,6 +1011,16 @@ def q_bm25_topk(spark, sf_dir):
     return SRCH.bm25_topk(docs, q, k=10)
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-25 by term frequency (with doc frequency) —
+    the tokenizer-training primitive. Hot terms partial-aggregate
+    map-side; the top-v cut is TakeOrdered bounded by v, never a global
+    sort."""
+    from linkinator_spark.functions import search as SRCH
+
+    return SRCH.vocab_topk(_t(spark, sf_dir, "documents"), v=25)
+
+
 def _ann_corpus(spark, sf_dir):
     """embeddings ∪ 4 deterministic near-dup perturbations of each query
     vector (vec_id%100==0): copy j shifts each coordinate by
@@ -1233,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_stratified": q_doc_sample_stratified,
         "domain_cap": q_domain_cap,
         "bm25_topk": q_bm25_topk,
+        "vocab_topk": q_vocab_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1910,6 +1921,25 @@ def oracle_sql() -> dict[str, str]:
                        order by score_micro desc, doc_id) as bigint) as rank
               from scored
             ) where rank <= 10
+        """,
+        "vocab_topk": """
+            with terms as (
+              select doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       as term
+              from documents
+            ),
+            counts as (
+              select term, count(*) as freq,
+                     count(distinct doc_id) as doc_freq
+              from terms group by term
+            )
+            select term, freq, doc_freq, rank from (
+              select term, freq, doc_freq,
+                     cast(row_number() over (
+                       order by freq desc, term) as bigint) as rank
+              from counts
+            ) where rank <= 25
         """,
         "dedup_embedding": """
             -- ground truth: exact all-pairs at the threshold. The Spark

@@ -107,3 +107,41 @@ def bm25_topk(
         .select("query_id", F.col("id").alias("doc_id"),
                 "score_micro", "rank")
     )
+
+
+def vocab_topk(
+    docs: DataFrame, v: int = 10_000,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the `v` most frequent word tokens with term
+    frequency and document frequency — the tokenizer-training /
+    stopword-curation primitive. Output: (term, freq, doc_freq, rank),
+    rank 1..v by freq desc (ties: term asc).
+
+    Scale shape: token counting is explode -> groupBy(term) with map-side
+    partial aggregation, so a Zipf-hot term ("the" in 10^10 docs)
+    arrives at its reducer as one partial count per upstream task, never
+    as raw rows; doc_freq goes through a distinct (doc, term) pass keyed
+    on the uniform pair. The top-v cut is TakeOrdered (per-partition
+    heaps merged on the driver, bounded by v), never a global sort; the
+    rank window then runs over <= v rows — driver and single-task state
+    are bounded by the requested vocabulary size, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit(WORD_RE), 0)).alias("term"),
+    )
+    counts = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("freq"),
+             F.countDistinct("id").alias("doc_freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("term")).limit(v)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))  # <= v rows
+    return top.select(
+        "term", "freq", "doc_freq",
+        F.row_number().over(w).cast("long").alias("rank"))

@@ -71,3 +71,14 @@ def test_bm25_two_phase_equals_naive_window(spark):
     # deterministic under physical layout
     again = bm25_topk(docs.repartition(7), q, k=17, stripes=64)
     assert key(again) == key(got)
+
+
+def test_vocab_topk_counts_and_cut(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a b c"), (1, "a b b z"), (2, "b c d")],
+        "doc_id bigint, text string")
+    from linkinator_spark.functions.search import vocab_topk
+
+    got = {r["term"]: (r["freq"], r["doc_freq"], r["rank"])
+           for r in vocab_topk(docs, v=3).collect()}
+    assert got == {"a": (4, 2, 1), "b": (4, 3, 2), "c": (2, 2, 3)}
