@@ -684,6 +684,23 @@ def q_dedup_substring(spark, sf_dir):
     return D.duplicate_spans(corpus, k=20)
 
 
+def q_dedup_substring_clean(spark, sf_dir):
+    """The removal half of Lee et al. substring dedup: the same planted
+    corpus as dedup_substring, but duplicated 20-token windows are CUT
+    from the text (overlaps merge; full-duplicate docs collapse to "").
+    Oracle replays the cut with positional string grams + list_where."""
+    docs = _docs_with_dups(spark, sf_dir)
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit(" " + _SUBSTR_PASSAGE)).otherwise(F.lit("")),
+        ).alias("text"))
+    return D.remove_duplicate_spans(corpus, k=20).select(
+        F.col("id").alias("doc_id"), "clean_text", "n_tokens", "n_removed")
+
+
 # ---------------------------------------------------------------------------
 # text analysis queries
 # ---------------------------------------------------------------------------
@@ -1229,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_substring": q_dedup_substring,
+        "dedup_substring_clean": q_dedup_substring_clean,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1657,6 +1675,50 @@ def oracle_sql() -> dict[str, str]:
                      as n_dup_windows,
                    coalesce(p.n_dup_windows, 0) > 0 as has_dup_span
             from base b left join per p using (doc_id)
+        """,
+        "dedup_substring_clean": f"""
+            -- positional string grams replay the hash-gram cut (equality
+            -- semantics are identical; xxhash64 collisions are the only
+            -- divergence and none exist at this scale)
+            with corpus as (
+              select doc_id,
+                     text || case when doc_id % 9 = 0
+                                  then ' {_SUBSTR_PASSAGE}' else '' end as text
+              from {_DOCS_WITH_DUPS_SQL}),
+            base as (
+              select doc_id, string_split({norm_text}, ' ') as w
+              from corpus),
+            pg as (
+              select doc_id, s.pos as pos, s.gram as gram from (
+                select doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(len(w) - 18, 1)),
+                         i -> struct_pack(pos := i, gram :=
+                           {" || ' ' || ".join(f"w[i+{j}]" for j in range(20))}
+                         ))) as s
+                from base)),
+            dup as (
+              select gram from (select distinct doc_id, gram from pg)
+              group by gram having count(*) > 1),
+            dps as (
+              select doc_id, list(distinct pos) as dps
+              from pg join dup using (gram) group by 1),
+            cov as (
+              select b.doc_id, b.w,
+                     coalesce(list_distinct(flatten(list_transform(
+                       d.dps, p -> range(p, p + 20)))), []) as covered
+              from base b left join dps d using (doc_id)),
+            sel as (
+              select doc_id,
+                     list_where(w, list_transform(range(1, len(w) + 1),
+                       i -> not list_contains(covered, i))) as cw,
+                     len(w) as n
+              from cov)
+            select doc_id,
+                   coalesce(array_to_string(cw, ' '), '') as clean_text,
+                   cast(n as bigint) as n_tokens,
+                   cast(n - len(cw) as bigint) as n_removed
+            from sel
         """,
         "text_tokens": """
             select doc_id,

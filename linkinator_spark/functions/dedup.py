@@ -604,3 +604,78 @@ def duplicate_spans(
             (F.coalesce(F.col("_dup"), F.lit(0)) > 0).alias("has_dup_span"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """The removal half of substring-level dedup (Lee et al. 2022):
+    CUT every k-token window that appears verbatim in >=2 distinct
+    documents out of the (normalized) text, keeping the remaining tokens
+    in order. `duplicate_spans` flags; this cleans. A token is removed
+    iff at least one duplicated window covers it, so overlapping
+    duplicated windows merge naturally and a fully-duplicated document
+    collapses to an empty string.
+
+    Output: (id, clean_text, n_tokens, n_removed) for EVERY input doc —
+    docs without duplicated spans pass through with their normalized
+    text intact (left join from the doc base, same short-doc guard as
+    duplicate_spans). Text is the whitespace-normalized lowercase form
+    (the form training corpora keep); original-case offsets do not
+    survive normalization and are not reconstructed.
+
+    Scale shape: identical to duplicate_spans up to the duplicated-gram
+    set (uniform 64-bit shuffle keys, map-side combines, never
+    all-pairs); the per-doc cover positions come back as one
+    collect_set per doc (bounded by the doc's own window count), and the
+    cut itself is a whole-stage-codegen array filter — per-doc compute,
+    no extra exchange. The token filter probes the covered-index array
+    per token (O(tokens x covered) per doc worst case) — bounded by
+    document length, embarrassingly parallel, no cross-doc state.
+    """
+    from linkinator_spark.functions.text import word_ngram_hashes
+
+    grams = word_ngram_hashes(docs, text_col, k, id_col)
+    duplicated = (
+        grams.select(id_col, "gram").distinct()
+        .groupBy("gram").agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("gram")
+    )
+
+    # positional grams (1-based window start)
+    w = F.col("_w")
+    gram_arr = F.when(
+        F.size(w) < k, F.array().cast("array<bigint>")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(1), F.size(w) - (k - 1)),
+        lambda i: F.xxhash64(*[F.element_at(w, i + j) for j in range(k)])))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"))
+    pos_grams = base.select(
+        "id", F.posexplode(gram_arr).alias("_p0", "gram"))
+    dpos = (
+        pos_grams.join(duplicated, "gram")
+        .groupBy("id")
+        .agg(F.collect_set(F.col("_p0") + 1).alias("_dps"))
+    )
+
+    covered = F.array_distinct(F.flatten(F.transform(
+        F.coalesce(F.col("_dps"), F.array().cast("array<int>")),
+        lambda p: F.sequence(p, p + (k - 1)))))
+    clean = F.filter(
+        "_w", lambda t, i: ~F.array_contains(F.col("_cov"), i + 1))
+    return (
+        base.join(dpos, "id", "left")
+        .withColumn("_cov", covered)
+        .withColumn("_clean", clean)
+        .select(
+            "id",
+            F.array_join("_clean", " ").alias("clean_text"),
+            F.size("_w").cast("bigint").alias("n_tokens"),
+            (F.size("_w") - F.size("_clean")).cast("bigint")
+            .alias("n_removed"),
+        )
+    )

@@ -745,3 +745,42 @@ def test_domain_cap_equals_naive_window_and_is_deterministic(spark):
                       stripes=256).collect()
     assert key(nos) == key(nos2)
     assert sum(1 for r in nos if r["domain"] == "hot.example") == 10
+
+
+def test_remove_duplicate_spans_cuts_passage_and_passes_clean_docs(spark):
+    """The removal half of Lee et al.: exactly the 60 planted passage
+    tokens are cut from both carriers (duplicated 50-windows cover the
+    passage and nothing else), unrelated docs pass through unchanged,
+    and a full-duplicate pair collapses to empty."""
+    import random
+
+    from linkinator_spark.functions.dedup import remove_duplicate_spans
+
+    vocab = [f"w{i}" for i in range(5000)]
+
+    def words(n, salt):
+        r = random.Random(salt)
+        return " ".join(r.choice(vocab) for _ in range(n))
+
+    passage = " ".join(f"p{i}" for i in range(60))
+    pre1, post1 = words(100, 1), words(40, 11)
+    pre2, post2 = words(70, 2), words(70, 22)
+    clone = words(80, 5)
+    rows = [
+        (1, pre1 + " " + passage + " " + post1),
+        (2, pre2 + " " + passage + " " + post2),
+        (3, words(200, 3)),
+        (4, clone),
+        (5, clone),
+    ]
+    out = {r["id"]: r for r in remove_duplicate_spans(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=50
+    ).collect()}
+
+    assert out[1]["clean_text"] == pre1 + " " + post1
+    assert out[1]["n_removed"] == 60 and out[1]["n_tokens"] == 200
+    assert out[2]["clean_text"] == pre2 + " " + post2
+    assert out[2]["n_removed"] == 60
+    assert out[3]["clean_text"] == rows[2][1] and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 80
+    assert out[5]["clean_text"] == ""
