@@ -629,6 +629,21 @@ def q_dedup_cc_canonical(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_keeper(spark, sf_dir):
+    """near_dup_clusters with the best-copy keeper policy: the keeper is
+    the longest member of each cluster (ties: smallest id) instead of
+    the min-id label — keep the best copy, not an arbitrary one. The
+    argmax is a map-side-combined max_by per component. Oracle: the same
+    recursive-CTE closure, keeper via argmax over (length, -id)."""
+    docs = _docs_with_dups(spark, sf_dir).withColumn(
+        "score", F.length("text").cast("bigint"))
+    return D.near_dup_clusters(
+        docs, threshold=0.5,
+        n_hashes=MINHASH_N, bands=MINHASH_BANDS, k=SHINGLE_K,
+        score_col="score",
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
     return docs.select(
@@ -1243,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_cc_canonical": q_dedup_cc_canonical,
+        "dedup_cluster_keeper": q_dedup_cluster_keeper,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_substring": q_dedup_substring,
@@ -1645,6 +1661,43 @@ def oracle_sql() -> dict[str, str]:
                    cast(count(*) over (partition by keeper_id) as bigint)
                      as cluster_size
             from comp
+        """,
+        "dedup_cluster_keeper": f"""
+            -- same transitive closure; keeper = argmax(length, -id)
+            with recursive
+            pairs as (select doc_a, doc_b from ({jaccard_sql}) jp),
+            edges as (select doc_a as u, doc_b as v from pairs
+                      union
+                      select doc_b as u, doc_a as v from pairs),
+            reach(u, v) as (
+              select u, v from edges
+              union
+              select r.u, e.v from reach r join edges e on r.v = e.u
+              where r.u <> e.v
+            ),
+            comp as (
+              select u as doc_id, least(u, min(v)) as component
+              from reach group by u
+            ),
+            lens as (
+              select doc_id, cast(length(text) as bigint) as sc
+              from {_DOCS_WITH_DUPS_SQL}
+            ),
+            scored as (
+              select c.doc_id, c.component, l.sc
+              from comp c join lens l using (doc_id)
+            ),
+            keep as (
+              select component, doc_id as keeper_id from (
+                select component, doc_id,
+                       row_number() over (partition by component
+                                          order by sc desc, doc_id) as rn
+                from scored) t where rn = 1
+            )
+            select s.doc_id, k.keeper_id,
+                   cast(count(*) over (partition by s.component) as bigint)
+                     as cluster_size
+            from scored s join keep k using (component)
         """,
         "dedup_simhash": f"""
             select doc_id, {_simhash_sql('text', SIMHASH_BITS)} as simhash

@@ -516,6 +516,7 @@ def connected_components(
 def near_dup_clusters(
     docs: DataFrame, threshold: float = 0.5, id_col: str = "doc_id",
     text_col: str = "text", n_hashes: int = 16, bands: int = 4, k: int = 5,
+    score_col: str | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering: MinHash band candidates ->
     exact-Jaccard verify -> connected components -> one keeper per cluster.
@@ -523,17 +524,38 @@ def near_dup_clusters(
     (keeper included; singletons never enter the pair graph and keep
     themselves implicitly). This is the canonical-dedup step a training
     corpus needs after pair generation: transitive near-dup chains
-    (A~B~C without A~C) collapse into ONE keeper instead of two."""
+    (A~B~C without A~C) collapse into ONE keeper instead of two.
+
+    Keeper policy: by default the smallest doc id in the component (the
+    component label itself — free). With `score_col` (a numeric column
+    of `docs`, e.g. a quality score or length), the keeper is the
+    highest-scoring member, ties to the smallest id — what a real
+    pipeline wants: keep the best copy, not an arbitrary one. The argmax
+    is a map-side-combined max_by per component (partial aggregation —
+    a 10^7-member cluster arrives at its reducer as one candidate per
+    upstream task, no hot-key window)."""
     from pyspark.sql import Window
 
     cands = minhash_candidate_pairs(docs, id_col, text_col, n_hashes, bands, k)
     verified = jaccard_pairs(docs, cands, threshold, id_col, text_col, k)
     cc = connected_components(verified, "doc_a", "doc_b")
-    return cc.select(
-        F.col("node").alias("doc_id"),
-        F.col("component").alias("keeper_id"),
-        F.count("*").over(Window.partitionBy("component"))
-        .cast("bigint").alias("cluster_size"),
+    size = (F.count("*").over(Window.partitionBy("component"))
+            .cast("bigint").alias("cluster_size"))
+    if score_col is None:
+        return cc.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("keeper_id"),
+            size,
+        )
+    scores = docs.select(F.col(id_col).alias("node"),
+                         F.col(score_col).alias("_sc"))
+    scored = cc.join(scores, "node")
+    keepers = scored.groupBy("component").agg(
+        F.max_by("node", F.struct(F.col("_sc"), -F.col("node")))
+        .alias("keeper_id"))
+    return (
+        scored.join(keepers, "component")
+        .select(F.col("node").alias("doc_id"), "keeper_id", size)
     )
 
 

@@ -342,6 +342,32 @@ def test_near_dup_clusters_transitive_keeper(spark):
     assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}  # 9 never enters pairs
 
 
+def test_near_dup_clusters_best_copy_keeper(spark):
+    """With score_col the keeper is the highest-scoring cluster member
+    (ties to smallest id), not the min-id label — here the middle doc of
+    the A~B~C chain scores best and must keep all three."""
+    from linkinator_spark.functions.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    a = base
+    b = base.replace("lazy", "sleepy", 3)
+    c = b.replace("quick", "swift", 3)
+    docs = spark.createDataFrame(
+        [(1, a, 10), (2, b, 99), (3, c, 10),
+         (9, "completely unrelated text here " * 10, 1000)],
+        "doc_id long, text string, quality long",
+    )
+    rows = near_dup_clusters(docs, threshold=0.4,
+                             score_col="quality").collect()
+    got = {r["doc_id"]: (r["keeper_id"], r["cluster_size"]) for r in rows}
+    assert got == {1: (2, 3), 2: (2, 3), 3: (2, 3)}
+    # tie on score -> smallest id wins
+    docs2 = docs.withColumn("quality", F.lit(7))
+    rows2 = near_dup_clusters(docs2, threshold=0.4,
+                              score_col="quality").collect()
+    assert {r["keeper_id"] for r in rows2} == {1}
+
+
 # ------------------------------------------------- split / sampling
 
 def test_hash_split_deterministic_under_repartition(spark):
