@@ -644,6 +644,34 @@ def q_dedup_cluster_keeper(spark, sf_dir):
     )
 
 
+def _incremental_batch(spark, sf_dir):
+    """A deterministic 'day's crawl': perturbed copies of doc_id%10==0
+    (near-dups of the standing corpus) plus md5-garbage docs for
+    doc_id%10==3 (genuinely novel) — same derivation in the SQL twin."""
+    docs = _t(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail marker")).alias("text"))
+    novel = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.md5(F.col("text")).alias("text"))
+    return dups.unionByName(novel)
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup check: a new batch vs the standing corpus
+    WITHOUT re-pairing the corpus against itself (the continual-crawl
+    shape: corpus band buckets are persistable; a day's batch is one
+    hash join). Perturbed copies must match their source doc; the
+    md5-garbage docs must not appear."""
+    return D.incremental_near_dups(
+        _incremental_batch(spark, sf_dir),
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        threshold=0.5,
+        n_hashes=MINHASH_N, bands=MINHASH_BANDS, k=SHINGLE_K,
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
     return docs.select(
@@ -1259,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_cc_canonical": q_dedup_cc_canonical,
         "dedup_cluster_keeper": q_dedup_cluster_keeper,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_substring": q_dedup_substring,
@@ -1442,6 +1471,52 @@ def oracle_sql() -> dict[str, str]:
                      greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) as jaccard
         from cands join sh a on cands.doc_a = a.doc_id
                    join sh b on cands.doc_b = b.doc_id
+        where len(list_intersect(a.s, b.s))::double /
+              greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5
+    """
+
+    _band_rows = MINHASH_N // MINHASH_BANDS
+    _band_hash = (
+        "md5(concat_ws('|', "
+        + ", ".join(
+            f"cast(sig[band_id * {_band_rows} + {r + 1}] as varchar)"
+            for r in range(_band_rows))
+        + "))"
+    )
+    incremental_sql = f"""
+        with newdocs as (
+          select doc_id + 2000000 as doc_id, text || ' tail marker' as text
+          from documents where doc_id % 10 = 0
+          union all
+          select doc_id + 3000000 as doc_id, md5(text) as text
+          from documents where doc_id % 10 = 3),
+        corpus as (select doc_id, text from documents),
+        nsig as (select doc_id,
+                        {_minhash_sql('text', MINHASH_N, SHINGLE_K)} as sig
+                 from newdocs),
+        csig as (select doc_id,
+                        {_minhash_sql('text', MINHASH_N, SHINGLE_K)} as sig
+                 from corpus),
+        nb as (select doc_id, band_id, {_band_hash} as band_hash
+               from nsig,
+                    (select unnest(range(0, {MINHASH_BANDS})) as band_id)),
+        cb as (select doc_id, band_id, {_band_hash} as band_hash
+               from csig,
+                    (select unnest(range(0, {MINHASH_BANDS})) as band_id)),
+        cands as (
+          select distinct n.doc_id as new_id, c.doc_id as corpus_id
+          from nb n join cb c
+            on n.band_id = c.band_id and n.band_hash = c.band_hash),
+        shn as (select doc_id, {_shingles_sql('text', SHINGLE_K)} as s
+                from newdocs),
+        shc as (select doc_id, {_shingles_sql('text', SHINGLE_K)} as s
+                from corpus)
+        select new_id, corpus_id,
+               round(len(list_intersect(a.s, b.s))::double /
+                     greatest(len(list_distinct(list_concat(a.s, b.s))), 1),
+                     6) as jaccard
+        from cands join shn a on cands.new_id = a.doc_id
+                   join shc b on cands.corpus_id = b.doc_id
         where len(list_intersect(a.s, b.s))::double /
               greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5
     """
@@ -1641,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": minhash_bands_sql,
         "dedup_jaccard": jaccard_sql,
+        "dedup_incremental": incremental_sql,
         "dedup_cc_canonical": f"""
             with recursive
             pairs as (select doc_a, doc_b from ({jaccard_sql}) jp),

@@ -302,7 +302,10 @@ def main() -> None:
             "primary statistic is the median same-execution N/4N pairing "
             "(pooled-min kept as the secondary least-interfered view), "
             "and ann_lsh carries an ivf sub-block for the second ANN "
-            "scale path. See BENCH/BASELINE.md."),
+            "scale path (the interim BENCH_scaling_r4.json reported "
+            "lsh_sec inflated by the ivf leg — timing bug, fixed; "
+            "BENCH_r03's 1.77s predates ivf and was pure LSH). "
+            "See BENCH/BASELINE.md."),
     }
 
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -182,6 +182,79 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_candidate_pairs_between(
+    new_docs: DataFrame, corpus_docs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 16, bands: int = 4, k: int = 5,
+) -> DataFrame:
+    """Cross-corpus LSH candidates: (new_id, corpus_id) pairs whose docs
+    share at least one band bucket — the incremental-dedup shape for a
+    continual crawl, where each day's batch checks against the standing
+    corpus WITHOUT re-pairing the corpus against itself (a self-join of
+    corpus ∪ batch recomputes and re-shuffles the 100-TB side every
+    day; this joins batch-sized buckets against corpus buckets instead).
+    The corpus side's band-bucket table depends only on the corpus:
+    persist it once (it is `minhash_band_buckets(corpus)`) and a day's
+    batch costs one hash join keyed on (band_id, band_hash)."""
+    bn = minhash_band_buckets(new_docs, id_col, text_col, n_hashes, bands, k)
+    bc = minhash_band_buckets(
+        corpus_docs, id_col, text_col, n_hashes, bands, k)
+    return (
+        bn.alias("n").join(
+            bc.alias("c"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"),
+                F.col("c.doc_id").alias("corpus_id"))
+        .distinct()
+    )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame, corpus_docs: DataFrame, threshold: float = 0.7,
+    id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 16, bands: int = 4, k: int = 5,
+) -> DataFrame:
+    """Incremental near-dup check: which docs of a new batch duplicate
+    the standing corpus. LSH candidates between the two tables, then
+    exact shingle-Jaccard verify. Output: (new_id, corpus_id, jaccard)
+    with jaccard >= threshold — anti-join the batch against `new_id` to
+    admit only genuinely novel documents.
+
+    Scale: the only corpus-sized work is the (persistable) corpus bucket
+    table and the candidate-driven shingle lookup — both keyed on
+    uniform hashes; nothing all-pairs, nothing driver-side."""
+    cands = minhash_candidate_pairs_between(
+        new_docs, corpus_docs, id_col, text_col, n_hashes, bands, k)
+    n_parts = new_docs.sparkSession.sparkContext.defaultParallelism
+
+    def _sh(df, out_id):
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(text_col))
+            .repartition(n_parts)
+            .select(out_id, F.array_distinct(
+                shingles(normalize_text(F.col(text_col)), k)).alias(
+                    f"_sh_{out_id}"))
+        )
+
+    joined = (
+        cands.join(_sh(new_docs, "new_id"), "new_id")
+        .join(_sh(corpus_docs, "corpus_id"), "corpus_id")
+    )
+    inter = F.size(
+        F.array_intersect("_sh_new_id", "_sh_corpus_id")).cast("double")
+    union = F.size(
+        F.array_union("_sh_new_id", "_sh_corpus_id")).cast("double")
+    return (
+        joined.select(
+            "new_id", "corpus_id",
+            F.round(inter / F.greatest(union, F.lit(1.0)), 6)
+            .alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ----------------------------------------------------------- ngram jaccard
 
 def jaccard_pairs(

@@ -810,3 +810,27 @@ def test_remove_duplicate_spans_cuts_passage_and_passes_clean_docs(spark):
     assert out[3]["clean_text"] == rows[2][1] and out[3]["n_removed"] == 0
     assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 80
     assert out[5]["clean_text"] == ""
+
+
+def test_incremental_near_dups_batch_vs_corpus(spark):
+    """Cross-corpus LSH: each perturbed batch doc pairs with exactly its
+    source corpus doc; novel docs and corpus-internal duplicate pairs
+    never appear (the corpus is not re-paired against itself)."""
+    from linkinator_spark.functions.dedup import incremental_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base.replace("fox", "cat", 2)),
+         (3, "an entirely different standing document " * 6)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(101, base + " tail marker"),                  # near-dup of 1 (and 2)
+         (103, "novel content nothing shares this " * 6)],
+        "doc_id long, text string")
+    got = incremental_near_dups(batch, corpus, threshold=0.5).collect()
+    pairs = {(r["new_id"], r["corpus_id"]) for r in got}
+    assert (101, 1) in pairs
+    assert all(n != 103 for n, _ in pairs)          # novel doc stays novel
+    assert all(n >= 100 for n, _ in pairs)          # no corpus self-pairs
+    for r in got:
+        assert 0.5 <= r["jaccard"] <= 1.0
