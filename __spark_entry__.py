@@ -906,6 +906,28 @@ def q_corpus_build(spark, sf_dir):
     )
 
 
+def q_corpus_build_capped(spark, sf_dir):
+    """corpus_build composed with the per-domain quota: after dedup,
+    decontamination and the lang/quality gate, keep at most 12 docs per
+    source — best by quality (micro-point rounded so the order is
+    engine-exact), ties by deterministic hash. The full
+    RefinedWeb-style chain as ONE declarative dataflow; the cap is the
+    skew-safe two-phase top-K."""
+    from linkinator_spark.functions import sampling as SMP
+
+    built = q_corpus_build(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = built.join(src, "doc_id").withColumn(
+        "score", F.round(F.col("quality") * 1e6).cast("long"))
+    capped = SMP.domain_cap(
+        joined, cap=12, domain_col="source", score_col="score")
+    return (
+        joined.join(capped.select(F.col("id").alias("doc_id"), "cap_rank"),
+                    "doc_id")
+        .select("doc_id", "source", "split", "cap_rank")
+    )
+
+
 def _lined_text() -> "F.Column":
     """The corpus is single-line, so plant a deterministic multi-line shape:
     every doc gains one 40-char echo line; doc_id % 4 == 0 docs gain it
@@ -1300,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
+        "corpus_build_capped": q_corpus_build_capped,
         "doc_pack": q_doc_pack,
         "doc_pack_bpe": q_doc_pack_bpe,
         "doc_split": q_doc_split,
@@ -1520,6 +1543,44 @@ def oracle_sql() -> dict[str, str]:
         where len(list_intersect(a.s, b.s))::double /
               greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5
     """
+
+    corpus_build_sql = f"""
+            with keyed as (
+              select doc_id, text, md5({norm_text}) as ck from documents),
+            keepers as (
+              select ck, min(doc_id) as doc_id from keyed group by 1),
+            kept as (
+              select k.doc_id, k.text from keyed k
+              join keepers u on u.ck = k.ck and u.doc_id = k.doc_id),
+            bench as (
+              select distinct gram from {gram8("documents")}
+              where doc_id % 50 = 0),
+            kept_train as (
+              select doc_id, text from kept where doc_id % 50 <> 0),
+            hits as (
+              select g.doc_id, count(distinct g.gram) as n_shared
+              from {gram8("kept_train")} g join bench b using (gram)
+              group by 1),
+            clean as (
+              select k.doc_id from kept_train k
+              left join hits h using (doc_id)
+              where coalesce(h.n_shared, 0) < 2),
+            corpus as (
+              select kept.doc_id, kept.text
+              from kept join clean using (doc_id))
+            select doc_id,
+                   case when {best} > 0 then {chain} else 'und' end
+                     as lang_pred,
+                   {quality_score} as quality,
+                   case when {_hash_sql("cast(doc_id as varchar)", "split:")}
+                             % 100 < 98 then 'train'
+                        when {_hash_sql("cast(doc_id as varchar)", "split:")}
+                             % 100 < 99 then 'val'
+                        else 'test' end as split
+            from corpus
+            where (case when {best} > 0 then {chain} else 'und' end) = 'en'
+              and {quality_score} >= 0.7
+        """
 
     return {
         "frontier_bfs": G.bfs_oracle_sql(n_sf001),
@@ -1922,42 +1983,24 @@ def oracle_sql() -> dict[str, str]:
                      + cast(floor((cum - tok) / 512) as bigint) as shard_id
             from c
         """,
-        "corpus_build": f"""
-            with keyed as (
-              select doc_id, text, md5({norm_text}) as ck from documents),
-            keepers as (
-              select ck, min(doc_id) as doc_id from keyed group by 1),
-            kept as (
-              select k.doc_id, k.text from keyed k
-              join keepers u on u.ck = k.ck and u.doc_id = k.doc_id),
-            bench as (
-              select distinct gram from {gram8("documents")}
-              where doc_id % 50 = 0),
-            kept_train as (
-              select doc_id, text from kept where doc_id % 50 <> 0),
-            hits as (
-              select g.doc_id, count(distinct g.gram) as n_shared
-              from {gram8("kept_train")} g join bench b using (gram)
-              group by 1),
-            clean as (
-              select k.doc_id from kept_train k
-              left join hits h using (doc_id)
-              where coalesce(h.n_shared, 0) < 2),
-            corpus as (
-              select kept.doc_id, kept.text
-              from kept join clean using (doc_id))
-            select doc_id,
-                   case when {best} > 0 then {chain} else 'und' end
-                     as lang_pred,
-                   {quality_score} as quality,
-                   case when {_hash_sql("cast(doc_id as varchar)", "split:")}
-                             % 100 < 98 then 'train'
-                        when {_hash_sql("cast(doc_id as varchar)", "split:")}
-                             % 100 < 99 then 'val'
-                        else 'test' end as split
-            from corpus
-            where (case when {best} > 0 then {chain} else 'und' end) = 'en'
-              and {quality_score} >= 0.7
+        "corpus_build": corpus_build_sql,
+        "corpus_build_capped": f"""
+            with built as ({corpus_build_sql}),
+            src as (select doc_id, source, n_chars from documents),
+            scored as (
+              select b.doc_id, s.source, b.split,
+                     cast(round(b.quality * 1e6) as bigint) as score,
+                     {_hash_sql("cast(b.doc_id as varchar)", "cap:")} as h
+              from built b join src s using (doc_id)),
+            ranked as (
+              select doc_id, source, split,
+                     cast(row_number() over (
+                       partition by source
+                       order by score desc, h, doc_id) as bigint)
+                       as cap_rank
+              from scored)
+            select doc_id, source, split, cap_rank from ranked
+            where cap_rank <= 12
         """,
         "decontaminate": f"""
             with bench as (
