@@ -1093,6 +1093,17 @@ def q_bm25_topk(spark, sf_dir):
     return SRCH.bm25_topk(docs, q, k=10)
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact discrete quantiles of doc length — curation thresholds
+    without a global sort or an approximate sketch: value-histogram
+    cumsum over the bounded distinct-value table."""
+    from linkinator_spark.functions import sampling as SMP
+
+    return SMP.exact_int_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars",
+        qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary top-25 by term frequency (with doc frequency) —
     the tokenizer-training primitive. Hot terms partial-aggregate
@@ -1330,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "bm25_topk": q_bm25_topk,
         "vocab_topk": q_vocab_topk,
+        "length_quantiles": q_length_quantiles,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2155,6 +2167,23 @@ def oracle_sql() -> dict[str, str]:
                        order by score_micro desc, doc_id) as bigint) as rank
               from scored
             ) where rank <= 10
+        """,
+        "length_quantiles": """
+            with counts as (
+              select cast(n_chars as bigint) as v, count(*) as c
+              from documents group by 1
+            ),
+            cum as (
+              select v, sum(c) over (order by v
+                rows between unbounded preceding and current row) as cum
+              from counts
+            ),
+            t as (select count(*) as n from documents),
+            qs(q) as (values (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))
+            select cast(q as double) as q, min(v) as value
+            from cum, t, qs
+            where cum >= cast(ceil(q * n) as bigint)
+            group by q
         """,
         "vocab_topk": """
             with terms as (

@@ -196,3 +196,43 @@ def domain_cap(
         .filter(F.col("cap_rank") <= cap)
         .select("id", "domain", "cap_rank")
     )
+
+
+def exact_int_quantiles(
+    df: DataFrame, value_col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Exact discrete quantiles of an integer-valued column (doc lengths,
+    token counts) — the thresholds a curation pass cuts on. For each q,
+    the smallest value v whose cumulative count reaches ceil(q * n)
+    (type-1 / lower discrete quantile). Exact, not approximate:
+    `approx_percentile` drifts with sketch size and is not
+    engine-reproducible; a global sort is the naive exact route and
+    unaffordable.
+
+    Scale shape: groupBy(value) partial-aggregates map-side, so the
+    shuffle carries one partial count per (task, distinct value); the
+    cumulative window then runs over the DISTINCT-VALUE table, bounded
+    by the value domain (doc lengths, token counts ≈ 10^6 distinct),
+    not the corpus — same bounded-single-task argument as the vocab
+    top-v cut. Callers with genuinely unbounded domains bucket first.
+
+    Output: (q double, value bigint), one row per requested quantile.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(F.col(value_col).cast("bigint").alias("v"))
+        .agg(F.count("*").alias("_c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.withColumn("_cum", F.sum("_c").over(w))
+    total = counts.agg(F.sum("_c").alias("_n"))
+    q_lit = F.explode(F.array(
+        *[F.lit(float(q)).cast("double") for q in qs])).alias("q")
+    targets = total.select(q_lit, F.col("_n")).select(
+        "q", F.ceil(F.col("q") * F.col("_n")).cast("bigint").alias("_t"))
+    return (
+        cum.crossJoin(F.broadcast(targets))
+        .filter(F.col("_cum") >= F.col("_t"))
+        .groupBy("q").agg(F.min("v").alias("value"))
+    )

@@ -82,3 +82,18 @@ def test_vocab_topk_counts_and_cut(spark):
     got = {r["term"]: (r["freq"], r["doc_freq"], r["rank"])
            for r in vocab_topk(docs, v=3).collect()}
     assert got == {"a": (4, 2, 1), "b": (4, 3, 2), "c": (2, 2, 3)}
+
+
+def test_exact_int_quantiles_match_sorted_definition(spark):
+    import math
+
+    from linkinator_spark.functions.sampling import exact_int_quantiles
+
+    vals = [1] * 10 + [5] * 30 + [9] * 50 + [100] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["q"]: r["value"]
+           for r in exact_int_quantiles(df, "x",
+                                        qs=(0.05, 0.1, 0.4, 0.9, 1.0)).collect()}
+    s = sorted(vals)
+    expect = {q: s[math.ceil(q * len(s)) - 1] for q in (0.05, 0.1, 0.4, 0.9, 1.0)}
+    assert got == expect
