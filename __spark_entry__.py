@@ -1231,6 +1231,27 @@ def q_ann_ivf_topk_arrow(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (functions/similarity.semantic_dedup,
+    after Abbas et al. 2023): IVF codebook -> nearest-cell clustering ->
+    within-cluster cosine prune with a greedy min-id keeper. Runs the
+    Arrow-GEMM assignment gear (the 10^10-vector default); the DuckDB
+    oracle replays the ENTIRE pipeline in SQL — seed codebook, cell
+    assignment, within-cell pairwise threshold, min-id keeper — so the
+    clustering mechanics and prune rule are value-checked end to end,
+    not just the survivor count. Corpus = embeddings + planted exact
+    copies (vec_id % 25 -> +1,000,000), eps=0.999: qualifying pairs are
+    exactly the planted copies (cosine 1.0 — engine-boundary-safe, same
+    argument as dedup_embedding), and identical vectors provably share a
+    cell, so every copy must be dropped with dup_of = its original."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    return S.semantic_dedup(corpus, n_lists=16, eps=0.999,
+                            assign_gear="arrow")
+
+
 def q_media_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     with_media = docs.select(
@@ -1324,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_substring": q_dedup_substring,
+        "dedup_semantic": q_semantic_dedup,
         "dedup_substring_clean": q_dedup_substring_clean,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
@@ -2219,6 +2241,43 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(l.v, r.v), 4) as cosine
             from v l join v r on l.vid < r.vid
             where list_cosine_similarity(l.v, r.v) >= 0.999
+        """,
+        "dedup_semantic": """
+            -- full SemDeDup recomputation: seed codebook (16 smallest
+            -- vec_ids), nearest-cell assignment, within-cell pairwise
+            -- prune at round(cos,6) >= 0.999, greedy min-id keeper —
+            -- value-checks the clustering mechanics AND the prune rule
+            with corpus as (
+              select vec_id, embedding from embeddings
+              union all
+              select vec_id + 1000000 as vec_id, embedding
+              from embeddings where vec_id % 25 = 0
+            ),
+            v as (select vec_id as vid, embedding::DOUBLE[] as v from corpus),
+            cent as (
+              select row_number() over (order by vid) as list_id,
+                     v as centroid
+              from (select vid, v from v order by vid limit 16)
+            ),
+            member as (
+              select vid, v, list_id from (
+                select v.vid, v.v, t.list_id,
+                       row_number() over (partition by v.vid
+                          order by list_cosine_similarity(v.v, t.centroid)
+                                   desc, t.list_id asc) as rn
+                from v, cent t) where rn = 1
+            ),
+            dup as (
+              select b.vid as vid, min(a.vid) as dup_of
+              from member a join member b
+                on a.list_id = b.list_id and a.vid < b.vid
+              where round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+              group by b.vid
+            )
+            select m.vid as vec_id, cast(m.list_id as int) as list_id,
+                   coalesce(d.dup_of, -1) as dup_of,
+                   cast(d.dup_of is null as int) as kept
+            from member m left join dup d on m.vid = d.vid
         """,
         "ann_cosine_topk": f"""
             with q as (

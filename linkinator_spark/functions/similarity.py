@@ -306,3 +306,67 @@ def _nearest_lists_arrow(vecs: DataFrame, cents: DataFrame,
                 })
 
     return vecs.mapInPandas(fn, f"vid {id_type}, list_id int")
+
+
+def semantic_dedup(
+    corpus: DataFrame, n_lists: int = 16, eps: float = 0.999,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    assign_gear: str = "arrow",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then prune semantic
+    duplicates ONLY within a cluster — the pairwise cosine cost is
+    O(sum |cluster|^2), bounded by sizing n_lists ~ N / target_cluster,
+    never an all-pairs corpus join.
+
+    1. codebook: `ivf_centroids` (deterministic smallest-id seeds, so the
+       DuckDB oracle replays the whole pipeline in SQL)
+    2. assignment: nearest cell per vector (`assign_gear` picks the Arrow
+       GEMM batch path — the 10^10-vector default — or the pure-Catalyst
+       SQL gear; both oracle/pytest-checked to agree)
+    3. prune: within each cell, a vector is dropped iff a SMALLER-id
+       vector in the same cell has round(cosine, 6) >= eps; `dup_of` is
+       the smallest such id (greedy-by-id keeper — deterministic, order-
+       independent, and exactly expressible in SQL for the oracle)
+
+    Returns (vec_id, list_id, dup_of, kept) with dup_of = -1 for keepers.
+
+    100-TB shape: the only corpus-wide operations are the broadcast
+    codebook probe and ONE shuffle on list_id for the self-join; the
+    codebook (n_lists rows) is the only driver-side collect. Skew lives
+    exactly where SemDeDup puts it — a giant cluster is a hot key — and
+    is controlled the way the paper controls it: raise n_lists so
+    clusters stay small (they use ~50k clusters at web scale). Exact
+    copies always share a cell (identical vectors score identically
+    against every centroid, same tie-break), so recall on exact
+    duplicates is 1 by construction.
+    """
+    if assign_gear not in ("arrow", "sql"):
+        raise ValueError(f"unknown assign_gear {assign_gear!r}")
+    nearest = _nearest_lists_arrow if assign_gear == "arrow" else (
+        lambda v, c, p: _nearest_lists(v, c, p).select("vid", "list_id"))
+    cents = ivf_centroids(corpus, n_lists, 0, id_col, vec_col)
+    cents = cents.localCheckpoint(eager=True)
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"))
+    member = vecs.join(nearest(vecs, cents, 1).select("vid", "list_id"), "vid")
+    a = member.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                      "list_id")
+    b = member.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                      "list_id")
+    dup = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= eps)
+        .groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        member.join(dup, member["vid"] == dup["id_b"], "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("list_id").cast("int").alias("list_id"),
+            F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+            F.col("dup_of").isNull().cast("int").alias("kept"),
+        )
+    )
