@@ -269,7 +269,7 @@ def ivf_topk(
 
 
 def _nearest_lists_arrow(vecs: DataFrame, cents: DataFrame,
-                         nprobe: int) -> DataFrame:
+                         nprobe: int, keep_vec: bool = False) -> DataFrame:
     """Arrow-matmul gear of `_nearest_lists` — the 10^10-vector assignment
     path. One numpy GEMM per Arrow batch against the driver-broadcast
     codebook (n_lists rows — the ONLY thing collected) replaces the
@@ -279,7 +279,13 @@ def _nearest_lists_arrow(vecs: DataFrame, cents: DataFrame,
     identical: cosine over doubles, ties to the smaller list_id (argmax /
     stable argsort take the first maximum and the codebook columns are in
     list_id order) — the driver oracle value-checks this gear against the
-    same unrolled SQL as the SQL gear."""
+    same unrolled SQL as the SQL gear.
+
+    `keep_vec` (nprobe=1 only) passes the vector column through the
+    batch, yielding (vid, v, list_id) straight off the scan — callers
+    that need vectors AND assignments (semantic_dedup's pairwise prune)
+    skip a corpus-sized vid re-join that way: the assignment stage stays
+    entirely shuffle-free."""
     rows = cents.orderBy("list_id").collect()
     C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
     lids = np.array([r["list_id"] for r in rows], dtype=np.int32)
@@ -296,8 +302,11 @@ def _nearest_lists_arrow(vecs: DataFrame, cents: DataFrame,
                 np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
             cos = Mn @ Cn.T  # (batch, n_lists), columns in list_id order
             if nprobe == 1:
-                yield pd.DataFrame({"vid": pdf["vid"].values,
-                                    "list_id": lids[cos.argmax(axis=1)]})
+                out = {"vid": pdf["vid"].values,
+                       "list_id": lids[cos.argmax(axis=1)]}
+                if keep_vec:
+                    out["v"] = pdf["v"].values
+                yield pd.DataFrame(out)
             else:
                 top = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
                 yield pd.DataFrame({
@@ -305,7 +314,11 @@ def _nearest_lists_arrow(vecs: DataFrame, cents: DataFrame,
                     "list_id": lids[top].reshape(-1),
                 })
 
-    return vecs.mapInPandas(fn, f"vid {id_type}, list_id int")
+    if keep_vec and nprobe != 1:
+        raise ValueError("keep_vec requires nprobe=1")
+    schema = (f"vid {id_type}, v array<double>, list_id int" if keep_vec
+              else f"vid {id_type}, list_id int")
+    return vecs.mapInPandas(fn, schema)
 
 
 def semantic_dedup(
@@ -343,14 +356,18 @@ def semantic_dedup(
     """
     if assign_gear not in ("arrow", "sql"):
         raise ValueError(f"unknown assign_gear {assign_gear!r}")
-    nearest = _nearest_lists_arrow if assign_gear == "arrow" else (
-        lambda v, c, p: _nearest_lists(v, c, p).select("vid", "list_id"))
     cents = ivf_centroids(corpus, n_lists, 0, id_col, vec_col)
     cents = cents.localCheckpoint(eager=True)
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"))
-    member = vecs.join(nearest(vecs, cents, 1).select("vid", "list_id"), "vid")
+    if assign_gear == "arrow":
+        # keep_vec: (vid, v, list_id) straight off the scan — the
+        # assignment stage is shuffle-free, no corpus-sized vid re-join
+        member = _nearest_lists_arrow(vecs, cents, 1, keep_vec=True)
+    else:
+        member = vecs.join(
+            _nearest_lists(vecs, cents, 1).select("vid", "list_id"), "vid")
     a = member.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
                       "list_id")
     b = member.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
