@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from linkinator_spark.config import CheckOptions  # noqa: E402
 from linkinator_spark.functions import dedup as D  # noqa: E402
 from linkinator_spark.functions import graph as GR  # noqa: E402
+from linkinator_spark.functions import lm as LM  # noqa: E402
 from linkinator_spark.functions import media as M  # noqa: E402
 from linkinator_spark.functions import similarity as S  # noqa: E402
 from linkinator_spark.functions import text as T  # noqa: E402
@@ -1231,6 +1232,22 @@ def q_ann_ivf_topk_arrow(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style LM perplexity filter (functions/lm.lm_nll, after
+    Wenzek et al. 2020): bigram add-alpha model trained on the even
+    doc_ids (the 'reference corpus'), scoring EVERY document — the
+    transfer-scoring path a real pipeline runs (model trained on clean
+    text, applied to crawl text). Scores are integer micro-nats (the
+    BM25 determinism trick), so the DuckDB oracle — which replays
+    training counts, smoothing, and scoring end to end — must match
+    bit-for-bit. ppl is a derived float view, excluded from the compare
+    surface."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    out = LM.lm_nll(train, docs, alpha=0.5)
+    return out.select("doc_id", "n_bigrams", "nll_micro", "avg_nll_micro")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (functions/similarity.semantic_dedup,
     after Abbas et al. 2023): IVF codebook -> nearest-cell clustering ->
@@ -1353,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
+        "lm_score": q_lm_score,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2099,6 +2117,7 @@ def oracle_sql() -> dict[str, str]:
                      as redacted_md5
             from aug
         """,
+        "lm_score": LM.lm_nll_oracle_sql("doc_id % 2 = 0", alpha=0.5),
         "doc_split": f"""
             select doc_id,
                    cast({_hash_sql("cast(doc_id as varchar)", "split:")} % 100
