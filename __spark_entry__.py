@@ -1054,6 +1054,23 @@ def q_doc_sample_stratified(spark, sf_dir):
         "sample_rank")
 
 
+def q_doc_mixture(spark, sf_dir):
+    """Temperature-based domain mixture sampling (sampling.mixture_sample,
+    after Conneau & Lample 2019 / mC4): resample to a 300-doc corpus where
+    language d contributes ~ count_d^0.5 of the mix — rare languages
+    up-weighted, the head language capped. Quotas are exact integer
+    arithmetic (per-domain micro-weights, decimal div), so the DuckDB twin
+    reproduces them bit-for-bit; in-domain selection is the deterministic
+    portable-hash order through the hierarchical (striped) rank."""
+    from linkinator_spark.functions import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    return SMP.mixture_sample(
+        docs, target_rows=300, alpha=0.5, domain_col="lang",
+    ).select(F.col("id").alias("doc_id"), F.col("domain").alias("lang"),
+             "mix_rank", "quota")
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-domain quota (C4/RefinedWeb rule): keep the 40 longest docs per
     source, ties broken by deterministic hash. Two-phase exact top-K —
@@ -1358,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_cc_canonical": q_dedup_cc_canonical,
         "dedup_cluster_keeper": q_dedup_cluster_keeper,
+        "doc_mixture": q_doc_mixture,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -2145,6 +2163,35 @@ def oracle_sql() -> dict[str, str]:
             )
             select doc_id, shard, sample_rank from ranked
             where sample_rank <= cast(ceil(n * 0.2) as bigint)
+        """,
+        "doc_mixture": f"""
+            with keyed as (
+              select doc_id, lang,
+                     {_hash_sql("cast(doc_id as varchar)", "mix:")} as h
+              from documents
+            ),
+            weights as (
+              select lang, count(*) as c,
+                     cast(round(pow(count(*), 0.5) * 1e6) as bigint) as w
+              from keyed group by lang
+            ),
+            quota as (
+              select lang,
+                     least(c, cast(300::hugeint * w //
+                                   (select sum(w) from weights)
+                                   as bigint)) as quota
+              from weights
+            ),
+            ranked as (
+              select doc_id, lang,
+                     cast(row_number() over (partition by lang
+                                             order by h % 1024, h) as bigint)
+                       as mix_rank
+              from keyed
+            )
+            select r.doc_id, r.lang, r.mix_rank, q.quota
+            from ranked r join quota q using (lang)
+            where r.mix_rank <= q.quota
         """,
         "domain_cap": f"""
             -- naive single-window form; the Spark side runs the two-phase

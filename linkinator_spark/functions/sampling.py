@@ -236,3 +236,70 @@ def exact_int_quantiles(
         .filter(F.col("_cum") >= F.col("_t"))
         .groupBy("q").agg(F.min("v").alias("value"))
     )
+
+
+def mixture_sample(
+    docs: DataFrame, target_rows: int, alpha: float = 0.5,
+    domain_col: str = "lang", id_col: str = "doc_id",
+    salt: str = "mix", stripes: int = 1024,
+) -> DataFrame:
+    """Temperature-based domain mixture sampling: resample a corpus so
+    domain d contributes ~ count_d^alpha / sum(count^alpha) of
+    `target_rows` — the multilingual-LM mixing rule (Conneau & Lample
+    2019 "Cross-lingual Language Model Pretraining" §3.1; mC4/T5 use the
+    same exponent form). alpha=1 keeps natural proportions, alpha=0
+    forces a uniform mixture, 0<alpha<1 up-weights rare domains without
+    letting any one dominate.
+
+    Determinism is exact end to end: the only float step is the
+    per-domain micro-weight w_d = round(count_d^alpha * 1e6) (isolated
+    per domain — no cross-domain float sum); W = sum(w_d) and the quota
+    q_d = min(count_d, (target_rows * w_d) div W) are pure int64/decimal
+    arithmetic, so quotas are bit-identical across engines, partition
+    layouts, and reruns. Row selection inside a domain is the
+    deterministic portable-hash order (the stratified-sample contract).
+
+    Scale shape (100-TB lens): counts are a map-side-combined aggregate;
+    the (domain, w, quota) table is one row per domain and broadcasts;
+    the per-domain rank runs through hierarchical_row_number over hash
+    stripes, so a domain holding half a 10^10-doc corpus never
+    serializes into one task. One uniform (domain, stripe) shuffle, no
+    global sort, nothing driver-side.
+
+    Output: (id, domain, mix_rank, quota) for kept rows,
+    mix_rank in [1, quota]. Quotas sum to <= target_rows (floor
+    division) and a rare domain is capped at its own size — this
+    operator samples without replacement; epoch-repeat of upsampled
+    domains is a downstream concern.
+    """
+    from linkinator_spark.operators.politeness import hierarchical_row_number
+
+    h = portable_hash64(F.col(id_col).cast("string"), prefix=f"{salt}:")
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        h.alias("_h"),
+        F.pmod(h, F.lit(stripes)).alias("_stripe"),
+    )
+    counts = keyed.groupBy("domain").agg(F.count("*").alias("_c"))
+    weights = counts.withColumn(
+        "_w", F.expr(f"cast(round(pow(_c, {float(alpha)!r}) * 1e6) as bigint)"))
+    tot = weights.agg(F.sum("_w").alias("_tw"))
+    quota = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn("quota", F.least(
+            F.col("_c"),
+            F.expr(
+                f"cast((cast({int(target_rows)} as decimal(38,0)) *"
+                " cast(_w as decimal(38,0))) div"
+                " cast(_tw as decimal(38,0)) as bigint)"),
+        ))
+        .select("domain", "quota")
+    )
+    ranked = hierarchical_row_number(
+        keyed, "domain", "_stripe", "_h", out_col="mix_rank")
+    return (
+        ranked.join(F.broadcast(quota), "domain")
+        .filter(F.col("mix_rank") <= F.col("quota"))
+        .select("id", "domain", "mix_rank", "quota")
+    )

@@ -102,6 +102,9 @@ def main() -> None:
         ("lm_score",
          "bigram LM scoring (map-side-combined training counts; "
          "distinct-gram probe joins; uniform doc-id rollup)"),
+        ("doc_mixture",
+         "temperature mixture sampling (broadcast quota table; "
+         "hierarchical striped rank — hot domain never one task)"),
         ("dedup_semantic",
          "SemDeDup (broadcast codebook -> Arrow-GEMM cell assignment; "
          "ONE list_id shuffle for the within-cell pairwise prune; "
