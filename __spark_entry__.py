@@ -1265,6 +1265,18 @@ def q_lm_score(spark, sf_dir):
     return out.select("doc_id", "n_bigrams", "nll_micro", "avg_nll_micro")
 
 
+def q_ppl_bucket(spark, sf_dir):
+    """CCNet head/middle/tail perplexity filter (functions/lm.ppl_bucket,
+    Wenzek et al. 2020 §4.3): LM-score every doc, then bucket each
+    LANGUAGE at its own exact perplexity terciles (milli-nat resolution
+    histogram cumsum — bounded window tasks regardless of language skew;
+    thresholds broadcast back). The DuckDB twin replays training,
+    scoring, per-language quantiles, and bucketing end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    return LM.ppl_bucket(train, docs, alpha=0.5)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (functions/similarity.semantic_dedup,
     after Abbas et al. 2023): IVF codebook -> nearest-cell clustering ->
@@ -1389,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "lm_score": q_lm_score,
+        "ppl_bucket": q_ppl_bucket,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2136,6 +2149,7 @@ def oracle_sql() -> dict[str, str]:
             from aug
         """,
         "lm_score": LM.lm_nll_oracle_sql("doc_id % 2 = 0", alpha=0.5),
+        "ppl_bucket": LM.ppl_bucket_oracle_sql("doc_id % 2 = 0", alpha=0.5),
         "doc_split": f"""
             select doc_id,
                    cast({_hash_sql("cast(doc_id as varchar)", "split:")} % 100

@@ -41,7 +41,8 @@ from pyspark.sql import functions as F
 
 from linkinator_spark.functions.text import normalize_text, word_bigrams
 
-__all__ = ["lm_nll", "lm_nll_oracle_sql", "normalize_text", "word_bigrams"]
+__all__ = ["lm_nll", "lm_nll_oracle_sql", "ppl_bucket",
+           "ppl_bucket_oracle_sql", "normalize_text", "word_bigrams"]
 
 
 def lm_nll(
@@ -156,4 +157,98 @@ def lm_nll_oracle_sql(
                     then floor(p.nll_micro::double / p.n_bigrams)::bigint
                     else 0 end as avg_nll_micro
         from {docs_table} d left join per_doc p on d.doc_id = p.id
+    """
+
+
+def ppl_bucket(
+    train: DataFrame, docs: DataFrame, alpha: float = 0.5,
+    id_col: str = "doc_id", text_col: str = "text", lang_col: str = "lang",
+    resolution: int = 1000, qs=(0.33, 0.67),
+) -> DataFrame:
+    """The CCNet head/middle/tail filter (Wenzek et al. 2020 §4.3): score
+    every document under the reference LM (`lm_nll`), then cut each
+    LANGUAGE at its own perplexity terciles — cross-language thresholds
+    are meaningless (a fluent Swahili doc scores worse than junk English
+    under any shared cut), which is why CCNet buckets per language.
+
+    Thresholds are per-language exact discrete quantiles of
+    avg_nll_micro at milli-nat `resolution` (grouped_int_quantiles —
+    the resolution bounds the histogram domain so a language holding
+    half the corpus costs a bounded window task). Bucketing is a
+    broadcast join of the (lang, t_head, t_mid) table — three rows of
+    state per language, nothing corpus-sized beyond the score pass.
+
+    Output: (id_col, lang_col, bucket) with bucket in head|middle|tail;
+    head = most fluent (lowest nll). Deterministic end to end: integer
+    micro-nat scores, integer division, exact quantile thresholds.
+    """
+    from linkinator_spark.functions.sampling import grouped_int_quantiles
+
+    scores = lm_nll(train, docs, alpha, id_col=id_col, text_col=text_col)
+    scored = (
+        docs.select(id_col, lang_col)
+        .join(scores.select(id_col, "avg_nll_micro"), id_col)
+        .withColumn("_vb", F.expr(f"avg_nll_micro div {int(resolution)}"))
+    )
+    th = grouped_int_quantiles(
+        scored, lang_col, "avg_nll_micro", qs=qs, resolution=resolution)
+    q_head, q_mid = float(qs[0]), float(qs[1])
+    tw = th.groupBy(lang_col).agg(
+        F.min(F.when(F.col("q") == q_head, F.col("value"))).alias("_t1"),
+        F.min(F.when(F.col("q") == q_mid, F.col("value"))).alias("_t2"),
+    )
+    return (
+        scored.join(F.broadcast(tw), lang_col)
+        .withColumn(
+            "bucket",
+            F.when(F.col("_vb") <= F.col("_t1"), "head")
+            .when(F.col("_vb") <= F.col("_t2"), "middle")
+            .otherwise("tail"))
+        .select(id_col, lang_col, "bucket")
+    )
+
+
+def ppl_bucket_oracle_sql(
+    train_filter: str, alpha: float = 0.5, resolution: int = 1000,
+    qs=(0.33, 0.67), docs_table: str = "documents",
+) -> str:
+    """DuckDB twin of `ppl_bucket`: the lm_nll twin as a subquery, then
+    the same milli-nat histogram cumsum, exact tercile thresholds, and
+    bucket labels."""
+    lm = lm_nll_oracle_sql(train_filter, alpha, docs_table)
+    q_head, q_mid = float(qs[0]), float(qs[1])
+    return f"""
+        with scores as (select * from ({lm}) s),
+        scored as (
+          select d.doc_id, d.lang,
+                 s.avg_nll_micro // {int(resolution)} as vb
+          from {docs_table} d join scores s using (doc_id)
+        ),
+        hist as (
+          select lang, vb, count(*) as c from scored group by lang, vb
+        ),
+        cum as (
+          select lang, vb,
+                 sum(c) over (partition by lang order by vb) as cumc
+          from hist
+        ),
+        tot as (select lang, count(*) as n from scored group by lang),
+        th as (
+          select lang, q, min(vb) as value
+          from cum join tot using (lang)
+          cross join (values ({q_head!r}), ({q_mid!r})) qv(q)
+          where cumc >= ceil(q * n)
+          group by lang, q
+        ),
+        tw as (
+          select lang,
+                 min(value) filter (where q = {q_head!r}) as t1,
+                 min(value) filter (where q = {q_mid!r}) as t2
+          from th group by lang
+        )
+        select s.doc_id, s.lang,
+               case when s.vb <= t1 then 'head'
+                    when s.vb <= t2 then 'middle'
+                    else 'tail' end as bucket
+        from scored s join tw using (lang)
     """

@@ -303,3 +303,53 @@ def mixture_sample(
         .filter(F.col("mix_rank") <= F.col("quota"))
         .select("id", "domain", "mix_rank", "quota")
     )
+
+
+def grouped_int_quantiles(
+    df: DataFrame, group_col: str, value_col: str,
+    qs=(0.25, 0.5, 0.75), resolution: int = 1,
+) -> DataFrame:
+    """Per-group exact discrete quantiles — `exact_int_quantiles` with a
+    GROUP BY (per-language perplexity terciles, per-domain length cuts).
+    For each (group, q): the smallest value v whose cumulative count
+    within the group reaches ceil(q * n_group), after integer-dividing
+    values by `resolution` (thresholds then live at that resolution —
+    the knob that BOUNDS the distinct-value domain when the raw column
+    is near-unique, e.g. micro-nat LM scores -> resolution=1000 caps
+    the histogram at ~30k milli-nat buckets per group).
+
+    Scale shape: the (group, bucket) histogram partial-aggregates
+    map-side; the cumulative window partitions BY GROUP over the
+    distinct-bucket table, so its tasks are bounded by the bucket
+    domain (resolution-controlled), never by group row count — a
+    language holding half the corpus costs the same window task as a
+    rare one. Output: (group, q double, value bigint) where value is in
+    resolution units (multiply back by `resolution` for a raw-scale
+    threshold floor).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            # `div` is exact integral division (a double `/` + cast
+            # loses precision past 2^53 and truncates instead of
+            # flooring); values are required non-negative
+            F.expr(f"cast({value_col} as bigint) div {int(resolution)}")
+            .alias("v"),
+        ).agg(F.count("*").alias("_c"))
+    )
+    w = (Window.partitionBy("grp").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = counts.withColumn("_cum", F.sum("_c").over(w))
+    totals = counts.groupBy("grp").agg(F.sum("_c").alias("_n"))
+    q_lit = F.explode(F.array(
+        *[F.lit(float(q)).cast("double") for q in qs])).alias("q")
+    targets = totals.select("grp", q_lit, "_n").select(
+        "grp", "q", F.ceil(F.col("q") * F.col("_n")).cast("bigint").alias("_t"))
+    return (
+        cum.join(F.broadcast(targets), "grp")
+        .filter(F.col("_cum") >= F.col("_t"))
+        .groupBy("grp", "q").agg(F.min("v").alias("value"))
+        .select(F.col("grp").alias(group_col), "q", "value")
+    )

@@ -85,3 +85,81 @@ def test_covers_all_docs_and_ppl_invariant(spark):
     joined = out.join(toks, "doc_id").filter(
         (F.col("want") > 0) & (F.col("n_bigrams") != F.col("want")))
     assert joined.isEmpty()
+
+
+# ------------------------------------------------------- ppl_bucket (CCNet)
+
+
+def test_grouped_int_quantiles_matches_python(spark):
+    from linkinator_spark.functions.sampling import grouped_int_quantiles
+
+    rows = [("en", v) for v in range(100)] + [("de", v * 3) for v in range(10)]
+    df = spark.createDataFrame(rows, "lang string, v long")
+    got = {(r["lang"], r["q"]): r["value"]
+           for r in grouped_int_quantiles(df, "lang", "v",
+                                          qs=(0.33, 0.67)).collect()}
+    import math
+
+    def twin(vals, q):
+        vals = sorted(vals)
+        return vals[math.ceil(q * len(vals)) - 1]
+
+    en = list(range(100))
+    de = [v * 3 for v in range(10)]
+    assert got[("en", 0.33)] == twin(en, 0.33)
+    assert got[("en", 0.67)] == twin(en, 0.67)
+    assert got[("de", 0.33)] == twin(de, 0.33)
+    assert got[("de", 0.67)] == twin(de, 0.67)
+    # resolution buckets values before the quantile
+    got_r = {(r["lang"], r["q"]): r["value"]
+             for r in grouped_int_quantiles(df, "lang", "v", qs=(0.5,),
+                                            resolution=10).collect()}
+    assert got_r[("en", 0.5)] == twin([v // 10 for v in en], 0.5)
+
+
+def test_ppl_bucket_terciles_and_per_language_cut(spark):
+    # two languages with disjoint vocab; within each, planted repetitive
+    # (fluent-to-the-LM) docs and OOV docs
+    import itertools
+
+    rows = []
+    i = 0
+    for lang, base in (("en", "the cat sat on the mat"),
+                       ("de", "der hund lief im park")):
+        for rep, suffix in itertools.product(
+                range(10), ["", " xq" + "z", " vv ww"]):
+            rows.append((i, f"{base} {rep % 3}{suffix}", lang))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    out = LM.ppl_bucket(train, docs, alpha=0.5).collect()
+    assert len(out) == len(rows)
+    per = {}
+    for r in out:
+        per.setdefault((r["lang"], r["bucket"]), 0)
+        per[(r["lang"], r["bucket"])] += 1
+    # every language has all three buckets, split ~evenly (exact terciles
+    # up to threshold ties at milli-nat resolution)
+    for lang in ("en", "de"):
+        counts = [per.get((lang, b), 0) for b in ("head", "middle", "tail")]
+        assert sum(counts) == 30
+        assert all(c > 0 for c in counts)
+        # head must hold at least its tercile (ties can only grow it)
+        assert counts[0] >= 10
+    # the cut is per-language: buckets exist in BOTH languages even though
+    # all de docs are OOV-heavier under a shared threshold this would skew
+    assert per.get(("de", "head"), 0) > 0
+
+
+def test_ppl_bucket_head_is_more_fluent(spark):
+    # fluent docs = repeats of the training phrase; junk docs = unique
+    # token soup. The head bucket must contain fluent docs only.
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(12)]
+    rows += [(100 + i, f"junk{i} tok{i * 7} w{i * 13} q{i * 31}", "en")
+             for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = docs.filter(F.col("doc_id") < 6)  # train on fluent half only
+    out = {r["doc_id"]: r["bucket"]
+           for r in LM.ppl_bucket(train, docs, alpha=0.5).collect()}
+    assert all(out[i] == "head" for i in range(12))
+    assert all(out[100 + i] != "head" for i in range(12))

@@ -102,6 +102,9 @@ def main() -> None:
         ("lm_score",
          "bigram LM scoring (map-side-combined training counts; "
          "distinct-gram probe joins; uniform doc-id rollup)"),
+        ("ppl_bucket",
+         "CCNet tercile filter (bounded per-lang histogram window; "
+         "broadcast threshold table)"),
         ("doc_mixture",
          "temperature mixture sampling (broadcast quota table; "
          "hierarchical striped rank — hot domain never one task)"),
