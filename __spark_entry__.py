@@ -1265,6 +1265,37 @@ def q_lm_score(spark, sf_dir):
     return out.select("doc_id", "n_bigrams", "nll_micro", "avg_nll_micro")
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus report card — the rollup a curation run prints
+    before/after each filter stage: doc count, token and char volume,
+    quality mass, PII incidence. ALL-INTEGER columns: a float mean is
+    summation-order-dependent and cannot hash-match across engines, so
+    quality aggregates as per-doc micro-points (round -> exact integer
+    double -> cast) and means are derived downstream. Single scan,
+    map-side-combined agg on the uniform lang key — no second shuffle."""
+    from functools import reduce
+    from operator import add
+
+    docs = _t(spark, sf_dir, "documents")
+    f = T.quality_features(F.col("text"))
+    pii_any = reduce(add, T.pii_counts(F.col("text")).values()) > 0
+    per = docs.select(
+        "lang",
+        f["n_tokens"].alias("_tok"),
+        F.col("n_chars").alias("_ch"),
+        F.round(T.quality_score(F.col("text")) * 1e6, 0)
+        .cast("long").alias("_qm"),
+        F.when(pii_any, 1).otherwise(0).alias("_p"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("tokens_sum"),
+        F.sum("_ch").cast("long").alias("chars_sum"),
+        F.sum("_qm").cast("long").alias("quality_micro_sum"),
+        F.sum("_p").cast("long").alias("pii_docs"),
+    )
+
+
 def q_ppl_bucket(spark, sf_dir):
     """CCNet head/middle/tail perplexity filter (functions/lm.ppl_bucket,
     Wenzek et al. 2020 §4.3): LM-score every doc, then bucket each
@@ -1402,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "lm_score": q_lm_score,
         "ppl_bucket": q_ppl_bucket,
+        "corpus_stats": q_corpus_stats,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2150,6 +2182,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lm_score": LM.lm_nll_oracle_sql("doc_id % 2 = 0", alpha=0.5),
         "ppl_bucket": LM.ppl_bucket_oracle_sql("doc_id % 2 = 0", alpha=0.5),
+        "corpus_stats": f"""
+            select lang,
+                   count(*)::bigint as n_docs,
+                   sum({q['n_tokens']})::bigint as tokens_sum,
+                   sum(n_chars)::bigint as chars_sum,
+                   sum(round({quality_score} * 1e6)::bigint)::bigint
+                     as quality_micro_sum,
+                   sum(case when
+                         len(regexp_extract_all(text, '{T.PII_EMAIL_RE}'))
+                         + len(regexp_extract_all(text, '{T.PII_IPV4_RE}'))
+                         + len(regexp_extract_all(text, '{T.PII_PHONE_RE}'))
+                         + len(regexp_extract_all(text, '{T.PII_SSN_RE}'))
+                         + len(regexp_extract_all(text, '{T.PII_CARD_RE}'))
+                         > 0 then 1 else 0 end)::bigint as pii_docs
+            from documents group by lang
+        """,
         "doc_split": f"""
             select doc_id,
                    cast({_hash_sql("cast(doc_id as varchar)", "split:")} % 100
