@@ -26,6 +26,7 @@ from linkinator_spark.functions import lm as LM  # noqa: E402
 from linkinator_spark.functions import media as M  # noqa: E402
 from linkinator_spark.functions import similarity as S  # noqa: E402
 from linkinator_spark.functions import text as T  # noqa: E402
+from linkinator_spark.functions import vectorize as VZ  # noqa: E402
 from linkinator_spark.operators.classify import classify  # noqa: E402
 from linkinator_spark.operators.crawler import LinkChecker  # noqa: E402
 from linkinator_spark.plans import graphgen as G  # noqa: E402
@@ -1265,6 +1266,17 @@ def q_lm_score(spark, sf_dir):
     return out.select("doc_id", "n_bigrams", "nll_micro", "avg_nll_micro")
 
 
+def q_tfidf_sparse(spark, sf_dir):
+    """Hashed TF-IDF sparse vectorization (functions/vectorize.py, after
+    Weinberger et al. 2009): token -> feature via fixed hash mod 16 (no
+    vocabulary object at any scale), weight = tf * micro-idf, collisions
+    integer-summed — every cell an exact int64, so the DuckDB twin is
+    bit-for-bit. 16 features against the corpus's 31-word vocabulary
+    GUARANTEES hash collisions, exercising the collision-sum path the
+    production-sized 2^18 default rarely hits on a toy vocab."""
+    return VZ.tfidf_sparse(_t(spark, sf_dir, "documents"), n_features=16)
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-language corpus report card — the rollup a curation run prints
     before/after each filter stage: doc count, token and char volume,
@@ -1434,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "ppl_bucket": q_ppl_bucket,
         "corpus_stats": q_corpus_stats,
+        "tfidf_sparse": q_tfidf_sparse,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2182,6 +2195,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lm_score": LM.lm_nll_oracle_sql("doc_id % 2 = 0", alpha=0.5),
         "ppl_bucket": LM.ppl_bucket_oracle_sql("doc_id % 2 = 0", alpha=0.5),
+        "tfidf_sparse": VZ.tfidf_sparse_oracle_sql(n_features=16),
         "corpus_stats": f"""
             select lang,
                    count(*)::bigint as n_docs,

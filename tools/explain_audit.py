@@ -102,6 +102,9 @@ def main() -> None:
         ("lm_score",
          "bigram LM scoring (map-side-combined training counts; "
          "distinct-gram probe joins; uniform doc-id rollup)"),
+        ("tfidf_sparse",
+         "hashing-trick TF-IDF (map-side-combined tf/df; token-keyed "
+         "idf join; no vocabulary object)"),
         ("ppl_bucket",
          "CCNet tercile filter (bounded per-lang histogram window; "
          "broadcast threshold table)"),
