@@ -1072,6 +1072,23 @@ def q_doc_mixture(spark, sf_dir):
              "mix_rank", "quota")
 
 
+def q_doc_mixture_epochs(spark, sf_dir):
+    """mixture_sample with replacement: alpha=0 wants a UNIFORM language
+    mix of 1000 docs (200/language against languages holding 60-220
+    docs), so every language upsamples — full epochs via copy_idx plus a
+    remainder epoch for the first rows in hash order; each language
+    emits exactly 200 rows. The DuckDB twin replays quota arithmetic and
+    the generate_series copy expansion."""
+    from linkinator_spark.functions import sampling as SMP
+
+    docs = _t(spark, sf_dir, "documents")
+    return SMP.mixture_sample(
+        docs, target_rows=1000, alpha=0.0, domain_col="lang",
+        with_replacement=True,
+    ).select(F.col("id").alias("doc_id"), F.col("domain").alias("lang"),
+             "mix_rank", "copy_idx")
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-domain quota (C4/RefinedWeb rule): keep the 40 longest docs per
     source, ties broken by deterministic hash. Two-phase exact top-K —
@@ -1431,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_canonical": q_dedup_cc_canonical,
         "dedup_cluster_keeper": q_dedup_cluster_keeper,
         "doc_mixture": q_doc_mixture,
+        "doc_mixture_epochs": q_doc_mixture_epochs,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -2268,6 +2286,42 @@ def oracle_sql() -> dict[str, str]:
             select r.doc_id, r.lang, r.mix_rank, q.quota
             from ranked r join quota q using (lang)
             where r.mix_rank <= q.quota
+        """,
+        "doc_mixture_epochs": f"""
+            with keyed as (
+              select doc_id, lang,
+                     {_hash_sql("cast(doc_id as varchar)", "mix:")} as h
+              from documents
+            ),
+            weights as (
+              select lang, count(*) as c,
+                     cast(round(pow(count(*), 0.0) * 1e6) as bigint) as w
+              from keyed group by lang
+            ),
+            reps as (
+              select lang, c,
+                     cast(1000::hugeint * w // (select sum(w) from weights)
+                          as bigint) as target
+              from weights
+            ),
+            ranked as (
+              select doc_id, lang,
+                     cast(row_number() over (partition by lang
+                                             order by h % 1024, h) as bigint)
+                       as mix_rank
+              from keyed
+            )
+            select r.doc_id, r.lang, r.mix_rank, copy_idx
+            from ranked r
+            join reps using (lang)
+            cross join lateral (
+              select unnest(generate_series(
+                0, cast(target // c as bigint)
+                   + (case when r.mix_rank <= target % c then 1 else 0 end)
+                   - 1)) as copy_idx
+            ) cp
+            where (target // c)
+                  + (case when r.mix_rank <= target % c then 1 else 0 end) > 0
         """,
         "domain_cap": f"""
             -- naive single-window form; the Spark side runs the two-phase

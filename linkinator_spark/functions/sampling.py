@@ -242,6 +242,7 @@ def mixture_sample(
     docs: DataFrame, target_rows: int, alpha: float = 0.5,
     domain_col: str = "lang", id_col: str = "doc_id",
     salt: str = "mix", stripes: int = 1024,
+    with_replacement: bool = False,
 ) -> DataFrame:
     """Temperature-based domain mixture sampling: resample a corpus so
     domain d contributes ~ count_d^alpha / sum(count^alpha) of
@@ -266,11 +267,14 @@ def mixture_sample(
     serializes into one task. One uniform (domain, stripe) shuffle, no
     global sort, nothing driver-side.
 
-    Output: (id, domain, mix_rank, quota) for kept rows,
-    mix_rank in [1, quota]. Quotas sum to <= target_rows (floor
-    division) and a rare domain is capped at its own size — this
-    operator samples without replacement; epoch-repeat of upsampled
-    domains is a downstream concern.
+    Output without replacement (default): (id, domain, mix_rank, quota)
+    for kept rows, mix_rank in [1, quota]; quotas sum to <= target_rows
+    (floor division) and a rare domain is capped at its own size. With
+    `with_replacement=True`: (id, domain, mix_rank, copy_idx) where an
+    upsampled domain repeats — floor(target/count) full epochs plus one
+    extra copy for the first (target mod count) rows in hash order — so
+    each domain emits EXACTLY its target row count (the epoch-repeat
+    materialization of temperature upsampling).
     """
     from linkinator_spark.operators.politeness import hierarchical_row_number
 
@@ -285,23 +289,45 @@ def mixture_sample(
     weights = counts.withColumn(
         "_w", F.expr(f"cast(round(pow(_c, {float(alpha)!r}) * 1e6) as bigint)"))
     tot = weights.agg(F.sum("_w").alias("_tw"))
-    quota = (
+    targets = (
         weights.crossJoin(F.broadcast(tot))
-        .withColumn("quota", F.least(
-            F.col("_c"),
-            F.expr(
-                f"cast((cast({int(target_rows)} as decimal(38,0)) *"
-                " cast(_w as decimal(38,0))) div"
-                " cast(_tw as decimal(38,0)) as bigint)"),
-        ))
-        .select("domain", "quota")
+        .withColumn("_target", F.expr(
+            f"cast((cast({int(target_rows)} as decimal(38,0)) *"
+            " cast(_w as decimal(38,0))) div"
+            " cast(_tw as decimal(38,0)) as bigint)"))
+        .select("domain", "_c", "_target")
     )
     ranked = hierarchical_row_number(
         keyed, "domain", "_stripe", "_h", out_col="mix_rank")
+    if not with_replacement:
+        quota = targets.select(
+            "domain", F.least("_c", "_target").alias("quota"))
+        return (
+            ranked.join(F.broadcast(quota), "domain")
+            .filter(F.col("mix_rank") <= F.col("quota"))
+            .select("id", "domain", "mix_rank", "quota")
+        )
+    # with replacement: a domain whose target exceeds its size repeats —
+    # every row gets floor(target / count) epoch copies, and the first
+    # (target mod count) rows in hash order get one more, so the emitted
+    # row count equals the target EXACTLY (the standard epoch-repeat
+    # materialization of temperature upsampling). copy_idx numbers a
+    # row's copies 0..n-1; downsampled domains behave as before with
+    # every kept row at copy_idx 0.
+    reps = targets.select(
+        "domain",
+        (F.col("_target") / F.col("_c")).cast("bigint").alias("_epochs"),
+        F.pmod("_target", F.col("_c")).alias("_rem"),
+    )
     return (
-        ranked.join(F.broadcast(quota), "domain")
-        .filter(F.col("mix_rank") <= F.col("quota"))
-        .select("id", "domain", "mix_rank", "quota")
+        ranked.join(F.broadcast(reps), "domain")
+        .withColumn("n_copies", F.col("_epochs") + F.when(
+            F.col("mix_rank") <= F.col("_rem"), 1).otherwise(0))
+        .filter(F.col("n_copies") > 0)
+        .select("id", "domain", "mix_rank",
+                F.explode(F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.col("n_copies") - 1)).alias("copy_idx"))
     )
 
 

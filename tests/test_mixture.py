@@ -76,3 +76,40 @@ def test_mixture_bit_stable_under_repartition(spark):
     b = {(r["id"], r["mix_rank"])
          for r in mixture_sample(docs.repartition(13), 250, alpha=0.7).collect()}
     assert a == b and len(a) > 0
+
+
+def test_mixture_with_replacement_exact_targets(spark):
+    # alpha=0, target 300 over 3 domains -> 100 each; "tiny" (5 docs)
+    # upsamples to exactly 100 via 20 full epochs; "mid" (40) gets
+    # 2 epochs + 20 remainder copies; "big" (200) downsamples to 100
+    counts = {"big": 200, "mid": 40, "tiny": 5}
+    docs = _docs(spark, counts)
+    got = mixture_sample(docs, 300, alpha=0.0,
+                         with_replacement=True).collect()
+    per, copies = {}, {}
+    for r in got:
+        per.setdefault(r["domain"], 0)
+        per[r["domain"]] += 1
+        copies.setdefault((r["domain"], r["id"]), set()).add(r["copy_idx"])
+    assert per == {"big": 100, "mid": 100, "tiny": 100}
+    # every tiny doc appears exactly 20x with dense copy_idx 0..19
+    tiny_sets = [v for (d, _), v in copies.items() if d == "tiny"]
+    assert all(v == set(range(20)) for v in tiny_sets)
+    # downsampled domain never repeats
+    assert all(v == {0} for (d, _), v in copies.items() if d == "big")
+    # remainder epoch: mid docs have either 2 or 3 copies, dense from 0
+    mid_sizes = sorted(len(v) for (d, _), v in copies.items() if d == "mid")
+    assert mid_sizes == [2] * 20 + [3] * 20
+    for (d, _), v in copies.items():
+        assert v == set(range(len(v)))
+
+
+def test_mixture_with_replacement_stable_under_repartition(spark):
+    counts = {"a": 120, "b": 30}
+    docs = _docs(spark, counts)
+    key = lambda rows: sorted((r["id"], r["copy_idx"]) for r in rows)
+    a = key(mixture_sample(docs, 200, alpha=0.3,
+                           with_replacement=True).collect())
+    b = key(mixture_sample(docs.repartition(11), 200, alpha=0.3,
+                           with_replacement=True).collect())
+    assert a == b and len(a) > 0
