@@ -1028,6 +1028,58 @@ def q_text_pii(spark, sf_dir):
     )
 
 
+# Deterministic gopher_gate plantings, shared verbatim with the SQL twin:
+# a stopword-rich sentence (lets longer docs clear the stopword floor), an
+# all-bullet 50-line doc (trips ONLY the bullet rule), and a 60-long-word
+# doc (trips ONLY the mean-word-length rule).
+_GOPHER_STOP_SENTENCE = (
+    " and that is to be one of the things we have to live with today")
+_GOPHER_BULLET_DOC = "\n".join(
+    f"- bullet item number {i} from the official listing"
+    for i in range(50))
+_GOPHER_LONGWORD_DOC = " ".join(
+    ["honorificabilitudinitatibus the of"] * 20)
+
+
+def q_gopher_gate(spark, sf_dir):
+    """Gopher-rule quality gate (functions/gopher.gopher_gate, Rae et al.
+    2021 table A1): seven per-document filters — word count, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, required-stopword floor — all as integer cross-multiplied
+    comparisons in one codegen projection (no float division anywhere, so
+    the pass bits are engine-exact). The corpus's synthetic prose rarely
+    trips the line rules, so deterministic bullet/ellipsis/symbol/numeric
+    noise is planted from doc_id (%4/%5/%6/%7) with the identical
+    construction in the SQL twin; word-count and stopword failures occur
+    naturally. Scale: pure projection — gates at parquet scan speed."""
+    from linkinator_spark.functions import gopher as GP
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit(_GOPHER_STOP_SENTENCE))
+        .otherwise(F.lit("")),
+        F.when(d % 4 == 0,
+               F.lit("\n- first point\n- second point\n* third point"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0,
+               F.lit("\nread more...\nclick here...\nto be continued…"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit(" # ## ### #### #####"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0,
+               F.lit(" 000 111 222 333 444 555 666 777 888 999"))
+        .otherwise(F.lit("")),
+    )
+    text = (
+        F.when(d % 19 == 0, F.lit(_GOPHER_BULLET_DOC))
+        .when(d % 23 == 0, F.lit(_GOPHER_LONGWORD_DOC))
+        .otherwise(aug)
+    )
+    return GP.gopher_gate(docs.select("doc_id", text.alias("text")))
+
+
 # ---------------------------------------------------------------------------
 # similarity / media
 # ---------------------------------------------------------------------------
@@ -1461,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
+        "gopher_gate": q_gopher_gate,
         "lm_score": q_lm_score,
         "ppl_bucket": q_ppl_bucket,
         "corpus_stats": q_corpus_stats,
@@ -1491,6 +1544,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _hash_sql(expr: str, prefix: str = "") -> str:
     return T.portable_hash64_sql(expr, prefix)
+
+
+def _gopher_gate_oracle() -> str:
+    """DuckDB twin of q_gopher_gate: the same doc_id-keyed noise planting
+    wrapped around gopher.gopher_gate_oracle_sql."""
+    from linkinator_spark.functions import gopher as GP
+
+    nl = "chr(10)"
+    aug = (
+        "text"
+        f" || case when doc_id % 3 = 0 then '{_GOPHER_STOP_SENTENCE}'"
+        " else '' end"
+        f" || case when doc_id % 4 = 0 then {nl} || '- first point' || {nl}"
+        f" || '- second point' || {nl} || '* third point' else '' end"
+        f" || case when doc_id % 5 = 0 then {nl} || 'read more...' || {nl}"
+        f" || 'click here...' || {nl} || 'to be continued…' else '' end"
+        " || case when doc_id % 6 = 0 then ' # ## ### #### #####'"
+        " else '' end"
+        " || case when doc_id % 7 = 0 then"
+        " ' 000 111 222 333 444 555 666 777 888 999' else '' end"
+    )
+    # DuckDB string literals may hold raw newlines, so the planted docs
+    # embed verbatim (neither contains a single quote).
+    text = (
+        f"case when doc_id % 19 = 0 then '{_GOPHER_BULLET_DOC}'"
+        f" when doc_id % 23 = 0 then '{_GOPHER_LONGWORD_DOC}'"
+        f" else {aug} end"
+    )
+    inner = GP.gopher_gate_oracle_sql(
+        docs_table="(select doc_id, " + text + " as text from documents)",
+        text_expr="text")
+    return inner
 
 
 def _bm25_values_sql() -> str:
@@ -2211,6 +2296,7 @@ def oracle_sql() -> dict[str, str]:
                      as redacted_md5
             from aug
         """,
+        "gopher_gate": _gopher_gate_oracle(),
         "lm_score": LM.lm_nll_oracle_sql("doc_id % 2 = 0", alpha=0.5),
         "ppl_bucket": LM.ppl_bucket_oracle_sql("doc_id % 2 = 0", alpha=0.5),
         "tfidf_sparse": VZ.tfidf_sparse_oracle_sql(n_features=16),
