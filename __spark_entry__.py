@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from linkinator_spark.config import CheckOptions  # noqa: E402
 from linkinator_spark.functions import dedup as D  # noqa: E402
+from linkinator_spark.functions import dsir as DSIR  # noqa: E402
 from linkinator_spark.functions import graph as GR  # noqa: E402
 from linkinator_spark.functions import lm as LM  # noqa: E402
 from linkinator_spark.functions import media as M  # noqa: E402
@@ -1080,6 +1081,23 @@ def q_gopher_gate(spark, sf_dir):
     return GP.gopher_gate(docs.select("doc_id", text.alias("text")))
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (functions/dsir.dsir_select, Xie et al.
+    2023): fit hashed-bigram multinomials over the English docs (target)
+    vs the whole corpus (raw), score every doc's importance log-weight in
+    exact integer micro-nats, and Gumbel-top-k resample 100 docs without
+    replacement ∝ w(x) — noise derived from the portable hash, so the
+    draw is bit-reproducible. Scale: bucket tables are ≤512 rows
+    (broadcast joins; the corpus never shuffles on a skewable key) and
+    the top-k plans as TakeOrderedAndProject, never a global sort."""
+    from linkinator_spark.functions import dsir as DS
+
+    docs = _t(spark, sf_dir, "documents")
+    return DS.dsir_select(
+        target=docs.filter(F.col("lang") == "en"),
+        raw=docs, k=100, n_buckets=512, alpha=0.5)
+
+
 # ---------------------------------------------------------------------------
 # similarity / media
 # ---------------------------------------------------------------------------
@@ -1514,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii": q_text_pii,
         "gopher_gate": q_gopher_gate,
+        "dsir_select": q_dsir_select,
         "lm_score": q_lm_score,
         "ppl_bucket": q_ppl_bucket,
         "corpus_stats": q_corpus_stats,
@@ -2297,6 +2316,8 @@ def oracle_sql() -> dict[str, str]:
             from aug
         """,
         "gopher_gate": _gopher_gate_oracle(),
+        "dsir_select": DSIR.dsir_oracle_sql(
+            "lang = 'en'", k=100, n_buckets=512, alpha=0.5),
         "lm_score": LM.lm_nll_oracle_sql("doc_id % 2 = 0", alpha=0.5),
         "ppl_bucket": LM.ppl_bucket_oracle_sql("doc_id % 2 = 0", alpha=0.5),
         "tfidf_sparse": VZ.tfidf_sparse_oracle_sql(n_features=16),
