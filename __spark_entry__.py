@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from linkinator_spark.config import CheckOptions  # noqa: E402
 from linkinator_spark.functions import dedup as D  # noqa: E402
+from linkinator_spark.functions import c4 as C4M  # noqa: E402
 from linkinator_spark.functions import dsir as DSIR  # noqa: E402
 from linkinator_spark.functions import graph as GR  # noqa: E402
 from linkinator_spark.functions import lm as LM  # noqa: E402
@@ -1081,6 +1082,33 @@ def q_gopher_gate(spark, sf_dir):
     return GP.gopher_gate(docs.select("doc_id", text.alias("text")))
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (functions/c4.c4_clean, Raffel et al. 2020
+    §2.2): keep only terminal-punctuated >=3-word non-javascript lines,
+    drop pages with '{', 'lorem ipsum', or too few survivors. The corpus
+    is single-line prose, so each doc is recast as six deterministic
+    lines (prose slices + doc_id-keyed boilerplate on %5/%7/%11) with the
+    identical construction in the SQL twin. Pure codegen projection —
+    cleans at parquet scan speed at any corpus size."""
+    from linkinator_spark.functions import c4 as C4
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 60), F.lit(" so it ends.")),
+        F.concat(F.substring("text", 61, 60), F.lit(" no punct")),
+        F.lit("click here."),
+        F.when(d % 5 == 0, F.lit("please enable javascript to continue."))
+        .otherwise(F.lit("another proper sentence appears right here.")),
+        F.when(d % 7 == 0, F.lit("lorem ipsum dolor sit amet consectetur."))
+        .otherwise(F.lit("the final line closes the page properly!")),
+        F.when(d % 11 == 0, F.lit("object { braces }"))
+        .otherwise(F.lit("is this the end of the document?")),
+    )
+    return C4.c4_clean(docs.select("doc_id", text.alias("text")))
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (functions/dsir.dsir_select, Xie et al.
     2023): fit hashed-bigram multinomials over the English docs (target)
@@ -1533,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": q_text_pii,
         "gopher_gate": q_gopher_gate,
         "dsir_select": q_dsir_select,
+        "c4_clean": q_c4_clean,
         "lm_score": q_lm_score,
         "ppl_bucket": q_ppl_bucket,
         "corpus_stats": q_corpus_stats,
@@ -2316,6 +2345,20 @@ def oracle_sql() -> dict[str, str]:
             from aug
         """,
         "gopher_gate": _gopher_gate_oracle(),
+        "c4_clean": C4M.c4_clean_oracle_sql(
+            docs_table="(select doc_id, concat_ws(chr(10), "
+            "substring(text, 1, 60) || ' so it ends.', "
+            "substring(text, 61, 60) || ' no punct', "
+            "'click here.', "
+            "case when doc_id % 5 = 0 "
+            "then 'please enable javascript to continue.' "
+            "else 'another proper sentence appears right here.' end, "
+            "case when doc_id % 7 = 0 "
+            "then 'lorem ipsum dolor sit amet consectetur.' "
+            "else 'the final line closes the page properly!' end, "
+            "case when doc_id % 11 = 0 then 'object { braces }' "
+            "else 'is this the end of the document?' end"
+            ") as text from documents)"),
         "dsir_select": DSIR.dsir_oracle_sql(
             "lang = 'en'", k=100, n_buckets=512, alpha=0.5),
         "lm_score": LM.lm_nll_oracle_sql("doc_id % 2 = 0", alpha=0.5),
