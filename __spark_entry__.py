@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from linkinator_spark.config import CheckOptions  # noqa: E402
 from linkinator_spark.functions import dedup as D  # noqa: E402
+from linkinator_spark.functions import blocklist as BL  # noqa: E402
 from linkinator_spark.functions import c4 as C4M  # noqa: E402
 from linkinator_spark.functions import dsir as DSIR  # noqa: E402
 from linkinator_spark.functions import graph as GR  # noqa: E402
@@ -1082,6 +1083,36 @@ def q_gopher_gate(spark, sf_dir):
     return GP.gopher_gate(docs.select("doc_id", text.alias("text")))
 
 
+_BLOCKLIST_RULES = [
+    "site3.example", "site7.example", "site5.example",
+    "sub1.site5.example", "nomatch.example",
+]
+
+
+def q_url_blocklist(spark, sf_dir):
+    """UT1-style domain-blocklist gate (functions/blocklist): a host is
+    blocked iff it equals or is a subdomain of a listed domain —
+    suffix-set membership as a bounded explode + BROADCAST join (≤ label
+    count probe rows per URL, zero shuffle of the URL table), never a
+    per-rule regex scan. site5 + sub1.site5 are both listed so the
+    longest-match attribution is exercised."""
+    from linkinator_spark.functions import blocklist as BL
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("sub"), (d % 3).cast("string"),
+                    F.lit(".site"), (d % 20).cast("string"),
+                    F.lit(".example"))
+    urls = docs.select(
+        F.concat(F.lit("http://"), host, F.lit("/page/"),
+                 d.cast("string")).alias("url"),
+        host.alias("host"),
+    )
+    rules = spark.createDataFrame(
+        [(r,) for r in _BLOCKLIST_RULES], "domain string")
+    return BL.apply_blocklist(urls, rules)
+
+
 def q_c4_clean(spark, sf_dir):
     """C4 line-level cleaning (functions/c4.c4_clean, Raffel et al. 2020
     §2.2): keep only terminal-punctuated >=3-word non-javascript lines,
@@ -1562,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gate": q_gopher_gate,
         "dsir_select": q_dsir_select,
         "c4_clean": q_c4_clean,
+        "url_blocklist": q_url_blocklist,
         "lm_score": q_lm_score,
         "ppl_bucket": q_ppl_bucket,
         "corpus_stats": q_corpus_stats,
@@ -2345,6 +2377,14 @@ def oracle_sql() -> dict[str, str]:
             from aug
         """,
         "gopher_gate": _gopher_gate_oracle(),
+        "url_blocklist": BL.blocklist_oracle_sql(
+            "select 'http://sub' || cast(doc_id % 3 as varchar) || '.site'"
+            " || cast(doc_id % 20 as varchar) || '.example/page/'"
+            " || cast(doc_id as varchar) as url,"
+            " 'sub' || cast(doc_id % 3 as varchar) || '.site'"
+            " || cast(doc_id % 20 as varchar) || '.example' as host"
+            " from documents",
+            _BLOCKLIST_RULES),
         "c4_clean": C4M.c4_clean_oracle_sql(
             docs_table="(select doc_id, concat_ws(chr(10), "
             "substring(text, 1, 60) || ' so it ends.', "
