@@ -25,6 +25,7 @@ from linkinator_spark.functions import blocklist as BL  # noqa: E402
 from linkinator_spark.functions import c4 as C4M  # noqa: E402
 from linkinator_spark.functions import dsir as DSIR  # noqa: E402
 from linkinator_spark.functions import graph as GR  # noqa: E402
+from linkinator_spark.functions import interleave as IV  # noqa: E402
 from linkinator_spark.functions import lm as LM  # noqa: E402
 from linkinator_spark.functions import media as M  # noqa: E402
 from linkinator_spark.functions import similarity as S  # noqa: E402
@@ -573,6 +574,18 @@ def q_span_flatten(spark, sf_dir):
             F.col("span.offset").alias("offset"),
         )
     )
+
+
+def q_span_render(spark, sf_dir):
+    """Interleaved-sequence rendering (functions/interleave.render_spans):
+    reassemble each document's model-input stream from the exploded span
+    table — offset-ordered text pieces with <|media:REF|> placeholders.
+    The reassembly sort is array_sort over (offset, piece) structs, so
+    the result is partition-order independent; the only shuffle keys on
+    the uniform doc id."""
+    from linkinator_spark.functions import interleave as IV
+
+    return IV.render_spans(q_span_flatten(spark, sf_dir))
 
 
 def q_span_roundtrip(spark, sf_dir):
@@ -1570,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backoff": q_retry_backoff,
         "classify_taxonomy": q_classify_taxonomy,
         "span_flatten": q_span_flatten,
+        "span_render": q_span_render,
         "span_roundtrip": q_span_roundtrip,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1624,6 +1638,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _hash_sql(expr: str, prefix: str = "") -> str:
     return T.portable_hash64_sql(expr, prefix)
+
+
+_SPAN_FLAT_SQL = """
+            with chunks as (
+              select doc_id, text,
+                     cast(ceil(greatest(length(text), 1) / 40.0) as int) as nc
+              from documents
+            ),
+            flat as (
+              select doc_id, substring(text, j * 40 + 1, 40) as c, j
+              from chunks, lateral (select unnest(range(0, nc)) as j)
+            )
+            select doc_id,
+                   case when j % 4 = 3 then 'media_ref' else 'text' end as kind,
+                   case when j % 4 = 3 then '' else c end as text,
+                   case when j % 4 = 3 then concat('http://m.example/', md5(c)) else '' end as media_ref,
+                   cast(j as int) as "offset"
+            from flat
+        """
 
 
 def _gopher_gate_oracle() -> str:
@@ -2037,23 +2070,8 @@ def oracle_sql() -> dict[str, str]:
                    end as state
             from frame
         """,
-        "span_flatten": """
-            with chunks as (
-              select doc_id, text,
-                     cast(ceil(greatest(length(text), 1) / 40.0) as int) as nc
-              from documents
-            ),
-            flat as (
-              select doc_id, substring(text, j * 40 + 1, 40) as c, j
-              from chunks, lateral (select unnest(range(0, nc)) as j)
-            )
-            select doc_id,
-                   case when j % 4 = 3 then 'media_ref' else 'text' end as kind,
-                   case when j % 4 = 3 then '' else c end as text,
-                   case when j % 4 = 3 then concat('http://m.example/', md5(c)) else '' end as media_ref,
-                   cast(j as int) as "offset"
-            from flat
-        """,
+        "span_flatten": _SPAN_FLAT_SQL,
+        "span_render": IV.render_spans_oracle_sql(_SPAN_FLAT_SQL),
         "span_roundtrip": """
             with chunks as (
               select doc_id, text,

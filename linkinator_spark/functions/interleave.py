@@ -1,0 +1,102 @@
+"""Interleaved text+media sequence assembly — the step that turns the
+span table (the north-rule input shape: doc_id, spans array of
+(kind, text, media_ref, offset)) back into a model-ready token stream.
+
+A multimodal training pipeline stores documents as interleaved spans
+(text chunks and media references in reading order, e.g. Flamingo /
+MMC4-style corpora); before tokenization each document is RENDERED: the
+spans sorted by offset, media spans replaced by a typed placeholder
+token carrying the reference (`<|media:REF|>`), text spans passed
+through, all joined in order. This module does that over the EXPLODED
+span table — the shape the extraction and crawl stages emit — so it is
+the reassembly half of span_flatten's invariant.
+
+Determinism: reassembly is `array_sort` over (offset, piece) structs
+after a collect_list — collect_list order is partition-dependent, the
+sort makes the result a pure function of the span set (offsets are
+unique per doc by the span invariant). Counts are exact int64; the
+rendered stream is value-checked by md5.
+
+Scale shape (100-TB lens): one shuffle, keyed by the doc id — uniform,
+no hot key at any corpus size; per-task memory is bounded by a single
+document's span list (the same bound any per-doc operation carries).
+Everything else is whole-stage-codegen array ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["render_spans", "render_spans_oracle_sql"]
+
+
+def render_spans(
+    spans: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Reassemble rendered sequences from an exploded span table with
+    columns (id_col, kind, text, media_ref, offset).
+
+    Output, one row per document:
+      (id_col, n_spans, n_text_spans, n_media_spans, n_chars,
+       rendered_md5)
+    where the rendered stream is the offset-ordered concatenation of
+    text pieces and `<|media:REF|>` placeholders, n_chars its length,
+    and rendered_md5 its fingerprint (the md5 keeps the oracle
+    comparison value-checked without shipping full text through the
+    hash harness)."""
+    piece = F.when(
+        F.col("kind") == "media_ref",
+        F.concat(F.lit("<|media:"), F.col("media_ref"), F.lit("|>")),
+    ).otherwise(F.col("text"))
+    keyed = spans.select(
+        F.col(id_col).alias("id"),
+        F.col("kind"),
+        F.struct(F.col("offset").alias("o"), piece.alias("p")).alias("sp"),
+    )
+    agg = keyed.groupBy("id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+        .alias("n_text_spans"),
+        F.sum(F.when(F.col("kind") == "media_ref", 1).otherwise(0))
+        .alias("n_media_spans"),
+        F.array_sort(F.collect_list("sp")).alias("sps"),
+    )
+    rendered = F.array_join(
+        F.transform(F.col("sps"), lambda s: s.getField("p")), "")
+    return agg.select(
+        F.col("id").alias(id_col),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_text_spans").cast("long").alias("n_text_spans"),
+        F.col("n_media_spans").cast("long").alias("n_media_spans"),
+        F.length(rendered).cast("long").alias("n_chars"),
+        F.md5(rendered).alias("rendered_md5"),
+    )
+
+
+def render_spans_oracle_sql(
+    spans_sql: str, id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of render_spans over a span-table subquery with the
+    same columns; ordered string_agg replays the offset sort."""
+    return f"""
+        with spans as ({spans_sql}),
+        pieces as (
+          select {id_col}, kind, "offset",
+                 case when kind = 'media_ref'
+                      then '<|media:' || media_ref || '|>'
+                      else text end as p
+          from spans
+        )
+        select {id_col},
+               count(*)::bigint as n_spans,
+               sum(case when kind = 'text' then 1 else 0 end)::bigint
+                 as n_text_spans,
+               sum(case when kind = 'media_ref' then 1 else 0 end)::bigint
+                 as n_media_spans,
+               length(string_agg(p, '' order by "offset"))::bigint
+                 as n_chars,
+               md5(string_agg(p, '' order by "offset")) as rendered_md5
+        from pieces
+        group by {id_col}
+    """

@@ -1,0 +1,68 @@
+"""Interleaved-sequence rendering (functions/interleave.py): order
+reconstruction, media placeholders, and partition-order independence."""
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from linkinator_spark.functions.interleave import render_spans  # noqa: E402
+
+SCHEMA = "doc_id long, kind string, text string, media_ref string, offset int"
+
+
+def _render(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return {r["doc_id"]: r.asDict() for r in render_spans(df).collect()}
+
+
+def test_renders_in_offset_order_with_placeholders(spark):
+    rows = [
+        (1, "text", "hello ", "", 0),
+        (1, "media_ref", "", "http://m/x.png", 1),
+        (1, "text", " world", "", 2),
+    ]
+    out = _render(spark, rows)
+    expect = "hello <|media:http://m/x.png|> world"
+    assert out[1]["rendered_md5"] == hashlib.md5(expect.encode()).hexdigest()
+    assert out[1]["n_chars"] == len(expect)
+    assert out[1]["n_spans"] == 3
+    assert out[1]["n_text_spans"] == 2
+    assert out[1]["n_media_spans"] == 1
+
+
+def test_out_of_order_input_renders_identically(spark):
+    rows = [
+        (1, "text", "b", "", 1),
+        (1, "text", "a", "", 0),
+        (1, "text", "c", "", 2),
+    ]
+    out = _render(spark, rows)
+    assert out[1]["rendered_md5"] == hashlib.md5(b"abc").hexdigest()
+
+
+def test_partition_order_independent(spark):
+    rows = [(1, "text", f"w{i} ", "", i) for i in range(50)]
+    df1 = spark.createDataFrame(rows, SCHEMA)
+    df2 = spark.createDataFrame(list(reversed(rows)), SCHEMA).repartition(7)
+    a = render_spans(df1).collect()[0]["rendered_md5"]
+    b = render_spans(df2).collect()[0]["rendered_md5"]
+    assert a == b
+
+
+def test_media_only_document(spark):
+    rows = [(1, "media_ref", "", "ref1", 0), (1, "media_ref", "", "ref2", 1)]
+    out = _render(spark, rows)
+    expect = "<|media:ref1|><|media:ref2|>"
+    assert out[1]["rendered_md5"] == hashlib.md5(expect.encode()).hexdigest()
+    assert out[1]["n_text_spans"] == 0
+    assert out[1]["n_media_spans"] == 2
+
+
+def test_multiple_documents_grouped(spark):
+    rows = [(1, "text", "x", "", 0), (2, "text", "y", "", 0),
+            (2, "text", "z", "", 1)]
+    out = _render(spark, rows)
+    assert out[1]["n_spans"] == 1 and out[2]["n_spans"] == 2
+    assert out[2]["rendered_md5"] == hashlib.md5(b"yz").hexdigest()
