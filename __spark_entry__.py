@@ -946,6 +946,86 @@ def q_corpus_build_capped(spark, sf_dir):
     )
 
 
+# lcm(3,4,5,6,7,11,19,20,23) — every doc_id modulus the v2 gate plantings
+# key on, so a planted copy renders byte-identical gate text and co-survives
+# (or co-dies with) its original; the dedup keeper then genuinely collapses
+# the pair instead of the gates separating them first.
+_V2_SHIFT = 2_018_940
+
+
+def _docs_v2(spark, sf_dir):
+    """documents ∪ copies of doc_id%10==1 rows shifted by _V2_SHIFT — the
+    corpus_build_v2 input, with mod-class-preserving planted duplicates.
+    Residue 1 (not 0) because %10==0 implies %5==0, whose planted
+    ellipsis lines structurally fail Gopher's ellipsis rule — copies of
+    those docs could never reach the dedup stage."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + _V2_SHIFT).alias("doc_id"), "text")
+    return docs.unionByName(copies)
+
+
+_DOCS_V2_SQL = (
+    "(select doc_id, text from documents"
+    " union all"
+    f" select doc_id + {_V2_SHIFT} as doc_id, text from documents"
+    " where doc_id % 10 = 1)"
+)
+
+
+def q_corpus_build_v2(spark, sf_dir):
+    """FineWeb-style corpus assembly (Penedo et al. 2024 stage order):
+    URL blocklist -> C4 line cleaning -> Gopher quality gate -> exact
+    dedup keeper -> deterministic split, composed as ONE declarative
+    dataflow. Complements q_corpus_build (whose gates are langid +
+    quality score + decontamination) with the curation stack the round-4
+    operators added.
+
+    Scale shape (100-TB lens): both content gates (Gopher's seven rules
+    and the C4 line filter) are computed in a SINGLE whole-stage-codegen
+    projection — no join between gate stages, so Catalyst prunes failed
+    docs before anything shuffles. The blocklist is the bounded
+    suffix-explode + BROADCAST join (zero shuffle of the corpus). The
+    only corpus-sized shuffles are the dedup keeper's groupBy(ck) +
+    (ck, doc_id) join — uniformly-distributed md5 keys. The split label
+    is a pure projection. No global sort, no driver collect, no
+    skewable shuffle key anywhere."""
+    from linkinator_spark.functions import blocklist as BL
+    from linkinator_spark.functions import c4 as C4
+    from linkinator_spark.functions import gopher as GP
+    from linkinator_spark.functions import sampling as SMP
+
+    dd = _docs_v2(spark, sf_dir)
+    d = F.col("doc_id")
+    host = F.concat(F.lit("sub"), (d % 3).cast("string"),
+                    F.lit(".site"), (d % 20).cast("string"),
+                    F.lit(".example"))
+    gtext = _gopher_demo_text()
+    ctext = _c4_demo_text()
+    gated = dd.select(
+        "doc_id", "text", host.alias("host"),
+        GP.gopher_features(gtext)["n_words"].alias("n_words"),
+        GP.gopher_pass(gtext).alias("_gok"),
+        F.size(C4.kept_lines(ctext)).cast("long").alias("n_kept"),
+        C4.page_kept(ctext).alias("_cok"),
+    ).filter(F.col("_gok") & F.col("_cok"))
+    rules = spark.createDataFrame(
+        [(r,) for r in _BLOCKLIST_RULES], "domain string")
+    surv = (
+        BL.apply_blocklist(gated, rules, url_col="doc_id")
+        .filter(F.col("blocked") == 0)
+        .select("doc_id", "host", "n_words", "n_kept",
+                F.md5(T.normalize_text(F.col("text"))).alias("ck"))
+    )
+    keepers = surv.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
+    _, split = SMP.split_expr("doc_id")
+    return (
+        surv.join(keepers, ["ck", "doc_id"])
+        .select("doc_id", "host", "n_words", "n_kept",
+                split.alias("split"))
+    )
+
+
 def _lined_text() -> "F.Column":
     """The corpus is single-line, so plant a deterministic multi-line shape:
     every doc gains one 40-char echo line; doc_id % 4 == 0 docs gain it
@@ -1071,6 +1151,14 @@ def q_gopher_gate(spark, sf_dir):
     from linkinator_spark.functions import gopher as GP
 
     docs = _t(spark, sf_dir, "documents")
+    return GP.gopher_gate(
+        docs.select("doc_id", _gopher_demo_text().alias("text")))
+
+
+def _gopher_demo_text():
+    """doc_id-keyed noise planting around the corpus prose used by
+    q_gopher_gate and corpus_build_v2 (Spark side of
+    _gopher_demo_text_sql)."""
     d = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
@@ -1088,12 +1176,11 @@ def q_gopher_gate(spark, sf_dir):
                F.lit(" 000 111 222 333 444 555 666 777 888 999"))
         .otherwise(F.lit("")),
     )
-    text = (
+    return (
         F.when(d % 19 == 0, F.lit(_GOPHER_BULLET_DOC))
         .when(d % 23 == 0, F.lit(_GOPHER_LONGWORD_DOC))
         .otherwise(aug)
     )
-    return GP.gopher_gate(docs.select("doc_id", text.alias("text")))
 
 
 _BLOCKLIST_RULES = [
@@ -1137,8 +1224,14 @@ def q_c4_clean(spark, sf_dir):
     from linkinator_spark.functions import c4 as C4
 
     docs = _t(spark, sf_dir, "documents")
+    return C4.c4_clean(docs.select("doc_id", _c4_demo_text().alias("text")))
+
+
+def _c4_demo_text():
+    """The six-line recast of a single-line corpus doc used by q_c4_clean
+    and corpus_build_v2 (Spark side of _C4_DEMO_TEXT_SQL)."""
     d = F.col("doc_id")
-    text = F.concat_ws(
+    return F.concat_ws(
         "\n",
         F.concat(F.substring("text", 1, 60), F.lit(" so it ends.")),
         F.concat(F.substring("text", 61, 60), F.lit(" no punct")),
@@ -1150,7 +1243,22 @@ def q_c4_clean(spark, sf_dir):
         F.when(d % 11 == 0, F.lit("object { braces }"))
         .otherwise(F.lit("is this the end of the document?")),
     )
-    return C4.c4_clean(docs.select("doc_id", text.alias("text")))
+
+
+_C4_DEMO_TEXT_SQL = (
+    "concat_ws(chr(10), "
+    "substring(text, 1, 60) || ' so it ends.', "
+    "substring(text, 61, 60) || ' no punct', "
+    "'click here.', "
+    "case when doc_id % 5 = 0 "
+    "then 'please enable javascript to continue.' "
+    "else 'another proper sentence appears right here.' end, "
+    "case when doc_id % 7 = 0 "
+    "then 'lorem ipsum dolor sit amet consectetur.' "
+    "else 'the final line closes the page properly!' end, "
+    "case when doc_id % 11 = 0 then 'object { braces }' "
+    "else 'is this the end of the document?' end)"
+)
 
 
 def q_dsir_select(spark, sf_dir):
@@ -1615,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
+        "corpus_build_v2": q_corpus_build_v2,
         "doc_pack": q_doc_pack,
         "doc_pack_bpe": q_doc_pack_bpe,
         "doc_split": q_doc_split,
@@ -1659,11 +1768,8 @@ _SPAN_FLAT_SQL = """
         """
 
 
-def _gopher_gate_oracle() -> str:
-    """DuckDB twin of q_gopher_gate: the same doc_id-keyed noise planting
-    wrapped around gopher.gopher_gate_oracle_sql."""
-    from linkinator_spark.functions import gopher as GP
-
+def _gopher_demo_text_sql() -> str:
+    """SQL twin of _gopher_demo_text (the q_gopher_gate planting)."""
     nl = "chr(10)"
     aug = (
         "text"
@@ -1680,15 +1786,22 @@ def _gopher_gate_oracle() -> str:
     )
     # DuckDB string literals may hold raw newlines, so the planted docs
     # embed verbatim (neither contains a single quote).
-    text = (
+    return (
         f"case when doc_id % 19 = 0 then '{_GOPHER_BULLET_DOC}'"
         f" when doc_id % 23 = 0 then '{_GOPHER_LONGWORD_DOC}'"
         f" else {aug} end"
     )
-    inner = GP.gopher_gate_oracle_sql(
-        docs_table="(select doc_id, " + text + " as text from documents)",
+
+
+def _gopher_gate_oracle(docs_table: str = "documents") -> str:
+    """DuckDB twin of q_gopher_gate: the same doc_id-keyed noise planting
+    wrapped around gopher.gopher_gate_oracle_sql."""
+    from linkinator_spark.functions import gopher as GP
+
+    return GP.gopher_gate_oracle_sql(
+        docs_table="(select doc_id, " + _gopher_demo_text_sql()
+        + f" as text from {docs_table})",
         text_expr="text")
-    return inner
 
 
 def _bm25_values_sql() -> str:
@@ -1925,6 +2038,35 @@ def oracle_sql() -> dict[str, str]:
             where (case when {best} > 0 then {chain} else 'und' end) = 'en'
               and {quality_score} >= 0.7
         """
+
+    v2_gop = _gopher_gate_oracle("dd")
+    v2_c4 = C4M.c4_clean_oracle_sql(
+        docs_table="(select doc_id, " + _C4_DEMO_TEXT_SQL
+        + " as text from dd)")
+    v2_blk = BL.blocklist_oracle_sql(
+        "select doc_id,"
+        " 'sub' || cast(doc_id % 3 as varchar) || '.site'"
+        " || cast(doc_id % 20 as varchar) || '.example' as host"
+        " from dd",
+        _BLOCKLIST_RULES, url_col="doc_id")
+    split_bucket = f"{_hash_sql('cast(doc_id as varchar)', 'split:')} % 100"
+    corpus_build_v2_sql = f"""
+        with dd as (select * from {_DOCS_V2_SQL} ddx),
+        g as (select doc_id, n_words from ({v2_gop}) where gopher_pass = 1),
+        c as (select doc_id, n_kept from ({v2_c4}) where doc_kept = 1),
+        b as (select doc_id, host from ({v2_blk}) where blocked = 0),
+        surv as (
+          select d.doc_id, b.host, g.n_words, c.n_kept,
+                 md5({norm_text}) as ck
+          from dd d
+          join g using (doc_id) join c using (doc_id) join b using (doc_id)),
+        keepers as (select ck, min(doc_id) as doc_id from surv group by 1)
+        select s.doc_id, s.host, s.n_words, s.n_kept,
+               case when {split_bucket} < 98 then 'train'
+                    when {split_bucket} < 99 then 'val'
+                    else 'test' end as split
+        from surv s join keepers using (ck, doc_id)
+    """
 
     return {
         "frontier_bfs": G.bfs_oracle_sql(n_sf001),
@@ -2313,6 +2455,7 @@ def oracle_sql() -> dict[str, str]:
             from c
         """,
         "corpus_build": corpus_build_sql,
+        "corpus_build_v2": corpus_build_v2_sql,
         "corpus_build_capped": f"""
             with built as ({corpus_build_sql}),
             src as (select doc_id, source, n_chars from documents),
@@ -2404,19 +2547,8 @@ def oracle_sql() -> dict[str, str]:
             " from documents",
             _BLOCKLIST_RULES),
         "c4_clean": C4M.c4_clean_oracle_sql(
-            docs_table="(select doc_id, concat_ws(chr(10), "
-            "substring(text, 1, 60) || ' so it ends.', "
-            "substring(text, 61, 60) || ' no punct', "
-            "'click here.', "
-            "case when doc_id % 5 = 0 "
-            "then 'please enable javascript to continue.' "
-            "else 'another proper sentence appears right here.' end, "
-            "case when doc_id % 7 = 0 "
-            "then 'lorem ipsum dolor sit amet consectetur.' "
-            "else 'the final line closes the page properly!' end, "
-            "case when doc_id % 11 = 0 then 'object { braces }' "
-            "else 'is this the end of the document?' end"
-            ") as text from documents)"),
+            docs_table="(select doc_id, " + _C4_DEMO_TEXT_SQL
+            + " as text from documents)"),
         "dsir_select": DSIR.dsir_oracle_sql(
             "lang = 'en'", k=100, n_buckets=512, alpha=0.5),
         "lm_score": LM.lm_nll_oracle_sql("doc_id % 2 = 0", alpha=0.5),

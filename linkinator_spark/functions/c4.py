@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["c4_clean", "c4_clean_oracle_sql", "TERMINAL_PUNCT_RE"]
+__all__ = ["c4_clean", "kept_lines", "page_kept", "c4_clean_oracle_sql",
+           "TERMINAL_PUNCT_RE"]
 
 # line ends with . ! ? or a closing quote (straight or curly), with
 # optional trailing whitespace — same pattern under Java regex and RE2
@@ -45,6 +46,25 @@ def _kept_lines(text: Column, min_words: int) -> Column:
         lambda l: l.rlike(TERMINAL_PUNCT_RE)
         & (F.size(F.split(F.trim(l), r"\s+")) >= min_words)
         & ~F.lower(l).contains("javascript"),
+    )
+
+
+def kept_lines(text: Column, min_words: int = 3) -> Column:
+    """Public alias of the surviving-line array — for composing the C4
+    line cut into a wider projection (e.g. carrying the cleaned text
+    into downstream gates without a join)."""
+    return _kept_lines(text, min_words)
+
+
+def page_kept(
+    text: Column, min_words: int = 3, min_kept_lines: int = 3,
+) -> Column:
+    """The page-level C4 gate as a single boolean Column over the raw
+    text: enough surviving lines, no '{', no 'lorem ipsum'."""
+    return (
+        (F.size(_kept_lines(text, min_words)) >= min_kept_lines)
+        & ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
     )
 
 

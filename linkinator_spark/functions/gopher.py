@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from linkinator_spark.functions.text import normalize_text
 
 __all__ = ["GOPHER_RULES", "gopher_features", "gopher_gate",
-           "gopher_gate_oracle_sql", "REQUIRED_STOPWORDS"]
+           "gopher_pass", "gopher_gate_oracle_sql", "REQUIRED_STOPWORDS"]
 
 # Rae et al. 2021 A1.1 requires >= 2 of these "must-have" English words.
 REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -104,6 +104,18 @@ def _rule_bits(f: dict[str, Column]) -> dict[str, Column]:
         "alpha_words": 5 * f["n_alpha_words"] >= 4 * f["n_words"],
         "stopwords": f["n_req_stopwords"] >= 2,
     }
+
+
+def gopher_pass(text: Column) -> Column:
+    """The all-seven-rules gate as a single boolean Column — for
+    composing the Gopher cut into a wider projection (one codegen pass,
+    no intermediate DataFrame). `gopher_gate` is this plus the feature
+    columns and the fail reason."""
+    bits = _rule_bits(gopher_features(text))
+    gate = None
+    for name, _ in GOPHER_RULES:
+        gate = bits[name] if gate is None else (gate & bits[name])
+    return gate
 
 
 def gopher_gate(
