@@ -269,6 +269,13 @@ def main() -> None:
     corpus_rows = E.queries()["corpus_build"](spark, SF_DIR).count()
     corpus = {"sec": round(time.time() - t0, 3), "rows": corpus_rows}
 
+    # the FineWeb-order curation chain (blocklist -> C4 -> Gopher ->
+    # dedup keeper -> split): all content gates are one codegen
+    # projection, so this leg tracks the gate+keeper shape, not explodes
+    t0 = time.time()
+    v2_rows = E.queries()["corpus_build_v2"](spark, SF_DIR).count()
+    corpus_v2 = {"sec": round(time.time() - t0, 3), "rows": v2_rows}
+
     # frontier throughput at current parallelism (north-rule metric);
     # warm at FULL scale then best-of-3. A smaller warm pass is not
     # enough: C2 compilation of the codegen'd canonicalize/anti-join/
@@ -295,6 +302,7 @@ def main() -> None:
         "broken_link": broken,
         "cc_cluster": cc,
         "corpus_build": corpus,
+        "corpus_build_v2": corpus_v2,
         "notes": (
             "frontier leg warms at FULL scale before best-of-3 (round-3 "
             "fix); honest steady state is 2.6-3.6M/s at 32 threads, "

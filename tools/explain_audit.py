@@ -115,6 +115,11 @@ def main() -> None:
          "SemDeDup (broadcast codebook -> Arrow-GEMM cell assignment; "
          "ONE list_id shuffle for the within-cell pairwise prune; "
          "cluster size bounds the quadratic term, n_lists controls it)"),
+        ("corpus_build_v2",
+         "FineWeb-order curation chain (Gopher + C4 gates in ONE codegen "
+         "projection — no gate joins; broadcast suffix blocklist; only "
+         "corpus-sized shuffles are the keeper's uniform md5 pair; AQE "
+         "broadcasts the small blocked-hits side at runtime)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
