@@ -1517,6 +1517,20 @@ def q_ann_ivf_topk_arrow(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_kmeans_train(spark, sf_dir):
+    """Engine-exact k-means codebook training (similarity.kmeans_train):
+    two full Lloyd rounds over the embeddings table, oracle-checked —
+    the refinement path ivf_centroids leaves unchecked (float means) is
+    here replayed bit-for-bit by DuckDB because vectors are quantized to
+    integer micro-units once and every centroid update is an exact
+    integer sum + one rounded division. Per round: one broadcast
+    codebook join with a map-side-combined argmax, one k*dim-row
+    partial-combined aggregate — no corpus-sized shuffle, driver traffic
+    is the k*dim-long codebook only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_train(emb, n_lists=8, iters=2)
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet-style LM perplexity filter (functions/lm.lm_nll, after
     Wenzek et al. 2020): bigram add-alpha model trained on the even
@@ -1736,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_topk_arrow": q_ann_ivf_topk_arrow,
+        "kmeans_train": q_kmeans_train,
         "media_features": q_media_features,
         "events_windowed": q_events_windowed,
     }
@@ -2858,6 +2873,7 @@ def oracle_sql() -> dict[str, str]:
             select query_id, neighbor_id, cast(rank as int) as rank
             from ranked where rank <= {TOPK}
         """,
+        "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
         "ann_ivf_topk": f"""
             -- full IVF recomputation (not an exact-top-k fallback): seed
             -- codebook = 16 smallest vec_ids, nearest-cell assignment,

@@ -387,3 +387,118 @@ def semantic_dedup(
             F.col("dup_of").isNull().cast("int").alias("kept"),
         )
     )
+
+
+# --- oracle-checkable Lloyd training -------------------------------------
+#
+# ivf_centroids' Lloyd refinement is float-mean based, so its result is
+# engine-specific in the last ulp and the oracle pins iters=0. kmeans_train
+# is the checkable twin: vectors are quantized ONCE to integer micro-units
+# (round(x * 1e6) as int64) and every centroid update is an EXACT integer
+# sum followed by one double division and one round — bit-reproducible in
+# any engine, so a DuckDB twin can replay whole training rounds. The only
+# float comparison left is the assignment argmax, where a cross-engine
+# 1-ulp cosine difference matters only on exact centroid ties (broken by
+# list_id) — measure-zero on real embeddings.
+#
+# Scale shape (100-TB lens): per round, ONE broadcast join (codebook) with
+# a map-side-combined max_by argmax (no corpus-sized shuffle key besides
+# the uniform vid), then posexplode + groupBy(list_id, dim) whose partial
+# aggregation collapses to k*dim rows map-side. The codebook is
+# localCheckpoint-ed per round to cut the iteration lineage — driver
+# traffic is k*dim longs per round, never corpus-sized.
+
+KMEANS_QUANT = 1_000_000
+
+
+def kmeans_train(
+    corpus: DataFrame, n_lists: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Train a k-means codebook with engine-exact Lloyd rounds.
+
+    Returns (list_id:int, centroid_micro:array<bigint>) — centroid
+    coordinates in micro-units (1e-6). Seeds are the n_lists vectors
+    with the smallest ids (TakeOrdered, never a full sort), quantized.
+    Empty cells drop out of the codebook (both engines agree, because
+    the assignment itself agrees). DuckDB twin: kmeans_oracle_sql."""
+    q = float(KMEANS_QUANT)
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * q).cast("long")).alias("vm"),
+    )
+    seeds = vecs.orderBy("vid").limit(n_lists)
+    w = Window.orderBy("vid")
+    cents = seeds.select(
+        F.row_number().over(w).cast("int").alias("list_id"),
+        F.col("vm").alias("cm"))
+    for _ in range(iters):
+        scored = vecs.join(F.broadcast(cents)).select(
+            "vid", "vm", "list_id",
+            cosine_similarity(
+                F.transform("vm", lambda m: m / q),
+                F.transform("cm", lambda m: m / q)).alias("cos"),
+        )
+        assign = scored.groupBy("vid").agg(
+            F.max_by(F.struct("list_id", "vm"),
+                     F.struct(F.col("cos"), -F.col("list_id"))).alias("m")
+        ).select(F.col("m.list_id").alias("list_id"),
+                 F.col("m.vm").alias("vm"))
+        cents = (
+            assign.select("list_id", F.posexplode("vm").alias("dim", "x"))
+            .groupBy("list_id", "dim")
+            .agg(F.round(F.sum("x").cast("double") / F.count("*"))
+                 .cast("long").alias("x"))
+            .groupBy("list_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("dim", "x"))).alias("s"))
+            .select("list_id",
+                    F.transform("s", lambda e: e["x"]).alias("cm"))
+        )
+        cents = cents.localCheckpoint(eager=True)
+    return cents.select("list_id", F.col("cm").alias("centroid_micro"))
+
+
+def kmeans_oracle_sql(
+    n_lists: int = 8, iters: int = 2, dim: int = 64,
+    table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of kmeans_train: the same quantize / assign / exact
+    integer mean rounds, unrolled (one CTE pair per Lloyd round, like
+    link_pagerank's unrolled power-method twin)."""
+    qq = KMEANS_QUANT
+    parts = [
+        f"with v as (select {id_col} as vid,"
+        f" list_transform({vec_col}::DOUBLE[],"
+        f" x -> cast(round(x * {qq}) as bigint)) as vm from {table})",
+        f"dims as (select unnest(range(1, {dim} + 1)) as dim)",
+        "c0 as (select cast(row_number() over (order by vid) as int)"
+        " as list_id, vm as cm from"
+        f" (select vid, vm from v order by vid limit {n_lists}))",
+    ]
+    prev = "c0"
+    for r in range(1, iters + 1):
+        parts.append(
+            f"a{r} as ("
+            " select vid, vm, list_id from ("
+            "  select v.vid, v.vm, c.list_id,"
+            "   row_number() over (partition by v.vid order by"
+            f"   list_cosine_similarity("
+            f"     list_transform(v.vm, m -> m / {qq}.0),"
+            f"     list_transform(c.cm, m -> m / {qq}.0)) desc,"
+            "    c.list_id asc) as rn"
+            f"  from v cross join {prev} c) where rn = 1)")
+        parts.append(
+            f"c{r} as ("
+            " select list_id, list(x order by dim) as cm from ("
+            "  select list_id, dim,"
+            "   cast(round(sum(vm[dim])::double / count(*)) as bigint) as x"
+            f"  from a{r} cross join dims group by list_id, dim)"
+            " group by list_id)")
+        prev = f"c{r}"
+    parts_sql = ",\n".join(parts)
+    return (f"{parts_sql}\n"
+            f"select list_id, cm as centroid_micro from {prev}")

@@ -92,3 +92,25 @@ def test_assignment_gears_identical(spark, emb):
     arrow3 = {(r.vid, r.list_id)
               for r in S._nearest_lists_arrow(vecs, cents, 3).collect()}
     assert sql3 == arrow3
+
+
+def test_kmeans_train_reshuffle_deterministic(emb):
+    """The exact-integer Lloyd rounds must yield a byte-identical codebook
+    regardless of input partitioning — the claim that makes the oracle
+    (and cross-cluster reproducibility) possible."""
+    a = {r.list_id: r.centroid_micro
+         for r in S.kmeans_train(emb, n_lists=6, iters=2).collect()}
+    b = {r.list_id: r.centroid_micro
+         for r in S.kmeans_train(
+             emb.repartition(13, "label"), n_lists=6, iters=2).collect()}
+    assert a == b
+    assert len(a) <= 6 and all(len(v) == 64 for v in a.values())
+
+
+def test_kmeans_train_zero_iters_is_quantized_seeds(emb):
+    out = {r.list_id: r.centroid_micro
+           for r in S.kmeans_train(emb, n_lists=3, iters=0).collect()}
+    seeds = emb.orderBy("vec_id").limit(3).collect()
+    for i, row in enumerate(seeds, start=1):
+        expect = [round(float(x) * S.KMEANS_QUANT) for x in row.embedding]
+        assert out[i] == expect
