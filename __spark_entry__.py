@@ -576,6 +576,54 @@ def q_span_flatten(spark, sf_dir):
     )
 
 
+def q_span_extract(spark, sf_dir):
+    """Kind-aware candidate-link extraction from interleaved span
+    sequences — the north-rule's extraction stage surfaced as an oracle
+    query: html spans parse through the SAX walker (tag→attr table,
+    reference src/links.ts:8-41), markdown spans compile to html first
+    (src/server.ts markdown path), media_ref spans emit their reference
+    at their document position — all inside ONE Arrow-batched
+    mapInPandas pass (extract.make_candidate_links_udf, the same batch
+    fn the crawl engine runs), no per-row Python. One deterministic link
+    is planted per span kind (markdown on %3, media on %4) so the DuckDB
+    twin replays the parser's ordinal-ordered output exactly."""
+    from linkinator_spark.functions import extract as EX
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html_span = F.concat(
+        F.lit('<p>intro</p><a href="http://site'), (d % 20).cast("string"),
+        F.lit(".example/page/"), d.cast("string"), F.lit('">x</a>'))
+    md_span = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("see [ref](https://ref.example/r/"),
+                 (d % 50).cast("string"), F.lit(")")),
+    ).otherwise(F.lit("plain prose without any link"))
+    media = F.concat(F.lit("http://m.example/"),
+                     F.md5(d.cast("string")))
+    spans = F.array(
+        F.struct(F.lit("html").alias("kind"), html_span.alias("text"),
+                 F.lit("").alias("media_ref"), F.lit(0).alias("offset")),
+        F.struct(F.lit("markdown").alias("kind"), md_span.alias("text"),
+                 F.lit("").alias("media_ref"), F.lit(1).alias("offset")),
+        F.struct(F.lit("media_ref").alias("kind"), F.lit("").alias("text"),
+                 F.when(d % 4 == 0, media).otherwise(F.lit(""))
+                 .alias("media_ref"), F.lit(2).alias("offset")),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://host.example/p/"),
+                 d.cast("string")).alias("page_url"),
+        F.concat(F.lit("http://host.example/p/"),
+                 d.cast("string")).alias("base_url"),
+        F.lit("html").alias("content_kind"),
+        spans.alias("spans"),
+    )
+    out = pages.mapInPandas(
+        EX.make_candidate_links_udf(check_css=False, markdown=True),
+        EX.CANDIDATE_SCHEMA)
+    return out.select("page_url", "ordinal", "raw_link", "resolved_url")
+
+
 def q_span_render(spark, sf_dir):
     """Interleaved-sequence rendering (functions/interleave.render_spans):
     reassemble each document's model-input stream from the exploded span
@@ -1705,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backoff": q_retry_backoff,
         "classify_taxonomy": q_classify_taxonomy,
         "span_flatten": q_span_flatten,
+        "span_extract": q_span_extract,
         "span_render": q_span_render,
         "span_roundtrip": q_span_roundtrip,
         "dedup_exact": q_dedup_exact,
@@ -2228,6 +2277,33 @@ def oracle_sql() -> dict[str, str]:
             from frame
         """,
         "span_flatten": _SPAN_FLAT_SQL,
+        "span_extract": """
+            -- the parser's ordinal-ordered output on the planted spans:
+            -- html link always (ordinal 0), markdown link on %3 (ordinal
+            -- 1), media_ref on %4 (after the markdown link if present)
+            with base as (
+              select doc_id,
+                     'http://host.example/p/' || cast(doc_id as varchar)
+                       as page_url
+              from documents),
+            links as (
+              select page_url, 0 as ordinal,
+                     'http://site' || cast(doc_id % 20 as varchar)
+                       || '.example/page/' || cast(doc_id as varchar) as u
+              from base
+              union all
+              select page_url, 1 as ordinal,
+                     'https://ref.example/r/' || cast(doc_id % 50 as varchar)
+              from base where doc_id % 3 = 0
+              union all
+              select page_url,
+                     case when doc_id % 3 = 0 then 2 else 1 end as ordinal,
+                     'http://m.example/' || md5(cast(doc_id as varchar))
+              from base where doc_id % 4 = 0)
+            select page_url, cast(ordinal as int) as ordinal,
+                   u as raw_link, u as resolved_url
+            from links
+        """,
         "span_render": IV.render_spans_oracle_sql(_SPAN_FLAT_SQL),
         "span_roundtrip": """
             with chunks as (

@@ -238,6 +238,17 @@ def _looks_like_absolute_url(value: str) -> bool:
     return parsed["parse_error"] is None
 
 
+
+def _span_list(spans) -> list:
+    """Null-safe span materialization: the spans column arrives as a
+    Python list from driver-built rows but as a numpy object array from
+    Arrow batches (mapInPandas), where `spans or []` raises on ambiguous
+    truth — normalize both to a plain list."""
+    if spans is None:
+        return []
+    return list(spans)
+
+
 def get_links_from_spans(
     spans: Iterable[dict],
     base_url: str,
@@ -251,7 +262,7 @@ def get_links_from_spans(
     getCssLinks on a full body (links.ts:67-181,243-264) with media_ref spans
     emitted directly at their position.
     """
-    ordered = sorted(spans or [], key=lambda s: s.get("offset", 0))
+    ordered = sorted(_span_list(spans), key=lambda s: s.get("offset", 0))
     if content_kind == "css":
         css_text = "".join(s.get("text") or "" for s in ordered)
         raw = [(u, base_url) for u in extract_urls_from_css(css_text)]
@@ -293,7 +304,7 @@ def extract_fragment_ids_from_spans(spans: Iterable[dict], markdown: bool = True
     """Valid fragment targets on a page (links.ts:363-399); markdown headings
     become gfm anchors (server.ts:147-165)."""
     sax = _LinkSax("http://placeholder.invalid/", check_css=False)
-    for span in sorted(spans or [], key=lambda s: s.get("offset", 0)):
+    for span in sorted(_span_list(spans), key=lambda s: s.get("offset", 0)):
         kind = span.get("kind") or "text"
         text = span.get("text") or ""
         if kind == "html":
@@ -307,7 +318,7 @@ def extract_fragment_ids_from_spans(spans: Iterable[dict], markdown: bool = True
 def page_text_from_spans(spans: Iterable[dict]) -> str:
     """Raw body text in span order (soft-404 sniffing, src/index.ts:632-635)."""
     return "".join(
-        (s.get("text") or "") for s in sorted(spans or [], key=lambda x: x.get("offset", 0))
+        (s.get("text") or "") for s in sorted(_span_list(spans), key=lambda x: x.get("offset", 0))
     )
 
 
