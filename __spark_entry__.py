@@ -624,6 +624,15 @@ def q_span_extract(spark, sf_dir):
     return out.select("page_url", "ordinal", "raw_link", "resolved_url")
 
 
+def q_span_captions(spark, sf_dir):
+    """MMC4/OBELICS-style media-caption pairing over the interleaved
+    span table (interleave.caption_pairs): each media span pairs with
+    the nearest text span by offset, ties to the preceding text. One
+    uniform doc-keyed shuffle; the alignment itself is a codegen array
+    fold bounded by the document's own span count."""
+    return IV.caption_pairs(q_span_flatten(spark, sf_dir))
+
+
 def q_span_render(spark, sf_dir):
     """Interleaved-sequence rendering (functions/interleave.render_spans):
     reassemble each document's model-input stream from the exploded span
@@ -1754,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_taxonomy": q_classify_taxonomy,
         "span_flatten": q_span_flatten,
         "span_extract": q_span_extract,
+        "span_captions": q_span_captions,
         "span_render": q_span_render,
         "span_roundtrip": q_span_roundtrip,
         "dedup_exact": q_dedup_exact,
@@ -2304,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
                    u as raw_link, u as resolved_url
             from links
         """,
+        "span_captions": IV.caption_pairs_oracle_sql(_SPAN_FLAT_SQL),
         "span_render": IV.render_spans_oracle_sql(_SPAN_FLAT_SQL),
         "span_roundtrip": """
             with chunks as (

@@ -28,7 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["render_spans", "render_spans_oracle_sql"]
+__all__ = ["render_spans", "render_spans_oracle_sql",
+           "caption_pairs", "caption_pairs_oracle_sql"]
 
 
 def render_spans(
@@ -99,4 +100,97 @@ def render_spans_oracle_sql(
                md5(string_agg(p, '' order by "offset")) as rendered_md5
         from pieces
         group by {id_col}
+    """
+
+
+def caption_pairs(
+    spans: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """MMC4/OBELICS-style media-text alignment: pair every media span
+    with its best caption — the nearest text span by span offset, ties
+    to the EARLIER text (the preceding-caption convention).
+
+    Input: the exploded span table (id_col, kind, text, media_ref,
+    offset). Output, one row per media span that has at least one
+    non-empty text span in its document:
+      (id_col, media_ref, media_offset, caption_offset, caption)
+
+    Everything after the one doc-keyed collect is whole-stage-codegen
+    array work: texts and medias are filtered views of the sorted span
+    array, and the best caption is a sequential `aggregate` fold over
+    the texts (strict less-than on the distance, so the first — lowest
+    offset — wins ties). Per-task memory is bounded by a single
+    document's span list; the only shuffle keys on the uniform doc id.
+    DuckDB twin: caption_pairs_oracle_sql (join + rank form — same
+    pairs, proven by the strict-tie argument above)."""
+    agg = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("offset").alias("o"), F.col("kind").alias("k"),
+            F.col("text").alias("t"), F.col("media_ref").alias("m"),
+        ))).alias("sps"))
+    texts = F.filter(
+        F.col("sps"),
+        lambda s: (s.getField("k") == "text")
+        & (F.length(s.getField("t")) > 0))
+    medias = F.filter(F.col("sps"), lambda s: s.getField("k") == "media_ref")
+    big = F.lit(1 << 62).cast("long")
+
+    def best_for(m):
+        init = F.struct(
+            big.alias("d"),
+            F.lit(-1).cast("int").alias("o"),
+            F.lit("").alias("t"))
+        return F.aggregate(
+            texts, init,
+            lambda acc, t: F.when(
+                F.abs(t.getField("o") - m.getField("o")).cast("long")
+                < acc.getField("d"),
+                F.struct(
+                    F.abs(t.getField("o") - m.getField("o")).cast("long")
+                    .alias("d"),
+                    t.getField("o").alias("o"),
+                    t.getField("t").alias("t")),
+            ).otherwise(acc))
+
+    pairs = F.transform(
+        medias,
+        lambda m: F.struct(
+            m.getField("m").alias("media_ref"),
+            m.getField("o").alias("media_offset"),
+            best_for(m).alias("best")))
+    return (
+        agg.select(id_col, F.explode(pairs).alias("p"))
+        .filter(F.col("p.best.o") >= 0)
+        .select(
+            id_col,
+            F.col("p.media_ref").alias("media_ref"),
+            F.col("p.media_offset").cast("int").alias("media_offset"),
+            F.col("p.best.o").cast("int").alias("caption_offset"),
+            F.col("p.best.t").alias("caption"),
+        )
+    )
+
+
+def caption_pairs_oracle_sql(spans_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of caption_pairs: media x text join per doc, rank by
+    (|offset diff|, text offset) — identical pairs to the fold form."""
+    return f"""
+        with spans as ({spans_sql}),
+        texts as (
+          select {id_col}, "offset" as to_, text
+          from spans where kind = 'text' and length(text) > 0),
+        medias as (
+          select {id_col}, "offset" as mo, media_ref
+          from spans where kind = 'media_ref'),
+        ranked as (
+          select m.{id_col}, m.media_ref, m.mo, t.to_, t.text,
+                 row_number() over (
+                   partition by m.{id_col}, m.mo
+                   order by abs(t.to_ - m.mo), t.to_) as rn
+          from medias m join texts t using ({id_col}))
+        select {id_col}, media_ref,
+               cast(mo as int) as media_offset,
+               cast(to_ as int) as caption_offset,
+               text as caption
+        from ranked where rn = 1
     """

@@ -66,3 +66,35 @@ def test_multiple_documents_grouped(spark):
     out = _render(spark, rows)
     assert out[1]["n_spans"] == 1 and out[2]["n_spans"] == 2
     assert out[2]["rendered_md5"] == hashlib.md5(b"yz").hexdigest()
+
+
+def _pairs(spark, rows):
+    from linkinator_spark.functions.interleave import caption_pairs
+    df = spark.createDataFrame(
+        rows, "doc_id int, kind string, text string, media_ref string, offset int")
+    return {(r.doc_id, r.media_offset): (r.caption_offset, r.caption)
+            for r in caption_pairs(df).collect()}
+
+
+def test_caption_nearest_text_wins(spark):
+    rows = [(1, "text", "far", "", 0), (1, "media_ref", "", "m1", 5),
+            (1, "text", "near", "", 6)]
+    assert _pairs(spark, rows) == {(1, 5): (6, "near")}
+
+
+def test_caption_tie_prefers_preceding_text(spark):
+    rows = [(1, "text", "before", "", 4), (1, "media_ref", "", "m1", 5),
+            (1, "text", "after", "", 6)]
+    assert _pairs(spark, rows) == {(1, 5): (4, "before")}
+
+
+def test_caption_skips_docs_without_text(spark):
+    rows = [(1, "media_ref", "", "m1", 0),
+            (2, "media_ref", "", "m2", 0), (2, "text", "t", "", 3)]
+    assert _pairs(spark, rows) == {(2, 0): (3, "t")}
+
+
+def test_caption_empty_text_spans_ignored(spark):
+    rows = [(1, "text", "", "", 4), (1, "media_ref", "", "m1", 5),
+            (1, "text", "real", "", 9)]
+    assert _pairs(spark, rows) == {(1, 5): (9, "real")}
