@@ -624,6 +624,42 @@ def q_span_extract(spark, sf_dir):
     return out.select("page_url", "ordinal", "raw_link", "resolved_url")
 
 
+def q_span_anchors(spark, sf_dir):
+    """Fragment-target extraction from span sequences
+    (extract.make_anchors_udf — the fragment-validation side of the
+    crawl): html id attributes collected by the SAX walker plus markdown
+    headings compiled to GitHub-flavored anchors (gfm_heading_id,
+    reference src/server.ts:147-165), one Arrow batch pass. The DuckDB
+    twin rebuilds the slugs from the same plantings (ascii-only, so the
+    \\w classes agree)."""
+    from linkinator_spark.functions import extract as EX
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html_span = F.concat(
+        F.lit('<h1 id="top">T</h1><div id="intro'), (d % 5).cast("string"),
+        F.lit('">i</div>'))
+    md_span = F.concat(
+        F.lit("## Section "), (d % 7).cast("string"), F.lit(" Overview!"))
+    spans = F.array(
+        F.struct(F.lit("html").alias("kind"), html_span.alias("text"),
+                 F.lit("").alias("media_ref"), F.lit(0).alias("offset")),
+        F.struct(F.lit("markdown").alias("kind"), md_span.alias("text"),
+                 F.lit("").alias("media_ref"), F.lit(1).alias("offset")),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://host.example/p/"),
+                 d.cast("string")).alias("page_url"),
+        spans.alias("spans"),
+    )
+    out = pages.mapInPandas(
+        EX.make_anchors_udf(markdown=True), EX.ANCHORS_SCHEMA)
+    return out.select(
+        "page_url", "anchors",
+        F.size("anchors").alias("n_anchors"),
+        F.md5("body_text").alias("body_md5"))
+
+
 def q_span_captions(spark, sf_dir):
     """MMC4/OBELICS-style media-caption pairing over the interleaved
     span table (interleave.caption_pairs): each media span pairs with
@@ -1763,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_taxonomy": q_classify_taxonomy,
         "span_flatten": q_span_flatten,
         "span_extract": q_span_extract,
+        "span_anchors": q_span_anchors,
         "span_captions": q_span_captions,
         "span_render": q_span_render,
         "span_roundtrip": q_span_roundtrip,
@@ -2313,6 +2350,25 @@ def oracle_sql() -> dict[str, str]:
             select page_url, cast(ordinal as int) as ordinal,
                    u as raw_link, u as resolved_url
             from links
+        """,
+        "span_anchors": """
+            with base as (
+              select doc_id,
+                     'http://host.example/p/' || cast(doc_id as varchar)
+                       as page_url,
+                     '<h1 id="top">T</h1><div id="intro'
+                       || cast(doc_id % 5 as varchar) || '">i</div>' as h,
+                     '## Section ' || cast(doc_id % 7 as varchar)
+                       || ' Overview!' as md
+              from documents)
+            select page_url,
+                   list_sort(['top',
+                              'intro' || cast(doc_id % 5 as varchar),
+                              'section-' || cast(doc_id % 7 as varchar)
+                                || '-overview']) as anchors,
+                   3 as n_anchors,
+                   md5(h || md) as body_md5
+            from base
         """,
         "span_captions": IV.caption_pairs_oracle_sql(_SPAN_FLAT_SQL),
         "span_render": IV.render_spans_oracle_sql(_SPAN_FLAT_SQL),
