@@ -961,6 +961,32 @@ def q_doc_pack(spark, sf_dir):
     return SMP.pack_shards(docs, max_tokens=512, n_buckets=8)
 
 
+# fixed per-image token budget in the packed sequence — the
+# Flamingo/LLaVA-style convention where every media element consumes a
+# constant number of positions regardless of content
+_MEDIA_SPAN_TOKENS = 64
+
+
+def q_doc_pack_multimodal(spark, sf_dir):
+    """Token-budget sharding of INTERLEAVED documents: a document's cost
+    is its text spans' token count plus a fixed 64-token charge per
+    media span (the constant-positions-per-image convention of
+    interleaved multimodal training). The cost rollup is one uniform
+    doc-keyed aggregate over the span table; the layout itself is the
+    same hash-deal + bucket-cumsum pack_shards shape as doc_pack — no
+    global sort, reshuffle-stable, media-heavy docs just weigh more."""
+    from linkinator_spark.functions import sampling as SMP
+
+    spans = q_span_flatten(spark, sf_dir)
+    tok = F.when(
+        F.col("kind") == "media_ref", F.lit(_MEDIA_SPAN_TOKENS)
+    ).otherwise(T.token_count(F.col("text")))
+    costs = spans.groupBy("doc_id").agg(
+        F.sum(tok).cast("long").alias("n_tokens"))
+    return SMP.pack_shards(
+        costs, max_tokens=512, n_buckets=8, salt="mpack")
+
+
 def q_doc_pack_bpe(spark, sf_dir):
     """Token-budget sharding under the pluggable BPE tokenizer
     (functions/tokenize.py): same single uniform-hash-shuffle pack as
@@ -1835,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_build_capped": q_corpus_build_capped,
         "corpus_build_v2": q_corpus_build_v2,
         "doc_pack": q_doc_pack,
+        "doc_pack_multimodal": q_doc_pack_multimodal,
         "doc_pack_bpe": q_doc_pack_bpe,
         "doc_split": q_doc_split,
         "doc_sample_stratified": q_doc_sample_stratified,
@@ -2601,6 +2628,30 @@ def oracle_sql() -> dict[str, str]:
                        as tok,
                      {_hash_sql("cast(doc_id as varchar)", "pack:")} as h
               from documents),
+            b as (select id, tok, h, h % 8 as bucket from keyed),
+            c as (select id, bucket, tok,
+                         sum(tok) over (partition by bucket
+                                        order by h, id) as cum
+                  from b)
+            select id, bucket,
+                   cast(floor((cum - tok) / 512) as bigint) as shard_seq,
+                   bucket * 281474976710656
+                     + cast(floor((cum - tok) / 512) as bigint) as shard_id
+            from c
+        """,
+        "doc_pack_multimodal": f"""
+            with spans as ({_SPAN_FLAT_SQL}),
+            costs as (
+              select doc_id as id,
+                     sum(case when kind = 'media_ref' then 64
+                          else len(regexp_extract_all(text,
+                            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) end
+                         )::bigint as tok
+              from spans group by 1),
+            keyed as (
+              select id, tok,
+                     {_hash_sql("cast(id as varchar)", "mpack:")} as h
+              from costs),
             b as (select id, tok, h, h % 8 as bucket from keyed),
             c as (select id, bucket, tok,
                          sum(tok) over (partition by bucket
