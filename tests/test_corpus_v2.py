@@ -61,3 +61,47 @@ def test_v2_shift_preserves_every_planting_modulus():
     # original's and the pair could never co-survive
     for mod in (3, 4, 5, 6, 7, 11, 19, 20, 23):
         assert entrymod._V2_SHIFT % mod == 0
+
+
+def test_v2_reshuffle_stable(spark):
+    """The v2 chain is a pure function of the input rows: recomputing on
+    a repartitioned source must select exactly the same corpus with the
+    same split labels."""
+    a = {r.doc_id: (r.host, r.n_words, r.n_kept, r.split)
+         for r in entrymod.q_corpus_build_v2(spark, SF_DIR).collect()}
+
+    import linkinator_spark.functions.blocklist as BL
+    import linkinator_spark.functions.c4 as C4
+    import linkinator_spark.functions.gopher as GP
+    import linkinator_spark.functions.sampling as SMP
+    from linkinator_spark.functions import text as T
+
+    dd = entrymod._docs_v2(spark, SF_DIR).repartition(17)
+    d = F.col("doc_id")
+    host = F.concat(F.lit("sub"), (d % 3).cast("string"),
+                    F.lit(".site"), (d % 20).cast("string"),
+                    F.lit(".example"))
+    gated = dd.select(
+        "doc_id", "text", host.alias("host"),
+        GP.gopher_features(entrymod._gopher_demo_text())["n_words"]
+        .alias("n_words"),
+        GP.gopher_pass(entrymod._gopher_demo_text()).alias("_gok"),
+        F.size(C4.kept_lines(entrymod._c4_demo_text())).cast("long")
+        .alias("n_kept"),
+        C4.page_kept(entrymod._c4_demo_text()).alias("_cok"),
+    ).filter(F.col("_gok") & F.col("_cok"))
+    rules = spark.createDataFrame(
+        [(r,) for r in entrymod._BLOCKLIST_RULES], "domain string")
+    surv = (
+        BL.apply_blocklist(gated, rules, url_col="doc_id")
+        .filter(F.col("blocked") == 0)
+        .select("doc_id", "host", "n_words", "n_kept",
+                F.md5(T.normalize_text(F.col("text"))).alias("ck"))
+    )
+    keepers = surv.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
+    _, split = SMP.split_expr("doc_id")
+    b = {r.doc_id: (r.host, r.n_words, r.n_kept, r.split)
+         for r in surv.join(keepers, ["ck", "doc_id"])
+         .select("doc_id", "host", "n_words", "n_kept",
+                 split.alias("split")).collect()}
+    assert a == b
