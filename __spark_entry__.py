@@ -30,6 +30,7 @@ from linkinator_spark.functions import lm as LM  # noqa: E402
 from linkinator_spark.functions import media as M  # noqa: E402
 from linkinator_spark.functions import similarity as S  # noqa: E402
 from linkinator_spark.functions import text as T  # noqa: E402
+from linkinator_spark.functions import traps as TRM  # noqa: E402
 from linkinator_spark.functions import vectorize as VZ  # noqa: E402
 from linkinator_spark.operators.classify import classify  # noqa: E402
 from linkinator_spark.operators.crawler import LinkChecker  # noqa: E402
@@ -1332,6 +1333,37 @@ def q_url_blocklist(spark, sf_dir):
     return BL.apply_blocklist(urls, rules)
 
 
+def q_url_traps(spark, sf_dir):
+    """Crawl-trap detection (functions/traps.detect_traps): URLs collapse
+    to templates (path digit runs → N, query values → *, keys sorted) and
+    families with an exploding distinct-URL count are flagged — the
+    frontier-hygiene stage that keeps a calendar/session-id host from
+    filling a 10^10-URL queue. Planted: every doc links a sectioned
+    article page (families of ~14 per host — below threshold) and even
+    docs link a calendar URL with a unique session id (50 per host —
+    a trap). One projection + one map-side-combined groupBy; the hot
+    template key never materializes as shuffled rows."""
+    from linkinator_spark.functions import traps as TR
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("site"), (d % 5).cast("string"),
+                    F.lit(".example"))
+    sec = F.substring(F.lit("abcdefg"), (d % 7) + 1, 1)
+    normal = F.concat(F.lit("http://"), host, F.lit("/sec-"), sec,
+                      F.lit("/item/"), d.cast("string"))
+    trap = F.concat(F.lit("http://"), host,
+                    F.lit("/cal/20"), (d % 24).cast("string"),
+                    F.lit("/"), (d % 12 + 1).cast("string"),
+                    F.lit("/"), (d % 28 + 1).cast("string"),
+                    F.lit("?sess="), d.cast("string"),
+                    F.lit("&page="), (d % 17).cast("string"))
+    urls = docs.select(host.alias("host"), normal.alias("url")).unionByName(
+        docs.filter(d % 2 == 0).select(host.alias("host"),
+                                       trap.alias("url")))
+    return TR.detect_traps(urls, threshold=40)
+
+
 def q_c4_clean(spark, sf_dir):
     """C4 line-level cleaning (functions/c4.c4_clean, Raffel et al. 2020
     §2.2): keep only terminal-punctuated >=3-word non-javascript lines,
@@ -1852,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "c4_clean": q_c4_clean,
         "url_blocklist": q_url_blocklist,
+        "url_traps": q_url_traps,
         "lm_score": q_lm_score,
         "ppl_bucket": q_ppl_bucket,
         "corpus_stats": q_corpus_stats,
@@ -2755,6 +2788,23 @@ def oracle_sql() -> dict[str, str]:
             " || cast(doc_id % 20 as varchar) || '.example' as host"
             " from documents",
             _BLOCKLIST_RULES),
+        "url_traps": TRM.traps_oracle_sql(
+            "select 'site' || cast(doc_id % 5 as varchar) || '.example'"
+            " as host,"
+            " 'http://site' || cast(doc_id % 5 as varchar) || '.example'"
+            " || '/sec-' || substring('abcdefg', doc_id % 7 + 1, 1)"
+            " || '/item/' || cast(doc_id as varchar) as url"
+            " from documents"
+            " union all"
+            " select 'site' || cast(doc_id % 5 as varchar) || '.example',"
+            " 'http://site' || cast(doc_id % 5 as varchar) || '.example'"
+            " || '/cal/20' || cast(doc_id % 24 as varchar)"
+            " || '/' || cast(doc_id % 12 + 1 as varchar)"
+            " || '/' || cast(doc_id % 28 + 1 as varchar)"
+            " || '?sess=' || cast(doc_id as varchar)"
+            " || '&page=' || cast(doc_id % 17 as varchar)"
+            " from documents where doc_id % 2 = 0",
+            threshold=40),
         "c4_clean": C4M.c4_clean_oracle_sql(
             docs_table="(select doc_id, " + _C4_DEMO_TEXT_SQL
             + " as text from documents)"),
