@@ -120,6 +120,20 @@ def main() -> None:
          "projection — no gate joins; broadcast suffix blocklist; only "
          "corpus-sized shuffles are the keeper's uniform md5 pair; AQE "
          "broadcasts the small blocked-hits side at runtime)"),
+        ("kmeans_train",
+         "engine-exact Lloyd (per round: broadcast codebook + map-side-"
+         "combined argmax, k*dim partial-combined exact integer mean; "
+         "plan truncated at the per-round localCheckpoint)"),
+        ("span_captions",
+         "media-caption pairing (one uniform doc-keyed collect; the "
+         "alignment is a codegen array fold, no second shuffle)"),
+        ("url_traps",
+         "crawl-trap detection (projection + ONE map-side-combined "
+         "groupBy on (host, template); hot template keys partial-"
+         "aggregate, never shuffle as rows)"),
+        ("doc_pack_multimodal",
+         "interleaved packing (span-cost rollup on uniform doc keys + "
+         "the bucketed pack cumsum; no global sort)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
