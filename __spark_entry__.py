@@ -1074,22 +1074,27 @@ _V2_SHIFT = 2_018_940
 
 
 def _docs_v2(spark, sf_dir):
-    """documents ∪ copies of doc_id%10==1 rows shifted by _V2_SHIFT — the
-    corpus_build_v2 input, with mod-class-preserving planted duplicates.
-    Residue 1 (not 0) because %10==0 implies %5==0, whose planted
-    ellipsis lines structurally fail Gopher's ellipsis rule — copies of
-    those docs could never reach the dedup stage."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    """documents (doc_id < _V2_SHIFT) ∪ copies of doc_id%10==1 rows
+    shifted by _V2_SHIFT — the corpus_build_v2 input, with
+    mod-class-preserving planted duplicates. Residue 1 (not 0) because
+    %10==0 implies %5==0, whose planted ellipsis lines structurally fail
+    Gopher's ellipsis rule — copies of those docs could never reach the
+    dedup stage. The `doc_id < _V2_SHIFT` gate on BOTH legs keeps copy
+    ids from aliasing genuine documents at scale factors whose id space
+    grows past the shift (ids ≤ ~5k at every shipped SF, so the gate is
+    a no-op here — it is the invariant, not a behavior change)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < _V2_SHIFT)
     copies = docs.filter(F.col("doc_id") % 10 == 1).select(
         (F.col("doc_id") + _V2_SHIFT).alias("doc_id"), "text")
     return docs.unionByName(copies)
 
 
 _DOCS_V2_SQL = (
-    "(select doc_id, text from documents"
+    f"(select doc_id, text from documents where doc_id < {_V2_SHIFT}"
     " union all"
     f" select doc_id + {_V2_SHIFT} as doc_id, text from documents"
-    " where doc_id % 10 = 1)"
+    f" where doc_id % 10 = 1 and doc_id < {_V2_SHIFT})"
 )
 
 
@@ -1675,9 +1680,11 @@ def q_kmeans_train(spark, sf_dir):
     here replayed bit-for-bit by DuckDB because vectors are quantized to
     integer micro-units once and every centroid update is an exact
     integer sum + one rounded division. Per round: one broadcast
-    codebook join with a map-side-combined argmax, one k*dim-row
-    partial-combined aggregate — no corpus-sized shuffle, driver traffic
-    is the k*dim-long codebook only."""
+    codebook join with a map-side-combined argmax (the groupBy(vid)
+    still exchanges one row per corpus vector — the shuffle KEY is the
+    uniform vid, but the volume is corpus-sized), then a k*dim-row
+    partial-combined aggregate; driver traffic is the k*dim-long
+    codebook only."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.kmeans_train(emb, n_lists=8, iters=2)
 

@@ -106,16 +106,22 @@ def _rule_bits(f: dict[str, Column]) -> dict[str, Column]:
     }
 
 
+def _fold_gate(bits: dict[str, Column]) -> Column:
+    """AND the seven rule bits in GOPHER_RULES order — the single gate
+    fold shared by gopher_pass and gopher_gate, so a rule change can
+    never desynchronize the two."""
+    gate = None
+    for name, _ in GOPHER_RULES:
+        gate = bits[name] if gate is None else (gate & bits[name])
+    return gate
+
+
 def gopher_pass(text: Column) -> Column:
     """The all-seven-rules gate as a single boolean Column — for
     composing the Gopher cut into a wider projection (one codegen pass,
     no intermediate DataFrame). `gopher_gate` is this plus the feature
     columns and the fail reason."""
-    bits = _rule_bits(gopher_features(text))
-    gate = None
-    for name, _ in GOPHER_RULES:
-        gate = bits[name] if gate is None else (gate & bits[name])
-    return gate
+    return _fold_gate(_rule_bits(gopher_features(text)))
 
 
 def gopher_gate(
@@ -136,9 +142,7 @@ def gopher_gate(
     reason = F.lit("pass")
     for name, _ in reversed(GOPHER_RULES):
         reason = F.when(~bits[name], F.lit(name)).otherwise(reason)
-    gate = None
-    for name, _ in GOPHER_RULES:
-        gate = bits[name] if gate is None else (gate & bits[name])
+    gate = _fold_gate(bits)
     return docs.select(
         id_col,
         *[f[k].alias(k) for k in f],

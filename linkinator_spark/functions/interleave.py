@@ -173,7 +173,12 @@ def caption_pairs(
 
 def caption_pairs_oracle_sql(spans_sql: str, id_col: str = "doc_id") -> str:
     """DuckDB twin of caption_pairs: media x text join per doc, rank by
-    (|offset diff|, text offset) — identical pairs to the fold form."""
+    (|offset diff|, text offset, text) within each (doc, media offset,
+    media_ref) — identical pairs to the fold form, whose array_sort
+    orders texts by (offset, kind, text) and whose strict less-than
+    keeps the first. Two media spans sharing BOTH offset and media_ref
+    (a violation of the span uniqueness invariant) would emit one row
+    here but two identical rows from the fold."""
     return f"""
         with spans as ({spans_sql}),
         texts as (
@@ -185,8 +190,8 @@ def caption_pairs_oracle_sql(spans_sql: str, id_col: str = "doc_id") -> str:
         ranked as (
           select m.{id_col}, m.media_ref, m.mo, t.to_, t.text,
                  row_number() over (
-                   partition by m.{id_col}, m.mo
-                   order by abs(t.to_ - m.mo), t.to_) as rn
+                   partition by m.{id_col}, m.mo, m.media_ref
+                   order by abs(t.to_ - m.mo), t.to_, t.text) as rn
           from medias m join texts t using ({id_col}))
         select {id_col}, media_ref,
                cast(mo as int) as media_offset,

@@ -9,11 +9,12 @@ hygiene flags them BEFORE scheduling (the classic heritrix/Nutch
 Najork, "Mercator: A scalable, extensible Web crawler", WWW 1999 §4).
 
 The detector canonicalizes every URL to its TEMPLATE — digit runs in
-the path collapse to `N`, query VALUES collapse to `*` while query keys
-are kept sorted — and counts distinct URLs per (host, template). A
-template whose distinct-URL count crosses `threshold` is a trap
-family; its URLs can then be dropped or budget-capped by joining the
-verdict back on the template.
+the PATH (never the scheme://authority prefix, so `site1.example` and
+`site2.example` stay distinct families) collapse to `N`, query VALUES
+collapse to `*` while query keys are kept sorted — and counts distinct
+URLs per (host, template). A template whose distinct-URL count crosses
+`threshold` is a trap family; its URLs can then be dropped or
+budget-capped by joining the verdict back on (host, template).
 
 Determinism: the template is a pure regexp/array projection (Java regex
 ∩ RE2-safe: classes and bounded constructs only), so Spark and DuckDB
@@ -40,15 +41,25 @@ _DIGITS_RE = r"[0-9]+"
 _QVAL_RE = r"=[^&]*"
 
 
+# scheme://authority — kept verbatim so digit-bearing hosts/ports never
+# collapse into one family
+_AUTH_RE = r"^([a-z][a-z0-9+.-]*://[^/?#]*)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
 def url_template(url: Column) -> Column:
     """Collapse a URL to its trap-family template.
 
-    `http://h/cal/2024/06/17?sess=abc&page=2` →
-    `http://h/cal/N/N/N?page=*&sess=*` (digit runs → N, query values →
-    *, query keys sorted so permuted parameter orders meet in one
-    family)."""
-    path = F.regexp_replace(
-        F.regexp_extract(url, r"^([^?#]*)", 1), _DIGITS_RE, "N")
+    `http://h1.example/cal/2024/06/17?sess=abc&page=2` →
+    `http://h1.example/cal/N/N/N?page=*&sess=*` (PATH digit runs → N —
+    the authority stays verbatim, so `h1` does not become `hN` —
+    query values → *, query keys sorted so permuted parameter orders
+    meet in one family)."""
+    auth = F.regexp_extract(url, _AUTH_RE, 1)
+    path = F.concat(
+        auth,
+        F.regexp_replace(
+            F.regexp_extract(url, _PATH_RE, 1), _DIGITS_RE, "N"))
     query = F.regexp_extract(url, r"\?([^#]*)", 1)
     qnorm = F.array_join(
         F.array_sort(F.filter(
@@ -70,8 +81,9 @@ def detect_traps(
     Output, one row per (host, template):
       (host, template, n_urls:long, is_trap:int)
     where n_urls counts DISTINCT urls in the family and is_trap is 1
-    iff n_urls >= threshold. Join back on the template of a candidate
-    URL to gate the frontier."""
+    iff n_urls >= threshold. Join back on (host, template) of a
+    candidate URL to gate the frontier — the template alone is not a
+    key (different hosts can share a collapsed path shape)."""
     t = urls.select(
         F.col(host_col).alias("host"),
         url_template(F.col(url_col)).alias("template"),
@@ -93,28 +105,29 @@ def traps_oracle_sql(
     url_col: str = "url", host_col: str = "host",
 ) -> str:
     """DuckDB twin of detect_traps over a urls subquery with the same
-    columns — identical template regexes and counts."""
+    columns — identical template regexes and counts. The normalized
+    query string is computed ONCE in its own CTE column so the Spark
+    twin (url_template) has a single expression to stay in lockstep
+    with."""
     return f"""
         with urls as ({urls_sql}),
+        q as (
+          select {host_col} as host, {url_col} as u,
+                 regexp_extract({url_col}, '{_AUTH_RE}', 1)
+                 || regexp_replace(
+                      regexp_extract({url_col}, '{_PATH_RE}', 1),
+                      '{_DIGITS_RE}', 'N', 'g') as p,
+                 array_to_string(list_sort(list_filter(
+                   string_split(regexp_replace(
+                     regexp_extract({url_col}, '\\?([^#]*)', 1),
+                     '{_QVAL_RE}', '=*', 'g'), '&'),
+                   x -> length(x) > 0)), '&') as qnorm
+          from urls),
         t as (
-          select {host_col} as host,
-                 regexp_replace(regexp_extract({url_col}, '^([^?#]*)', 1),
-                                '{_DIGITS_RE}', 'N', 'g')
-                 || case when length(regexp_extract({url_col},
-                                                    '\\?([^#]*)', 1)) > 0
-                      and length(array_to_string(list_sort(list_filter(
-                            string_split(regexp_replace(
-                              regexp_extract({url_col}, '\\?([^#]*)', 1),
-                              '{_QVAL_RE}', '=*', 'g'), '&'),
-                            p -> length(p) > 0)), '&')) > 0
-                    then '?' || array_to_string(list_sort(list_filter(
-                           string_split(regexp_replace(
-                             regexp_extract({url_col}, '\\?([^#]*)', 1),
-                             '{_QVAL_RE}', '=*', 'g'), '&'),
-                           p -> length(p) > 0)), '&')
-                    else '' end as template,
-                 {url_col} as u
-          from urls)
+          select host, u,
+                 p || case when length(qnorm) > 0
+                           then '?' || qnorm else '' end as template
+          from q)
         select host, template,
                count(distinct u)::bigint as n_urls,
                case when count(distinct u) >= {threshold} then 1 else 0 end

@@ -46,3 +46,14 @@ def test_threshold_boundary_and_distinct_count(spark):
            for r in detect_traps(df, threshold=5).collect()}
     assert out["http://h/cal/N"] == (5, 1)   # >= threshold, dup collapsed
     assert out["http://h/about"] == (1, 0)
+
+
+def test_template_preserves_digit_bearing_hosts(spark):
+    # the authority is kept verbatim — site1/site2 must NOT collapse
+    # into one cross-host family
+    got = _templates(spark, [
+        "http://site1.example/cal/5",
+        "http://site2.example:8080/cal/7",
+    ])
+    assert got[0] == "http://site1.example/cal/N"
+    assert got[1] == "http://site2.example:8080/cal/N"
