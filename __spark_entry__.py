@@ -24,6 +24,7 @@ from linkinator_spark.functions import dedup as D  # noqa: E402
 from linkinator_spark.functions import blocklist as BL  # noqa: E402
 from linkinator_spark.functions import c4 as C4M  # noqa: E402
 from linkinator_spark.functions import dsir as DSIR  # noqa: E402
+from linkinator_spark.functions import linededup as LD  # noqa: E402
 from linkinator_spark.functions import graph as GR  # noqa: E402
 from linkinator_spark.functions import interleave as IV  # noqa: E402
 from linkinator_spark.functions import lm as LM  # noqa: E402
@@ -1417,6 +1418,66 @@ _C4_DEMO_TEXT_SQL = (
 )
 
 
+def q_anchor_agg(spark, sf_dir):
+    """Incoming anchor-text profile per target URL
+    (graph.anchor_text_agg over extract.make_anchor_edges_udf): the SAX
+    walker captures the visible text of every <a href> (markdown links
+    compile to <a> first) in one Arrow batch pass; the aggregation is
+    two map-side-combined groupBys with a deterministic struct-max
+    argmax. Plantings: two html anchors per doc (shared 'read more' +
+    a doc_id%3-varying label, both to target page doc_id%10), one
+    markdown link to guide doc_id%4, and an <img> that must NOT appear.
+    The oracle rebuilds the same edges from the doc_id arithmetic, so a
+    parsing slip (img leaking in, anchor text mis-captured, markdown
+    not compiled) breaks the hash."""
+    from linkinator_spark.functions import extract as EX
+    from linkinator_spark.functions import graph as GRF
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html_span = F.concat(
+        F.lit('<p><a href="http://t.example/page/'), (d % 10).cast("string"),
+        F.lit('">read  more</a> and <a href="http://t.example/page/'),
+        (d % 10).cast("string"),
+        F.lit('">article '), (d % 3).cast("string"),
+        F.lit('</a> <img src="http://t.example/img/'), d.cast("string"),
+        F.lit('.png"></p>'))
+    md_span = F.concat(
+        F.lit("see [guide "), (d % 4).cast("string"),
+        F.lit("](http://t.example/guide/"), (d % 4).cast("string"),
+        F.lit(")"))
+    spans = F.array(
+        F.struct(F.lit("html").alias("kind"), html_span.alias("text"),
+                 F.lit("").alias("media_ref"), F.lit(0).alias("offset")),
+        F.struct(F.lit("markdown").alias("kind"), md_span.alias("text"),
+                 F.lit("").alias("media_ref"), F.lit(1).alias("offset")),
+    )
+    pages = docs.select(
+        F.concat(F.lit("http://host.example/p/"),
+                 d.cast("string")).alias("page_url"),
+        F.lit(None).cast("string").alias("base_url"),
+        spans.alias("spans"),
+    )
+    edges = pages.mapInPandas(
+        EX.make_anchor_edges_udf(markdown=True), EX.ANCHOR_EDGES_SCHEMA)
+    return GRF.anchor_text_agg(edges)
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level exact line dedup (functions/linededup.line_dedup,
+    CCNet §3.1 / RefinedWeb §3.2): CCNet-normalized lines (lowercase,
+    trim, digits->0) that appear in >=2 distinct documents are removed
+    from every document. Input is the same six-line recast as c4_clean
+    (_c4_demo_text), whose %5/%7/%11-keyed boilerplate lines repeat
+    across docs while the prose slices stay unique. Scale shape:
+    composite-key distinct (hot banner lines stay uniform), map-side
+    combined count, broadcast 8-byte hash probe, one doc-keyed
+    reassembly shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return LD.line_dedup(
+        docs.select("doc_id", _c4_demo_text().alias("text")))
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR importance resampling (functions/dsir.dsir_select, Xie et al.
     2023): fit hashed-bigram multinomials over the English docs (target)
@@ -1890,6 +1951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gate": q_gopher_gate,
         "dsir_select": q_dsir_select,
         "c4_clean": q_c4_clean,
+        "line_dedup": q_line_dedup,
+        "anchor_agg": q_anchor_agg,
         "url_blocklist": q_url_blocklist,
         "url_traps": q_url_traps,
         "lm_score": q_lm_score,
@@ -2815,6 +2878,23 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": C4M.c4_clean_oracle_sql(
             docs_table="(select doc_id, " + _C4_DEMO_TEXT_SQL
             + " as text from documents)"),
+        "line_dedup": LD.line_dedup_oracle_sql(
+            docs_table="(select doc_id, " + _C4_DEMO_TEXT_SQL
+            + " as text from documents)"),
+        "anchor_agg": GR.anchor_text_agg_oracle_sql(
+            "select 'http://host.example/p/' || cast(doc_id as varchar)"
+            "   as page_url,"
+            " 'http://t.example/page/' || cast(doc_id % 10 as varchar)"
+            "   as resolved_url,"
+            " 'read more' as anchor_text from documents"
+            " union all"
+            " select 'http://host.example/p/' || cast(doc_id as varchar),"
+            " 'http://t.example/page/' || cast(doc_id % 10 as varchar),"
+            " 'article ' || cast(doc_id % 3 as varchar) from documents"
+            " union all"
+            " select 'http://host.example/p/' || cast(doc_id as varchar),"
+            " 'http://t.example/guide/' || cast(doc_id % 4 as varchar),"
+            " 'guide ' || cast(doc_id % 4 as varchar) from documents"),
         "dsir_select": DSIR.dsir_oracle_sql(
             "lang = 'en'", k=100, n_buckets=512, alpha=0.5),
         "lm_score": LM.lm_nll_oracle_sql("doc_id % 2 = 0", alpha=0.5),

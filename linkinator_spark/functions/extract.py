@@ -136,7 +136,8 @@ class _LinkSax(HTMLParser):
     dance (links.ts:80-176). Emits (raw_link, base_at_emit) in document order.
     """
 
-    def __init__(self, base_url: str, check_css: bool):
+    def __init__(self, base_url: str, check_css: bool,
+                 capture_anchor_text: bool = False):
         super().__init__(convert_charrefs=True)
         self.base_url = base_url
         self.base_set = False
@@ -147,6 +148,15 @@ class _LinkSax(HTMLParser):
         self._style_buf: list[str] = []
         self._in_jsonld = False
         self._jsonld_buf: list[str] = []
+        # anchor-text capture (opt-in): anchor_texts[i] is the visible
+        # text of raw_links[i] when that link came from an <a href>,
+        # else "" — an LLM-data signal (incoming anchor text describes
+        # the target page), not reference behavior (linkinator reports
+        # per-link verdicts only)
+        self.capture_anchor_text = capture_anchor_text
+        self.anchor_texts: list[str] = []
+        self._open_anchor: int | None = None
+        self._anchor_buf: list[str] = []
 
     # -- open tag ----------------------------------------------------------
     def handle_starttag(self, tag: str, attrs_list):
@@ -204,6 +214,14 @@ class _LinkSax(HTMLParser):
                 else:
                     self._emit(value)
 
+        if self.capture_anchor_text and tag == "a":
+            # a new <a> implicitly closes any open one (nesting is
+            # invalid HTML; browsers auto-close the same way)
+            self._close_anchor()
+            if attrs.get("href"):
+                self._open_anchor = len(self.raw_links) - 1
+                self._anchor_buf = []
+
     def handle_startendtag(self, tag, attrs):  # <img ... /> style
         self.handle_starttag(tag, attrs)
 
@@ -212,8 +230,19 @@ class _LinkSax(HTMLParser):
             self._style_buf.append(data)
         if self._in_jsonld:
             self._jsonld_buf.append(data)
+        if self._open_anchor is not None:
+            self._anchor_buf.append(data)
+
+    def _close_anchor(self):
+        if self._open_anchor is not None:
+            self.anchor_texts[self._open_anchor] = " ".join(
+                "".join(self._anchor_buf).split())
+            self._open_anchor = None
+            self._anchor_buf = []
 
     def handle_endtag(self, tag: str):
+        if tag == "a":
+            self._close_anchor()
         if tag == "style" and self._in_style:
             self._in_style = False
             for url in extract_urls_from_css("".join(self._style_buf)):
@@ -231,6 +260,11 @@ class _LinkSax(HTMLParser):
 
     def _emit(self, raw: str):
         self.raw_links.append((raw, self.base_url))
+        self.anchor_texts.append("")
+
+    def close(self):
+        super().close()
+        self._close_anchor()
 
 
 def _looks_like_absolute_url(value: str) -> bool:
@@ -255,6 +289,7 @@ def get_links_from_spans(
     check_css: bool = False,
     markdown: bool = True,
     content_kind: str = "html",
+    capture_anchor_text: bool = False,
 ) -> list[dict]:
     """One page body (span sequence) -> candidate links in document order.
 
@@ -263,11 +298,13 @@ def get_links_from_spans(
     emitted directly at their position.
     """
     ordered = sorted(_span_list(spans), key=lambda s: s.get("offset", 0))
+    anchor_texts: list[str] | None = None
     if content_kind == "css":
         css_text = "".join(s.get("text") or "" for s in ordered)
         raw = [(u, base_url) for u in extract_urls_from_css(css_text)]
     else:
-        sax = _LinkSax(base_url, check_css)
+        sax = _LinkSax(base_url, check_css,
+                       capture_anchor_text=capture_anchor_text)
         raw = []
         for span in ordered:
             kind = span.get("kind") or "text"
@@ -291,11 +328,16 @@ def get_links_from_spans(
             # kind == 'text': plain text carries no markup links
         sax.close()
         raw = sax.raw_links
+        if capture_anchor_text:
+            anchor_texts = sax.anchor_texts
 
     out = []
     for i, (link, base) in enumerate(raw):
         parsed = parse_link(link, base)
         parsed["ordinal"] = i
+        if capture_anchor_text:
+            parsed["anchor_text"] = (
+                anchor_texts[i] if anchor_texts is not None else "")
         out.append(parsed)
     return out
 
@@ -332,6 +374,38 @@ CANDIDATE_SCHEMA = (
 )
 
 ANCHORS_SCHEMA = "page_url string, anchors array<string>, body_text string"
+
+ANCHOR_EDGES_SCHEMA = (
+    "page_url string, ordinal int, resolved_url string, anchor_text string"
+)
+
+
+def make_anchor_edges_udf(markdown: bool):
+    """mapInPandas fn: (page_url, base_url, spans) -> one row per <a href>
+    link with its visible anchor text (whitespace-collapsed; markdown
+    [text](url) compiles to <a> first, so it carries anchor text too).
+    Non-anchor links (img/script/meta/...) are excluded — this surface
+    feeds anchor-text aggregation, not the crawl frontier."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for page_url, base_url, spans in zip(
+                pdf["page_url"], pdf["base_url"], pdf["spans"]
+            ):
+                for parsed in get_links_from_spans(
+                    spans, base_url or page_url, check_css=False,
+                    markdown=markdown, capture_anchor_text=True,
+                ):
+                    if parsed["anchor_text"] and parsed["resolved_url"]:
+                        rows.append((page_url, parsed["ordinal"],
+                                     parsed["resolved_url"],
+                                     parsed["anchor_text"]))
+            yield pd.DataFrame(
+                rows, columns=["page_url", "ordinal", "resolved_url",
+                               "anchor_text"])
+
+    return fn
 
 
 def make_candidate_links_udf(check_css: bool, markdown: bool):

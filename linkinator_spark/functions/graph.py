@@ -108,3 +108,76 @@ def pagerank_oracle_sql(
     sql.append(f"""
         select id as node, pr as pagerank from r{iters}""")
     return "".join(sql)
+
+
+def anchor_text_agg(
+    edges: DataFrame, url_col: str = "resolved_url",
+    anchor_col: str = "anchor_text", page_col: str = "page_url",
+) -> DataFrame:
+    """Incoming anchor-text profile per target URL:
+
+      (url, n_refs, n_pages, top_anchor, top_anchor_refs)
+
+    — the classic web-graph description signal (anchor text describes
+    the TARGET page better than the page describes itself; used for
+    retrieval corpora and page-quality features in training-data
+    curation). top_anchor is the most frequent incoming anchor string,
+    ties broken deterministically by the lexicographically LARGEST
+    anchor (max over a (count, anchor) struct), so Spark and the SQL
+    twin agree bit-for-bit.
+
+    Scale shape at 10^10 edges: both aggregates partial-combine
+    map-side; the per-(url, anchor) count spreads a hot target URL
+    across its distinct anchor strings before the final per-url argmax,
+    whose state is one struct per distinct anchor — never the raw edge
+    list. n_pages is an exact count_distinct (two-phase expand), the
+    right call because the profile is consumed per-URL; switch to
+    approx_count_distinct only if a consumer tolerates it.
+    """
+    url, anchor, page = F.col(url_col), F.col(anchor_col), F.col(page_col)
+    refs = edges.select(url.alias("url"), anchor.alias("anchor"),
+                        page.alias("page"))
+    stats = refs.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.count_distinct("page").cast("long").alias("n_pages"),
+    )
+    top = (
+        refs.groupBy("url", "anchor").agg(F.count("*").alias("n"))
+        .groupBy("url")
+        .agg(F.max(F.struct("n", "anchor")).alias("_t"))
+        .select("url", F.col("_t.anchor").alias("top_anchor"),
+                F.col("_t.n").cast("long").alias("top_anchor_refs"))
+    )
+    return stats.join(top, "url")
+
+
+def anchor_text_agg_oracle_sql(edges_rel: str) -> str:
+    """DuckDB twin of `anchor_text_agg`: `edges_rel` must yield
+    (page_url, resolved_url, anchor_text); ties resolve to the
+    lexicographically largest anchor among max-count ones, matching the
+    Spark struct-max."""
+    return f"""
+        with refs as (
+          select page_url as page, resolved_url as url,
+                 anchor_text as anchor
+          from ({edges_rel})
+        ),
+        stats as (
+          select url, count(*)::bigint as n_refs,
+                 count(distinct page)::bigint as n_pages
+          from refs group by url
+        ),
+        counts as (
+          select url, anchor, count(*) as n from refs group by url, anchor
+        ),
+        top as (
+          select url, anchor as top_anchor, n::bigint as top_anchor_refs
+          from (select url, anchor, n,
+                       row_number() over (partition by url
+                                          order by n desc, anchor desc) rn
+                from counts)
+          where rn = 1
+        )
+        select stats.url, n_refs, n_pages, top_anchor, top_anchor_refs
+        from stats join top using (url)
+    """
