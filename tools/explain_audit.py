@@ -134,6 +134,14 @@ def main() -> None:
         ("doc_pack_multimodal",
          "interleaved packing (span-cost rollup on uniform doc keys + "
          "the bucketed pack cumsum; no global sort)"),
+        ("line_dedup",
+         "corpus line dedup (composite-key distinct keeps hot banner "
+         "lines uniform; boilerplate-sized dup set broadcasts as 8-byte "
+         "hashes; ONE doc-keyed reassembly shuffle)"),
+        ("anchor_agg",
+         "anchor-text profiles (Arrow SAX edges; both aggregates "
+         "map-side-combined; hot target URL spreads across its distinct "
+         "anchors before the struct-max argmax)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
