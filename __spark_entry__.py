@@ -1152,6 +1152,65 @@ def q_corpus_build_v2(spark, sf_dir):
     )
 
 
+def q_corpus_build_v3(spark, sf_dir):
+    """corpus_build_v2 plus corpus-level boilerplate-line removal
+    (functions/linededup): the CCNet/RefinedWeb line-dedup pass runs
+    over the FULL v2 corpus (boilerplate statistics are corpus-wide, so
+    it cannot run after the gates shrink the population), and each
+    surviving doc carries its removal stats + cleaned-text fingerprint.
+    min_dup_docs=3 keeps the two roles separated: the planted exact
+    copies have multiplicity 2, so line dedup targets only the >=3-doc
+    boilerplate (nav/footer analogs) while DOCUMENT duplication is left
+    to the dedup keeper — the same division of labor as production
+    pipelines (line thresholds sit above quotation multiplicity).
+
+    Scale shape: everything in q_corpus_build_v2's audit plus
+    line_dedup's three uniform exchanges (composite-key distinct,
+    map-side-combined count, doc-keyed reassembly) and a broadcast
+    probe; the stats join back on the uniform doc id."""
+    from linkinator_spark.functions import blocklist as BL
+    from linkinator_spark.functions import c4 as C4
+    from linkinator_spark.functions import gopher as GP
+    from linkinator_spark.functions import sampling as SMP
+
+    dd = _docs_v2(spark, sf_dir)
+    d = F.col("doc_id")
+    host = F.concat(F.lit("sub"), (d % 3).cast("string"),
+                    F.lit(".site"), (d % 20).cast("string"),
+                    F.lit(".example"))
+    gtext = _gopher_demo_text()
+    ctext = _c4_demo_text()
+    ld = LD.line_dedup(
+        dd.select("doc_id", ctext.alias("text")), min_dup_docs=3,
+    ).select("doc_id",
+             F.col("n_removed").alias("n_line_removed"),
+             F.col("cleaned_md5").alias("line_md5"))
+    gated = dd.select(
+        "doc_id", "text", host.alias("host"),
+        GP.gopher_features(gtext)["n_words"].alias("n_words"),
+        GP.gopher_pass(gtext).alias("_gok"),
+        F.size(C4.kept_lines(ctext)).cast("long").alias("n_kept"),
+        C4.page_kept(ctext).alias("_cok"),
+    ).filter(F.col("_gok") & F.col("_cok"))
+    rules = spark.createDataFrame(
+        [(r,) for r in _BLOCKLIST_RULES], "domain string")
+    surv = (
+        BL.apply_blocklist(gated, rules, url_col="doc_id")
+        .filter(F.col("blocked") == 0)
+        .join(ld, "doc_id")
+        .select("doc_id", "host", "n_words", "n_kept",
+                "n_line_removed", "line_md5",
+                F.md5(T.normalize_text(F.col("text"))).alias("ck"))
+    )
+    keepers = surv.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
+    _, split = SMP.split_expr("doc_id")
+    return (
+        surv.join(keepers, ["ck", "doc_id"])
+        .select("doc_id", "host", "n_words", "n_kept",
+                "n_line_removed", "line_md5", split.alias("split"))
+    )
+
+
 def _lined_text() -> "F.Column":
     """The corpus is single-line, so plant a deterministic multi-line shape:
     every doc gains one 40-char echo line; doc_id % 4 == 0 docs gain it
@@ -1963,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
         "corpus_build_v2": q_corpus_build_v2,
+        "corpus_build_v3": q_corpus_build_v3,
         "doc_pack": q_doc_pack,
         "doc_pack_multimodal": q_doc_pack_multimodal,
         "doc_pack_bpe": q_doc_pack_bpe,
@@ -2303,6 +2363,32 @@ def oracle_sql() -> dict[str, str]:
           join g using (doc_id) join c using (doc_id) join b using (doc_id)),
         keepers as (select ck, min(doc_id) as doc_id from surv group by 1)
         select s.doc_id, s.host, s.n_words, s.n_kept,
+               case when {split_bucket} < 98 then 'train'
+                    when {split_bucket} < 99 then 'val'
+                    else 'test' end as split
+        from surv s join keepers using (ck, doc_id)
+    """
+
+    v3_ld = LD.line_dedup_oracle_sql(
+        docs_table="(select doc_id, " + _C4_DEMO_TEXT_SQL
+        + " as text from dd)", min_dup_docs=3)
+    corpus_build_v3_sql = f"""
+        with dd as (select * from {_DOCS_V2_SQL} ddx),
+        g as (select doc_id, n_words from ({v2_gop}) where gopher_pass = 1),
+        c as (select doc_id, n_kept from ({v2_c4}) where doc_kept = 1),
+        b as (select doc_id, host from ({v2_blk}) where blocked = 0),
+        ld as (select doc_id, n_removed as n_line_removed,
+                      cleaned_md5 as line_md5 from ({v3_ld})),
+        surv as (
+          select d.doc_id, b.host, g.n_words, c.n_kept,
+                 ld.n_line_removed, ld.line_md5,
+                 md5({norm_text}) as ck
+          from dd d
+          join g using (doc_id) join c using (doc_id) join b using (doc_id)
+          join ld using (doc_id)),
+        keepers as (select ck, min(doc_id) as doc_id from surv group by 1)
+        select s.doc_id, s.host, s.n_words, s.n_kept,
+               s.n_line_removed, s.line_md5,
                case when {split_bucket} < 98 then 'train'
                     when {split_bucket} < 99 then 'val'
                     else 'test' end as split
@@ -2768,6 +2854,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_build": corpus_build_sql,
         "corpus_build_v2": corpus_build_v2_sql,
+        "corpus_build_v3": corpus_build_v3_sql,
         "corpus_build_capped": f"""
             with built as ({corpus_build_sql}),
             src as (select doc_id, source, n_chars from documents),

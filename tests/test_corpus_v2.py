@@ -105,3 +105,32 @@ def test_v2_reshuffle_stable(spark):
          .select("doc_id", "host", "n_words", "n_kept",
                  split.alias("split")).collect()}
     assert a == b
+
+
+def test_v3_line_dedup_composes_without_breaking_the_keeper(spark):
+    """corpus_build_v3: min_dup_docs=3 line dedup removes the >=3-doc
+    boilerplate from every doc but leaves the multiplicity-2 planted
+    copies intact for the DOCUMENT dedup keeper."""
+    out = entrymod.q_corpus_build_v3(spark, SF_DIR).cache()
+    rows = out.collect()
+    assert len(rows) > 0
+    # the keeper still collapses every planted copy onto the original
+    assert all(r.doc_id < entrymod._V2_SHIFT for r in rows)
+    # boilerplate was actually removed: the c4 demo text carries four
+    # non-prose lines shared corpus-wide, so every doc loses at least 4;
+    # a handful lose more when their prose slices repeat in the
+    # synthetic corpus (observed: one doc at sf0.001)
+    assert all(r.n_line_removed >= 4 for r in rows)
+    assert sum(r.n_line_removed == 4 for r in rows) >= len(rows) * 4 // 5
+    # the surviving prose slices are doc-specific: a copy pair shares a
+    # line_md5, but the corpus doesn't collapse to one fingerprint
+    assert out.select("line_md5").distinct().count() > len(rows) // 2
+
+    # v3 == v2 on the shared columns (line dedup adds features, it must
+    # not change WHICH docs survive at this threshold)
+    v2 = entrymod.q_corpus_build_v2(spark, SF_DIR)
+    assert (out.select("doc_id", "host", "n_words", "n_kept", "split")
+            .exceptAll(v2).count() == 0)
+    assert v2.exceptAll(
+        out.select("doc_id", "host", "n_words", "n_kept", "split")
+    ).count() == 0
