@@ -23,6 +23,7 @@ from linkinator_spark.config import CheckOptions  # noqa: E402
 from linkinator_spark.functions import dedup as D  # noqa: E402
 from linkinator_spark.functions import blocklist as BL  # noqa: E402
 from linkinator_spark.functions import c4 as C4M  # noqa: E402
+from linkinator_spark.functions import classifier as CF  # noqa: E402
 from linkinator_spark.functions import dsir as DSIR  # noqa: E402
 from linkinator_spark.functions import linededup as LD  # noqa: E402
 from linkinator_spark.functions import graph as GR  # noqa: E402
@@ -1836,6 +1837,23 @@ def q_tfidf_sparse(spark, sf_dir):
     return VZ.tfidf_sparse(_t(spark, sf_dir, "documents"), n_features=16)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (functions/classifier.py): hashed
+    linear (fastText-style) classifier inference — the curation stage
+    CCNet/DCLM/FineWeb-Edu run after the heuristic gates. token ->
+    feature via fixed hash mod 64 (64 features vs the 31-word toy vocab
+    forces collisions), broadcast weights join (the model fan-out a
+    trained head would use, here a deterministic pseudo-model), one
+    map-side-combined groupBy(doc). Scores are exact int64 micro-units
+    and the keep bit is the cross-multiplied integer inequality
+    `score_sum > thr * n_tokens` — no float anywhere, engine-exact."""
+    from linkinator_spark.functions import classifier as CF
+
+    docs = _t(spark, sf_dir, "documents")
+    w = CF.hashed_weights(spark, n_features=64)
+    return CF.classifier_score(docs, w, n_features=64, threshold_micro=0)
+
+
 def q_corpus_stats(spark, sf_dir):
     """Per-language corpus report card — the rollup a curation run prints
     before/after each filter stage: doc count, token and char volume,
@@ -2018,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_bucket": q_ppl_bucket,
         "corpus_stats": q_corpus_stats,
         "tfidf_sparse": q_tfidf_sparse,
+        "quality_classifier": q_quality_classifier,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2987,6 +3006,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": LM.lm_nll_oracle_sql("doc_id % 2 = 0", alpha=0.5),
         "ppl_bucket": LM.ppl_bucket_oracle_sql("doc_id % 2 = 0", alpha=0.5),
         "tfidf_sparse": VZ.tfidf_sparse_oracle_sql(n_features=16),
+        "quality_classifier": CF.classifier_score_oracle_sql(
+            n_features=64, threshold_micro=0),
         "corpus_stats": f"""
             select lang,
                    count(*)::bigint as n_docs,
