@@ -1837,6 +1837,40 @@ def q_tfidf_sparse(spark, sf_dir):
     return VZ.tfidf_sparse(_t(spark, sf_dir, "documents"), n_features=16)
 
 
+def q_media_dedup(spark, sf_dir):
+    """Cross-document exact media dedup (functions/media.dedup_media_spans
+    — the LAION/DataComp repeated-image removal step, keyed on the media
+    URL/content hash): three media spans per doc with refs colliding mod
+    97 (every group duplicated, ~15 occurrences each at sf0.01) plus a
+    text span that must be ignored. ONE map-side-combined groupBy on the
+    uniform ref key; the keeper is a struct-min AGGREGATE (no per-ref
+    window), so a hot logo ref never serializes one task. The DuckDB twin
+    replays the synthesis and picks keepers via row_number."""
+    from linkinator_spark.functions import media as MD
+
+    docs = _t(spark, sf_dir, "documents")
+    media = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"))
+        .select(
+            "doc_id",
+            F.lit("media_ref").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(
+                F.lit("http://m.example/"),
+                F.md5(F.pmod(F.col("doc_id") * 3 + F.col("j"), F.lit(97))
+                      .cast("string"))).alias("media_ref"),
+            F.col("j").cast("int").alias("offset"),
+        )
+    )
+    text = docs.select(
+        "doc_id", F.lit("text").alias("kind"),
+        F.substring("text", 1, 40).alias("text"),
+        F.lit("").alias("media_ref"), F.lit(3).alias("offset"))
+    return MD.dedup_media_spans(media.unionByName(text))
+
+
 def q_quality_classifier(spark, sf_dir):
     """Model-based quality filtering (functions/classifier.py): hashed
     linear (fastText-style) classifier inference — the curation stage
@@ -2037,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "tfidf_sparse": q_tfidf_sparse,
         "quality_classifier": q_quality_classifier,
+        "media_dedup": q_media_dedup,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -3008,6 +3043,33 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_sparse": VZ.tfidf_sparse_oracle_sql(n_features=16),
         "quality_classifier": CF.classifier_score_oracle_sql(
             n_features=64, threshold_micro=0),
+        "media_dedup": """
+            with media as (
+              select doc_id,
+                     'http://m.example/'
+                       || md5(cast((doc_id * 3 + j) % 97 as varchar))
+                       as media_ref,
+                     cast(j as int) as "offset"
+              from documents, lateral (select unnest(range(0, 3)) as j)
+            ),
+            stats as (
+              select media_ref, count(*) as n_refs,
+                     count(distinct doc_id) as n_docs
+              from media group by 1
+            ),
+            keep as (
+              select media_ref, doc_id as keeper_doc_id,
+                     "offset" as keeper_offset
+              from (select *, row_number() over
+                      (partition by media_ref
+                       order by doc_id, "offset") as rn
+                    from media)
+              where rn = 1
+            )
+            select media_ref, n_refs, n_docs, keeper_doc_id, keeper_offset
+            from stats join keep using (media_ref)
+            where n_refs >= 2
+        """,
         "corpus_stats": f"""
             select lang,
                    count(*)::bigint as n_docs,

@@ -152,3 +152,67 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         (F.pmod(F.xxhash64("media_id"), F.lit(10000)) + 1000).cast("int").alias("duration_ms"),
         F.lit("application/octet-stream").alias("mime"),
     )
+
+
+# ------------------------------------------------------- media-span dedup
+
+
+def dedup_media_spans(spans: DataFrame, min_refs: int = 2) -> DataFrame:
+    """Cross-document exact dedup of media references (the LAION/DataComp
+    image-dedup step, keyed on URL/content hash): one row per media_ref
+    occurring >= `min_refs` times —
+
+      (media_ref, n_refs, n_docs, keeper_doc_id, keeper_offset)
+
+    where the keeper is the lexicographically first (doc_id, offset)
+    occurrence, so the canonical copy is reshuffle-stable. Input is a flat
+    span table (doc_id, kind, text, media_ref, offset).
+
+    Scale shape (100-TB lens): ONE groupBy on media_ref — a uniform hash
+    key (refs are URLs/content hashes) with map-side partial aggregation,
+    so a site-logo ref appearing in 10^8 documents combines inside each
+    map task; the struct-min keeper is an aggregate, not a window, so no
+    hot ref ever buffers its occurrence list in one task.
+    """
+    media = spans.filter(F.col("kind") == "media_ref")
+    return (
+        media.groupBy("media_ref")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "offset")).alias("_k"),
+        )
+        .filter(F.col("n_refs") >= int(min_refs))
+        .select(
+            "media_ref", "n_refs", "n_docs",
+            F.col("_k.doc_id").alias("keeper_doc_id"),
+            F.col("_k.offset").alias("keeper_offset"),
+        )
+    )
+
+
+def drop_dup_media(spans: DataFrame) -> DataFrame:
+    """The corpus transform behind `dedup_media_spans`: remove every
+    media span that is NOT its ref's keeper occurrence; text spans pass
+    through untouched. Row schema is preserved.
+
+    Shape: keeper table (one row per duplicated ref) joins the media
+    spans on media_ref — uniform key, AQE skew-join splits a pathological
+    hot ref; the text partition never shuffles.
+    """
+    keep = dedup_media_spans(spans, min_refs=2).select(
+        "media_ref",
+        F.col("keeper_doc_id").alias("_kd"),
+        F.col("keeper_offset").alias("_ko"),
+    )
+    media = (
+        spans.filter(F.col("kind") == "media_ref")
+        .join(keep, "media_ref", "left")
+        .filter(
+            F.col("_kd").isNull()
+            | ((F.col("doc_id") == F.col("_kd"))
+               & (F.col("offset") == F.col("_ko"))))
+        .drop("_kd", "_ko")
+        .select(*spans.columns)
+    )
+    return spans.filter(F.col("kind") != "media_ref").unionByName(media)
