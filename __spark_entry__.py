@@ -456,6 +456,39 @@ def q_politeness_schedule(spark, sf_dir):
     )
 
 
+def q_frontier_priority(spark, sf_dir):
+    """Authority-weighted frontier scheduling — the priority-queue form
+    with a learned/computed key instead of FIFO: PageRank over the derived
+    link graph (the link_pagerank machinery, 5 exact power iterations)
+    becomes an integer micro-priority per candidate URL; the politeness
+    scheduler takes each host's top-4 by DESCENDING priority (the same
+    skew-salted two-phase top-K as FIFO politeness, just a different sort
+    key), and the global emission order is the scale-safe range-partition
+    rank (global_fifo_rank) on (-priority, url) — no single-task global
+    sort anywhere. Oracle: unrolled-SQL PageRank + two window ranks."""
+    from linkinator_spark.operators.politeness import (
+        global_fifo_rank,
+        politeness_take,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pr = GR.pagerank(G.edges_df(docs), iters=5, damping=0.85)
+    frontier = pr.select(
+        F.concat(F.lit("http://site"), (F.col("node") % 20).cast("string"),
+                 F.lit(".example/p/"), F.col("node").cast("string"))
+        .alias("url"),
+        F.concat(F.lit("site"), (F.col("node") % 20).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.round(F.col("pagerank") * 1e6, 0).cast("long")
+        .alias("priority_micro"),
+    ).withColumn("_negp", -F.col("priority_micro"))
+    took = politeness_take(frontier, budget=4, order_cols=("_negp", "url"))
+    return (
+        global_fifo_rank(took, "_negp", "url", out_col="emit_rank")
+        .select("url", "host", "priority_micro", "host_rank", "emit_rank")
+    )
+
+
 def q_host_delay_maxwins(spark, sf_dir):
     """J3/A4: per-host retry-after delays merge max-wins."""
     events = _t(spark, sf_dir, "events")
@@ -2072,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_sparse": q_tfidf_sparse,
         "quality_classifier": q_quality_classifier,
         "media_dedup": q_media_dedup,
+        "frontier_priority": q_frontier_priority,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2489,6 +2523,34 @@ def oracle_sql() -> dict[str, str]:
                 G.edges_sql(n_sf001),
                 "select doc_id as id from documents",
                 iters=5, damping=0.85)})
+        """,
+        "frontier_priority": f"""
+            -- unrolled PageRank -> micro-priority -> per-host top-4 by
+            -- descending priority -> global emission rank
+            with pr as ({GR.pagerank_oracle_sql(
+                G.edges_sql(n_sf001),
+                "select doc_id as id from documents",
+                iters=5, damping=0.85)}),
+            f as (
+              select 'http://site' || cast(node % 20 as varchar)
+                       || '.example/p/' || cast(node as varchar) as url,
+                     'site' || cast(node % 20 as varchar) || '.example'
+                       as host,
+                     cast(round(pagerank * 1e6) as bigint) as priority_micro
+              from pr
+            ),
+            t as (
+              select *, cast(row_number() over
+                       (partition by host
+                        order by -priority_micro, url) as integer)
+                       as host_rank
+              from f
+            ),
+            s as (select * from t where host_rank <= 4)
+            select url, host, priority_micro, host_rank,
+                   row_number() over (order by -priority_micro, url)
+                     as emit_rank
+            from s
         """,
         "dup_broken_rereport": f"""
             with e as (select distinct src, dst from {G.edges_sql(n_sf001)} t),
