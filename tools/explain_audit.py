@@ -142,6 +142,18 @@ def main() -> None:
          "anchor-text profiles (Arrow SAX edges; both aggregates "
          "map-side-combined; hot target URL spreads across its distinct "
          "anchors before the struct-max argmax)"),
+        ("quality_classifier",
+         "hashed linear classifier gate (broadcast model table; ONE "
+         "map-side-combined groupBy(doc); integer micro scores, "
+         "cross-multiplied threshold — no float division)"),
+        ("media_dedup",
+         "cross-document media dedup (ONE map-side-combined groupBy on "
+         "the uniform ref key; struct-min keeper is an aggregate, not a "
+         "per-ref window — no hot-ref single task)"),
+        ("frontier_priority",
+         "authority-weighted scheduling (PageRank micro-priority; "
+         "skew-salted per-host top-K; range-partitioned global emission "
+         "rank — no single-task global sort)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
