@@ -489,6 +489,42 @@ def q_frontier_priority(spark, sf_dir):
     )
 
 
+def q_revisit_schedule(spark, sf_dir):
+    """Freshness-driven recrawl scheduling (operators/revisit.py — Cho &
+    Garcia-Molina change-rate estimation over the standing fetch history,
+    fed into the same skew-salted politeness scheduler as discovery
+    traffic): each doc becomes a URL with 3-6 past fetches whose content
+    hash rolls over every ``1 + doc_id % 3`` fetches (docs with
+    doc_id % 5 == 0 never change and must NOT be scheduled). The
+    change-rate estimator rounds to integer micro-nats (the lm.py
+    F.log/DuckDB-ln precedent); the priority is a pure int64 product;
+    per-host top-5 and the global emission rank reuse politeness_take +
+    global_fifo_rank. Oracle: lag-window change count + the same
+    estimator + two window ranks in DuckDB."""
+    from linkinator_spark.operators.revisit import revisit_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = docs.select(
+        i.alias("doc_id"),
+        F.concat(F.lit("site"), (i % 20).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.explode(
+            F.sequence(F.lit(0), (i % 4 + 2).cast("int"))).alias("j"),
+    )
+    period = F.col("doc_id") % 3 + 1
+    version = F.when(F.col("doc_id") % 5 == 0, F.lit(0)).otherwise(
+        F.floor(F.col("j") / period))
+    hist = base.select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "host",
+        (F.col("j") * 100).cast("long").alias("fetch_ts"),
+        F.md5(version.cast("string")).alias("content_hash"),
+    )
+    return revisit_schedule(hist, now_ts=900, interval=100, budget=5)
+
+
 def q_host_delay_maxwins(spark, sf_dir):
     """J3/A4: per-host retry-after delays merge max-wins."""
     events = _t(spark, sf_dir, "events")
@@ -2106,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "media_dedup": q_media_dedup,
         "frontier_priority": q_frontier_priority,
+        "revisit_schedule": q_revisit_schedule,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2548,6 +2585,63 @@ def oracle_sql() -> dict[str, str]:
             ),
             s as (select * from t where host_rank <= 4)
             select url, host, priority_micro, host_rank,
+                   row_number() over (order by -priority_micro, url)
+                     as emit_rank
+            from s
+        """,
+        "revisit_schedule": """
+            -- replayed fetch history -> lag-window change count ->
+            -- Cho & Garcia-Molina micro-nat rate -> int64 priority ->
+            -- per-host top-5 -> global emission rank
+            with hist as (
+              select 'http://site' || cast(doc_id % 20 as varchar)
+                       || '.example/d/' || cast(doc_id as varchar) as url,
+                     'site' || cast(doc_id % 20 as varchar)
+                       || '.example' as host,
+                     cast(j * 100 as bigint) as fetch_ts,
+                     md5(cast(case when doc_id % 5 = 0 then 0
+                              else j // (doc_id % 3 + 1) end
+                              as varchar)) as content_hash
+              from documents,
+                   lateral (select unnest(range(0, doc_id % 4 + 3)) as j)
+            ),
+            lagged as (
+              select *, lag(content_hash) over
+                       (partition by url order by fetch_ts) as prev_hash
+              from hist
+            ),
+            agg as (
+              select url, host,
+                     cast(count(*) as bigint) as n_fetches,
+                     cast(sum(case when prev_hash is not null
+                                    and prev_hash <> content_hash
+                              then 1 else 0 end) as bigint) as n_changes,
+                     max(fetch_ts) as last_ts
+              from lagged group by url, host
+            ),
+            pri as (
+              select url, host, n_fetches, n_changes,
+                     cast(round(-ln((n_fetches - 1 - n_changes + 0.5)
+                                    / (n_fetches - 1 + 0.5)) * 1e6)
+                          as bigint) as rate_micro,
+                     cast(greatest(0, floor((900 - last_ts) / 100.0))
+                          as bigint) as age_intervals
+              from agg
+            ),
+            due as (
+              select *, rate_micro * age_intervals as priority_micro
+              from pri where rate_micro * age_intervals > 0
+            ),
+            t as (
+              select *, cast(row_number() over
+                       (partition by host
+                        order by -priority_micro, url) as integer)
+                       as host_rank
+              from due
+            ),
+            s as (select * from t where host_rank <= 5)
+            select url, host, n_fetches, n_changes, rate_micro,
+                   age_intervals, priority_micro, host_rank,
                    row_number() over (order by -priority_micro, url)
                      as emit_rank
             from s
