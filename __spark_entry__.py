@@ -648,6 +648,20 @@ def q_span_flatten(spark, sf_dir):
     )
 
 
+def q_interleave_gate(spark, sf_dir):
+    """OBELICS-style interleaved-document gate
+    (functions/interleave.gate_interleaved) over the derived span table:
+    one map-side-combined groupBy(doc_id) computes exact media/text/token
+    counts, then a codegen CASE chain rejects docs with no media (the
+    sub-121-char docs here), too many media, too little text, or a bad
+    text/media balance (cross-multiplied — no float division). Oracle
+    replays the span synthesis + the same regex token count + the same
+    rule order in DuckDB."""
+    return IV.gate_interleaved(
+        q_span_flatten(spark, sf_dir),
+        min_media=1, max_media=2, min_tokens=60, min_tokens_per_media=35)
+
+
 def q_span_extract(spark, sf_dir):
     """Kind-aware candidate-link extraction from interleaved span
     sequences — the north-rule's extraction stage surfaced as an oracle
@@ -2104,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backoff": q_retry_backoff,
         "classify_taxonomy": q_classify_taxonomy,
         "span_flatten": q_span_flatten,
+        "interleave_gate": q_interleave_gate,
         "span_extract": q_span_extract,
         "span_anchors": q_span_anchors,
         "span_captions": q_span_captions,
@@ -2750,6 +2765,37 @@ def oracle_sql() -> dict[str, str]:
             from frame
         """,
         "span_flatten": _SPAN_FLAT_SQL,
+        "interleave_gate": f"""
+            -- span synthesis -> exact counts -> ordered rule chain
+            with spans as ({_SPAN_FLAT_SQL}),
+            stats as (
+              select doc_id,
+                     count(*)::bigint as n_spans,
+                     sum(case when kind = 'media_ref' then 1 else 0
+                         end)::bigint as n_media,
+                     sum(case when kind = 'text' then 1 else 0
+                         end)::bigint as n_text,
+                     sum(case when kind = 'text' then
+                           len(regexp_extract_all(text,
+                               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                         else 0 end)::bigint as n_tokens
+              from spans group by doc_id
+            )
+            select doc_id, n_spans, n_media, n_text, n_tokens,
+                   case when n_media < 1 then 'too_few_media'
+                        when n_media > 2 then 'too_many_media'
+                        when n_tokens < 60 then 'too_few_tokens'
+                        when n_tokens < n_media * 35
+                          then 'low_text_media_ratio'
+                        else '' end as reject_reason,
+                   (case when n_media < 1 then 'too_few_media'
+                         when n_media > 2 then 'too_many_media'
+                         when n_tokens < 60 then 'too_few_tokens'
+                         when n_tokens < n_media * 35
+                           then 'low_text_media_ratio'
+                         else '' end) = '' as keep
+            from stats
+        """,
         "span_extract": """
             -- the parser's ordinal-ordered output on the planted spans:
             -- html link always (ordinal 0), markdown link on %3 (ordinal

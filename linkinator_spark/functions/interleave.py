@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["render_spans", "render_spans_oracle_sql",
-           "caption_pairs", "caption_pairs_oracle_sql"]
+           "caption_pairs", "caption_pairs_oracle_sql",
+           "gate_interleaved"]
 
 
 def render_spans(
@@ -199,3 +200,56 @@ def caption_pairs_oracle_sql(spans_sql: str, id_col: str = "doc_id") -> str:
                text as caption
         from ranked where rn = 1
     """
+
+
+def gate_interleaved(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    min_media: int = 1,
+    max_media: int = 32,
+    min_tokens: int = 32,
+    min_tokens_per_media: int = 8,
+) -> DataFrame:
+    """OBELICS-style document gate for interleaved corpora (Laurencon et
+    al. 2023 §3.3: multimodal web documents are kept only when the image
+    count and the text/image balance sit inside sane bounds — a gallery
+    page of 200 thumbnails or a document whose only text is a nav bar is
+    crawl noise, not training signal).
+
+    One row per document with exact integer stats and the gate verdict:
+    (id_col, n_spans, n_media, n_text, n_tokens, keep, reject_reason).
+    Rules, checked in order (the FIRST failure is the reason, '' = keep):
+
+    * ``too_few_media``  — n_media < min_media
+    * ``too_many_media`` — n_media > max_media
+    * ``too_few_tokens`` — n_tokens < min_tokens (regex token count over
+      text spans, functions/text.TOKEN_RE — the same tokenizer the
+      quality and packing stages use)
+    * ``low_text_media_ratio`` — n_tokens < min_tokens_per_media * n_media
+      (the cross-multiplied form: no float division)
+
+    Scale shape: ONE groupBy on the uniform doc id whose conditional
+    sums all partial-aggregate map-side; the verdict is a codegen CASE
+    chain. No window, no join, no Python.
+    """
+    from linkinator_spark.functions.text import token_count
+
+    is_media = F.col("kind") == "media_ref"
+    is_text = F.col("kind") == "text"
+    stats = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(is_media.cast("long")).alias("n_media"),
+        F.sum(is_text.cast("long")).alias("n_text"),
+        F.sum(F.when(is_text, token_count(F.col("text")))
+              .otherwise(F.lit(0)).cast("long")).alias("n_tokens"),
+    )
+    reason = (
+        F.when(F.col("n_media") < min_media, F.lit("too_few_media"))
+        .when(F.col("n_media") > max_media, F.lit("too_many_media"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_few_tokens"))
+        .when(F.col("n_tokens") < F.col("n_media") * min_tokens_per_media,
+              F.lit("low_text_media_ratio"))
+        .otherwise(F.lit(""))
+    )
+    return stats.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason") == "")
