@@ -1073,6 +1073,53 @@ def q_doc_pack_multimodal(spark, sf_dir):
         costs, max_tokens=512, n_buckets=8, salt="mpack")
 
 
+def q_corpus_build_mm(spark, sf_dir):
+    """INTERLEAVED (multimodal) corpus assembly — the OBELICS/MMC4-shaped
+    composition over the span table, end-to-end: (1) gate_interleaved
+    keeps documents with a sane media/text balance (1-3 media, >=30
+    tokens, >=10 tokens per media); (2) drop_dup_media removes every
+    non-keeper occurrence of a media ref ACROSS the survivors (dedup is
+    computed post-gate, so a ref whose other copies were gated away is
+    not a duplicate); (3) survivors re-cost from their CLEANED spans
+    (text tokens + 64 per kept media) and pack into 512-token shards via
+    the doc_pack hash-deal layout. Scale shapes: the gate and both
+    rollups are map-side-combined aggregates on the uniform doc key, the
+    dedup keeper is a struct-min aggregate on the uniform ref key, the
+    survivor filter is a left-semi join, and packing is the single
+    uniform-hash shuffle + bucket cumsum — no global sort, no driver
+    state, no skewable key anywhere."""
+    from linkinator_spark.functions import media as MD
+    from linkinator_spark.functions import sampling as SMP
+
+    spans = q_span_flatten(spark, sf_dir)
+    gate = IV.gate_interleaved(
+        spans, min_media=1, max_media=3, min_tokens=30,
+        min_tokens_per_media=10)
+    kept_docs = gate.filter(F.col("keep")).select("doc_id")
+    kept_spans = spans.join(kept_docs, "doc_id", "left_semi")
+    cleaned = MD.drop_dup_media(kept_spans)
+    tok = F.when(
+        F.col("kind") == "media_ref", F.lit(_MEDIA_SPAN_TOKENS)
+    ).otherwise(T.token_count(F.col("text")))
+    stats = cleaned.groupBy("doc_id").agg(
+        F.sum(tok).cast("long").alias("n_tokens"),
+        F.sum((F.col("kind") == "media_ref").cast("long"))
+        .alias("n_media_kept"),
+    )
+    orig = kept_spans.filter(F.col("kind") == "media_ref").groupBy(
+        "doc_id").agg(F.count("*").alias("_n_orig"))
+    stats = stats.join(orig, "doc_id").withColumn(
+        "n_media_dropped", F.col("_n_orig") - F.col("n_media_kept")
+    ).drop("_n_orig")
+    pack = SMP.pack_shards(stats, max_tokens=512, n_buckets=8,
+                           salt="mmpack")
+    return (
+        pack.join(stats.withColumnRenamed("doc_id", "id"), "id")
+        .select(F.col("id").alias("doc_id"), "n_tokens", "n_media_kept",
+                "n_media_dropped", "bucket", "shard_seq", "shard_id")
+    )
+
+
 def q_doc_pack_bpe(spark, sf_dir):
     """Token-budget sharding under the pluggable BPE tokenizer
     (functions/tokenize.py): same single uniform-hash-shuffle pack as
@@ -2165,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_build_v3": q_corpus_build_v3,
         "doc_pack": q_doc_pack,
         "doc_pack_multimodal": q_doc_pack_multimodal,
+        "corpus_build_mm": q_corpus_build_mm,
         "doc_pack_bpe": q_doc_pack_bpe,
         "doc_split": q_doc_split,
         "doc_sample_stratified": q_doc_sample_stratified,
@@ -3079,6 +3127,67 @@ def oracle_sql() -> dict[str, str]:
                                         order by h, id) as cum
                   from b)
             select id, bucket,
+                   cast(floor((cum - tok) / 512) as bigint) as shard_seq,
+                   bucket * 281474976710656
+                     + cast(floor((cum - tok) / 512) as bigint) as shard_id
+            from c
+        """,
+        "corpus_build_mm": f"""
+            -- span synthesis -> gate -> post-gate media dedup (rn=1 ==
+            -- drop_dup_media's keeper-or-unique rule) -> cleaned re-cost
+            -- -> hash-deal pack
+            with spans as ({_SPAN_FLAT_SQL}),
+            stats0 as (
+              select doc_id,
+                     sum(case when kind = 'media_ref' then 1 else 0
+                         end)::bigint as n_media,
+                     sum(case when kind = 'text' then
+                           len(regexp_extract_all(text,
+                               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                         else 0 end)::bigint as n_tokens
+              from spans group by doc_id),
+            kept as (
+              select doc_id from stats0
+              where n_media between 1 and 3 and n_tokens >= 30
+                and n_tokens >= n_media * 10),
+            ks as (select s.* from spans s join kept using (doc_id)),
+            med as (
+              select *, row_number() over
+                     (partition by media_ref
+                      order by doc_id, "offset") as rn
+              from ks where kind = 'media_ref'),
+            cleaned as (
+              select doc_id, kind, text from ks where kind = 'text'
+              union all
+              select doc_id, kind, '' as text from med where rn = 1),
+            st as (
+              select doc_id,
+                     sum(case when kind = 'media_ref' then 64
+                          else len(regexp_extract_all(text,
+                            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                         end)::bigint as n_tokens,
+                     sum(case when kind = 'media_ref' then 1 else 0
+                         end)::bigint as n_media_kept
+              from cleaned group by doc_id),
+            orig as (
+              select doc_id, count(*)::bigint as n_orig
+              from ks where kind = 'media_ref' group by doc_id),
+            fin as (
+              select st.doc_id, st.n_tokens, st.n_media_kept,
+                     (orig.n_orig - st.n_media_kept)::bigint
+                       as n_media_dropped
+              from st join orig using (doc_id)),
+            keyed as (
+              select doc_id as id, n_tokens, n_media_kept,
+                     n_media_dropped, n_tokens as tok,
+                     {_hash_sql("cast(doc_id as varchar)", "mmpack:")} as h
+              from fin),
+            b as (select *, h % 8 as bucket from keyed),
+            c as (select *, sum(tok) over (partition by bucket
+                                           order by h, id) as cum
+                  from b)
+            select id as doc_id, n_tokens, n_media_kept, n_media_dropped,
+                   bucket,
                    cast(floor((cum - tok) / 512) as bigint) as shard_seq,
                    bucket * 281474976710656
                      + cast(floor((cum - tok) / 512) as bigint) as shard_id
