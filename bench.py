@@ -276,6 +276,13 @@ def main() -> None:
     v2_rows = E.queries()["corpus_build_v2"](spark, SF_DIR).count()
     corpus_v2 = {"sec": round(time.time() - t0, 3), "rows": v2_rows}
 
+    # the interleaved multimodal chain (span gate -> post-gate media
+    # dedup -> cleaned re-cost -> pack): tracks the span-table rollup +
+    # uniform-ref dedup + bucket-cumsum shapes end-to-end
+    t0 = time.time()
+    mm_rows = E.queries()["corpus_build_mm"](spark, SF_DIR).count()
+    corpus_mm = {"sec": round(time.time() - t0, 3), "rows": mm_rows}
+
     # frontier throughput at current parallelism (north-rule metric);
     # warm at FULL scale then best-of-3. A smaller warm pass is not
     # enough: C2 compilation of the codegen'd canonicalize/anti-join/
@@ -303,6 +310,7 @@ def main() -> None:
         "cc_cluster": cc,
         "corpus_build": corpus,
         "corpus_build_v2": corpus_v2,
+        "corpus_build_mm": corpus_mm,
         "notes": (
             "frontier leg warms at FULL scale before best-of-3 (round-3 "
             "fix); honest steady state is 2.6-3.6M/s at 32 threads, "

@@ -154,6 +154,19 @@ def main() -> None:
          "authority-weighted scheduling (PageRank micro-priority; "
          "skew-salted per-host top-K; range-partitioned global emission "
          "rank — no single-task global sort)"),
+        ("revisit_schedule",
+         "freshness recrawl scheduling (uniform URL-key history fold in "
+         "codegen array ops — no lag window; micro-nat change rate x "
+         "integer age; same politeness top-K + global rank as "
+         "discovery)"),
+        ("interleave_gate",
+         "interleaved-document gate (ONE map-side-combined groupBy(doc); "
+         "ordered codegen CASE verdict; cross-multiplied ratio — no "
+         "float division)"),
+        ("corpus_build_mm",
+         "interleaved corpus chain (gate -> post-gate media dedup on the "
+         "uniform ref key -> cleaned re-cost -> bucket-cumsum pack; no "
+         "global sort, no driver state)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
