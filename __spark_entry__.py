@@ -525,6 +525,40 @@ def q_revisit_schedule(spark, sf_dir):
     return revisit_schedule(hist, now_ts=900, interval=100, budget=5)
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Crawl snapshot diff (operators/diff.py — the between-runs report a
+    CI user derives by hand from the reference's one-shot output): two
+    derived result snapshots with overlapping URL sets and shifted status
+    arithmetic produce every transition class — new (%10 docs absent from
+    prev), gone (%13 absent from curr), newly_broken (%19 newly 404),
+    fixed (%17 recovered), still_broken (%23 broken in both),
+    changed (%7 OK 200 -> OK 301) and unchanged. ONE full-outer join on
+    the unique uniform URL key + a codegen CASE; oracle is the same join
+    in DuckDB."""
+    from linkinator_spark.operators.diff import crawl_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    prev = docs.filter(i % 10 != 0).select(
+        G.url_expr(i).alias("url"), G.status_expr(i).alias("status"))
+    prev = prev.withColumn(
+        "state",
+        F.when(F.col("status") == 200, F.lit("OK")).otherwise(
+            F.lit("BROKEN")))
+    curr_status = (
+        F.when((i > 0) & (i % 19 == 0), F.lit(404))
+        .when((i > 0) & (i % 23 == 0), F.lit(503))
+        .when((i > 0) & (i % 7 == 0), F.lit(301))
+        .otherwise(F.lit(200)))
+    curr = docs.filter(i % 13 != 0).select(
+        G.url_expr(i).alias("url"), curr_status.alias("status"))
+    curr = curr.withColumn(
+        "state",
+        F.when(F.col("status").isin(404, 503), F.lit("BROKEN")).otherwise(
+            F.lit("OK")))
+    return crawl_diff(prev, curr)
+
+
 def q_host_delay_maxwins(spark, sf_dir):
     """J3/A4: per-host retry-after delays merge max-wins."""
     events = _t(spark, sf_dir, "events")
@@ -2205,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q_media_dedup,
         "frontier_priority": q_frontier_priority,
         "revisit_schedule": q_revisit_schedule,
+        "crawl_diff": q_crawl_diff,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2651,6 +2686,50 @@ def oracle_sql() -> dict[str, str]:
                    row_number() over (order by -priority_micro, url)
                      as emit_rank
             from s
+        """,
+        "crawl_diff": f"""
+            -- two replayed snapshots -> full-outer join -> transition CASE
+            with prevb as (
+              select {G.url_sql('doc_id')} as url,
+                     {G.status_sql('doc_id')} as status
+              from documents where doc_id % 10 <> 0),
+            prev as (
+              select url, status,
+                     case when status = 200 then 'OK' else 'BROKEN' end
+                       as state
+              from prevb),
+            currb as (
+              select {G.url_sql('doc_id')} as url,
+                     case when doc_id > 0 and doc_id % 19 = 0 then 404
+                          when doc_id > 0 and doc_id % 23 = 0 then 503
+                          when doc_id > 0 and doc_id % 7 = 0 then 301
+                          else 200 end as status
+              from documents where doc_id % 13 <> 0),
+            curr as (
+              select url, status,
+                     case when status in (404, 503) then 'BROKEN'
+                          else 'OK' end as state
+              from currb),
+            j as (
+              select coalesce(p.url, c.url) as url,
+                     cast(p.status as int) as prev_status,
+                     p.state as prev_state,
+                     cast(c.status as int) as curr_status,
+                     c.state as curr_state
+              from prev p full outer join curr c on p.url = c.url)
+            select url, prev_status, prev_state, curr_status, curr_state,
+                   case when prev_state is null then 'new'
+                        when curr_state is null then 'gone'
+                        when prev_state <> 'BROKEN'
+                             and curr_state = 'BROKEN' then 'newly_broken'
+                        when prev_state = 'BROKEN'
+                             and curr_state <> 'BROKEN' then 'fixed'
+                        when prev_state = 'BROKEN'
+                             and curr_state = 'BROKEN' then 'still_broken'
+                        when prev_status <> curr_status
+                             or prev_state <> curr_state then 'changed'
+                        else 'unchanged' end as transition
+            from j
         """,
         "revisit_schedule": """
             -- replayed fetch history -> lag-window change count ->
