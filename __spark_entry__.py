@@ -525,6 +525,31 @@ def q_revisit_schedule(spark, sf_dir):
     return revisit_schedule(hist, now_ts=900, interval=100, budget=5)
 
 
+def q_host_health(spark, sf_dir):
+    """Per-host circuit breaker (operators/health.py — the Heritrix/Nutch
+    host-quarantine signal): events replay as fetch attempts across 25
+    hosts; hosts 0-4 run a ~40% blended failure rate (rate trip at 30%),
+    host 7's tail beyond event 9000 is all failures (trailing trip even
+    though its overall rate is fine), the rest stay healthy. Two
+    map-side-combined host aggregates + a failed-side-only host join (the
+    AQE-skew-join shape) — no per-host window. Oracle replays both
+    passes and the cross-multiplied rate rule in DuckDB."""
+    from linkinator_spark.operators.health import host_health
+
+    events = _t(spark, sf_dir, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string"))
+    failed = (
+        (F.col("event_type") == "error")
+        | ((F.col("user_id") % 25 < 5) & (F.col("event_type") == "click"))
+        | ((F.col("user_id") % 25 == 7) & (F.col("event_id") > 9000)))
+    fetches = events.select(
+        host.alias("host"),
+        F.col("event_id").cast("long").alias("ts"),
+        failed.alias("failed"))
+    return host_health(fetches, rate_micro=300_000, min_fetches=20,
+                       max_trailing=5)
+
+
 def q_crawl_diff(spark, sf_dir):
     """Crawl snapshot diff (operators/diff.py — the between-runs report a
     CI user derives by hand from the reference's one-shot output): two
@@ -2240,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_priority": q_frontier_priority,
         "revisit_schedule": q_revisit_schedule,
         "crawl_diff": q_crawl_diff,
+        "host_health": q_host_health,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2686,6 +2712,54 @@ def oracle_sql() -> dict[str, str]:
                    row_number() over (order by -priority_micro, url)
                      as emit_rank
             from s
+        """,
+        "host_health": """
+            -- replayed fetch attempts -> base rollup + last success ->
+            -- trailing failures (failed rows after last_ok only) ->
+            -- cross-multiplied rate rule, then trailing rule
+            with fetches as (
+              select 'h' || cast(user_id % 25 as varchar) as host,
+                     cast(event_id as bigint) as ts,
+                     (event_type = 'error'
+                      or (user_id % 25 < 5 and event_type = 'click')
+                      or (user_id % 25 = 7 and event_id > 9000)) as failed
+              from events
+            ),
+            base as (
+              select host,
+                     cast(count(*) as bigint) as n_fetches,
+                     cast(sum(case when failed then 1 else 0 end)
+                          as bigint) as n_errors,
+                     max(case when not failed then ts end) as last_ok
+              from fetches group by host
+            ),
+            trail as (
+              select f.host,
+                     cast(count(*) as bigint) as trailing_failures
+              from fetches f join base b using (host)
+              where f.failed and (b.last_ok is null or f.ts > b.last_ok)
+              group by f.host
+            )
+            select b.host, b.n_fetches, b.n_errors,
+                   cast(floor(b.n_errors * 1000000 / b.n_fetches)
+                        as bigint) as error_rate_micro,
+                   coalesce(t.trailing_failures, 0)::bigint
+                     as trailing_failures,
+                   case when b.n_fetches >= 20
+                             and b.n_errors * 1000000
+                                 >= 300000 * b.n_fetches
+                          then 'error_rate'
+                        when coalesce(t.trailing_failures, 0) >= 5
+                          then 'trailing_failures'
+                        else '' end as trip_reason,
+                   (case when b.n_fetches >= 20
+                              and b.n_errors * 1000000
+                                  >= 300000 * b.n_fetches
+                           then 'error_rate'
+                         when coalesce(t.trailing_failures, 0) >= 5
+                           then 'trailing_failures'
+                         else '' end) <> '' as tripped
+            from base b left join trail t using (host)
         """,
         "crawl_diff": f"""
             -- two replayed snapshots -> full-outer join -> transition CASE
