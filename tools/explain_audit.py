@@ -167,6 +167,13 @@ def main() -> None:
          "interleaved corpus chain (gate -> post-gate media dedup on the "
          "uniform ref key -> cleaned re-cost -> bucket-cumsum pack; no "
          "global sort, no driver state)"),
+        ("crawl_diff",
+         "snapshot diff (ONE full-outer join on the unique uniform URL "
+         "key + codegen transition CASE; co-locatable via url bucketing)"),
+        ("host_health",
+         "host circuit breaker (two map-side-combined host aggregates; "
+         "trailing pass re-aggregates FAILED rows only against the "
+         "last-success table — AQE skew-join shape, no per-host window)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
