@@ -111,3 +111,64 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, mode: str = "append
     )
     q.awaitTermination()
     return q
+
+
+def stream_host_health(
+    fetches: DataFrame,
+    rate_micro: int = 300_000,
+    min_fetches: int = 20,
+    max_trailing: int = 5,
+) -> DataFrame:
+    """Custom stateful streaming operator: the per-host circuit breaker
+    (operators/health.py) as a continuous query — state per host =
+    (lifetime fetches, lifetime errors, trailing consecutive failures),
+    updated per micro-batch and carried across restarts by the state
+    store. Emits one verdict row per host per micro-batch with the same
+    two trip rules as the batch rollup (cross-multiplied error rate
+    gated on min_fetches, checked first; trailing failures since the
+    last success). State is three int64s per host — O(hosts), not
+    O(fetches) — and the batch update is vectorized numpy over the
+    Arrow-delivered rows (no per-row Python arithmetic: counters are
+    sums, and the trailing run is `len - 1 - last_success_index`).
+
+    Input stream: (url string, host string, ts timestamp,
+    failed boolean)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("host string, n_fetches long, n_errors long, "
+                  "trailing_failures long, tripped boolean, "
+                  "trip_reason string")
+
+    def breaker(key, pdf_iter, state):
+        n, e, tr = state.get if state.exists else (0, 0, 0)
+        frames = [p for p in pdf_iter if len(p)]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(["ts", "url"])
+        arr = rows["failed"].to_numpy(dtype=bool)
+        n += len(arr)
+        e += int(arr.sum())
+        ok_idx = np.nonzero(~arr)[0]
+        if len(ok_idx):
+            tr = int(len(arr) - 1 - ok_idx[-1])
+        else:
+            tr += len(arr)
+        state.update((int(n), int(e), int(tr)))
+        if n >= min_fetches and e * 1_000_000 >= rate_micro * n:
+            reason = "error_rate"
+        elif tr >= max_trailing:
+            reason = "trailing_failures"
+        else:
+            reason = ""
+        yield pd.DataFrame({
+            "host": [key[0]], "n_fetches": [n], "n_errors": [e],
+            "trailing_failures": [tr], "tripped": [reason != ""],
+            "trip_reason": [reason],
+        })
+
+    return fetches.groupBy("host").applyInPandasWithState(
+        breaker, out_schema, "n long, e long, tr long", "append",
+        GroupStateTimeout.NoTimeout,
+    )

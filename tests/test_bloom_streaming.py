@@ -151,3 +151,57 @@ def test_stream_politeness_gate_stateful(spark):
         new = [r for r in out2 if r["url"] == "http://a.test/4"]
         assert len(new) == 1
         assert new[0]["not_before"].second == 3  # 00:00:02 last + 1s
+
+
+def test_stream_host_health_stateful(spark):
+    """State carries across micro-batches/restarts: a host whose outage
+    spans two drains trips only once five trailing failures accumulate;
+    a recovering host resets; the rate rule needs min_fetches."""
+    import tempfile
+
+    from linkinator_spark.streaming.frontier_stream import (
+        stream_host_health,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        schema = "url string, host string, ts_s string, failed boolean"
+
+        def write(rows, part):
+            spark.createDataFrame(rows, schema).select(
+                "url", "host", F.to_timestamp("ts_s").alias("ts"), "failed"
+            ).write.parquet(f"{d}/in/{part}")
+
+        def drain():
+            src = spark.readStream.schema(
+                "url string, host string, ts timestamp, failed boolean"
+            ).option("pathGlobFilter", "*.parquet").parquet(f"{d}/in/*")
+            q = (stream_host_health(src, rate_micro=500_000,
+                                    min_fetches=100, max_trailing=5)
+                 .writeStream.format("parquet")
+                 .option("path", f"{d}/out")
+                 .option("checkpointLocation", f"{d}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            return spark.read.parquet(f"{d}/out").collect()
+
+        # batch 1: outage host fails 3x; flaky host fails then recovers
+        write([(f"http://o.test/{i}", "o.test",
+                f"2024-01-01 00:00:0{i}", True) for i in range(3)]
+              + [("http://f.test/1", "f.test", "2024-01-01 00:00:00", True),
+                 ("http://f.test/2", "f.test", "2024-01-01 00:00:01", False)],
+              "b1")
+        out1 = {r["host"]: r.asDict() for r in drain()}
+        assert out1["o.test"]["trailing_failures"] == 3
+        assert not out1["o.test"]["tripped"]  # not yet 5
+        assert out1["f.test"]["trailing_failures"] == 0  # reset by success
+
+        # batch 2: outage continues -> trailing reaches 5 ACROSS batches
+        write([(f"http://o.test/x{i}", "o.test",
+                f"2024-01-01 00:01:0{i}", True) for i in range(2)], "b2")
+        out2 = [r.asDict() for r in drain() if r["host"] == "o.test"]
+        latest = max(out2, key=lambda r: r["n_fetches"])
+        assert latest["n_fetches"] == 5
+        assert latest["trailing_failures"] == 5
+        assert latest["trip_reason"] == "trailing_failures"
+        # 100% error rate but n < min_fetches=100: rate rule stays quiet
+        assert latest["n_errors"] == 5
