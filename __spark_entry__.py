@@ -2108,6 +2108,56 @@ def q_corpus_stats(spark, sf_dir):
     )
 
 
+def q_domain_quality(spark, sf_dir):
+    """Data-driven domain blocklist builder (the RefinedWeb/C4 URL-level
+    filtering step that turns corpus statistics INTO the next crawl's
+    blocklist, complementing the static UT1 suffix list of
+    url_blocklist): per-domain quality mass, token volume and PII
+    incidence in one map-side-combined scan, then integer
+    cross-multiplied verdicts — low_quality when the domain's mean
+    quality micro-score falls below 0.736 (splits the 11 derived domains
+    at sf0.01), pii_heavy when more than 25% of its docs carry PII
+    (planted on two domains, one of which also fails quality — pinning
+    rule precedence). ALL-INTEGER compares: a float mean is
+    summation-order-dependent and could not hash-match across engines."""
+    from functools import reduce
+    from operator import add
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    planted = F.when(
+        (i % 11 <= 1) & (i % 2 == 0),
+        F.concat(F.col("text"), F.lit(" contact bob@example.com")),
+    ).otherwise(F.col("text"))
+    base = docs.select(
+        F.concat(F.lit("d"), (i % 11).cast("string")).alias("domain"),
+        planted.alias("text"))
+    f = T.quality_features(F.col("text"))
+    pii_any = reduce(add, T.pii_counts(F.col("text")).values()) > 0
+    per = base.select(
+        "domain",
+        f["n_tokens"].alias("_tok"),
+        F.round(T.quality_score(F.col("text")) * 1e6, 0)
+        .cast("long").alias("_qm"),
+        F.when(pii_any, 1).otherwise(0).alias("_p"),
+    )
+    agg = per.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("tokens_sum"),
+        F.sum("_qm").cast("long").alias("quality_micro_sum"),
+        F.sum("_p").cast("long").alias("pii_docs"),
+    )
+    low_q = F.col("quality_micro_sum") < F.lit(736_000) * F.col("n_docs")
+    high_pii = F.col("pii_docs") * 4 > F.col("n_docs")
+    reason = (
+        F.when(low_q, F.lit("low_quality"))
+        .when(high_pii, F.lit("pii_heavy"))
+        .otherwise(F.lit(""))
+    )
+    return agg.withColumn("flag_reason", reason).withColumn(
+        "flagged", F.col("flag_reason") != "")
+
+
 def q_ppl_bucket(spark, sf_dir):
     """CCNet head/middle/tail perplexity filter (functions/lm.ppl_bucket,
     Wenzek et al. 2020 §4.3): LM-score every doc, then bucket each
@@ -2259,6 +2309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "ppl_bucket": q_ppl_bucket,
         "corpus_stats": q_corpus_stats,
+        "domain_quality": q_domain_quality,
         "tfidf_sparse": q_tfidf_sparse,
         "quality_classifier": q_quality_classifier,
         "media_dedup": q_media_dedup,
@@ -3533,6 +3584,41 @@ def oracle_sql() -> dict[str, str]:
             select media_ref, n_refs, n_docs, keeper_doc_id, keeper_offset
             from stats join keep using (media_ref)
             where n_refs >= 2
+        """,
+        "domain_quality": f"""
+            -- planted-PII synthesis -> one rollup -> integer verdicts
+            with base as (
+              select 'd' || cast(doc_id % 11 as varchar) as domain,
+                     case when doc_id % 11 <= 1 and doc_id % 2 = 0
+                          then text || ' contact bob@example.com'
+                          else text end as text
+              from documents
+            ),
+            agg as (
+              select domain,
+                     count(*)::bigint as n_docs,
+                     sum({q['n_tokens']})::bigint as tokens_sum,
+                     sum(round({quality_score} * 1e6)::bigint)::bigint
+                       as quality_micro_sum,
+                     sum(case when
+                           len(regexp_extract_all(text, '{T.PII_EMAIL_RE}'))
+                           + len(regexp_extract_all(text, '{T.PII_IPV4_RE}'))
+                           + len(regexp_extract_all(text, '{T.PII_PHONE_RE}'))
+                           + len(regexp_extract_all(text, '{T.PII_SSN_RE}'))
+                           + len(regexp_extract_all(text, '{T.PII_CARD_RE}'))
+                           > 0 then 1 else 0 end)::bigint as pii_docs
+              from base group by domain
+            )
+            select domain, n_docs, tokens_sum, quality_micro_sum, pii_docs,
+                   case when quality_micro_sum < 736000 * n_docs
+                          then 'low_quality'
+                        when pii_docs * 4 > n_docs then 'pii_heavy'
+                        else '' end as flag_reason,
+                   (case when quality_micro_sum < 736000 * n_docs
+                           then 'low_quality'
+                         when pii_docs * 4 > n_docs then 'pii_heavy'
+                         else '' end) <> '' as flagged
+            from agg
         """,
         "corpus_stats": f"""
             select lang,

@@ -83,3 +83,24 @@ def test_dropped_accounting_balances(spark):
     bad = out.filter(
         F.col("n_tokens") < F.col("n_media_kept") * 64).count()
     assert bad == 0
+
+
+def test_domain_quality_verdicts(spark):
+    """domain_quality: the PII plant hits domains d0/d1 (50% of docs);
+    precedence gives low_quality priority when both rules hold, and the
+    pii_heavy flag only ever appears on a planted domain."""
+    out = {r["domain"]: r.asDict()
+           for r in entrymod.q_domain_quality(spark, SF_DIR).collect()}
+    assert set(out) == {f"d{k}" for k in range(11)}
+    pii_flagged = {d for d, r in out.items()
+                   if r["flag_reason"] == "pii_heavy"}
+    assert pii_flagged <= {"d0", "d1"}
+    # planted domains carry PII in ~half their docs; others have none
+    for d, r in out.items():
+        if d in ("d0", "d1"):
+            assert r["pii_docs"] * 4 > r["n_docs"]
+        else:
+            assert r["pii_docs"] == 0
+    # a planted domain that ALSO fails quality must report low_quality
+    for d in ("d0", "d1"):
+        assert out[d]["flag_reason"] in ("low_quality", "pii_heavy")
