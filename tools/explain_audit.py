@@ -174,6 +174,9 @@ def main() -> None:
          "host circuit breaker (two map-side-combined host aggregates; "
          "trailing pass re-aggregates FAILED rows only against the "
          "last-success table — AQE skew-join shape, no per-host window)"),
+        ("domain_quality",
+         "domain blocklist builder (ONE map-side-combined scan; integer "
+         "cross-multiplied verdicts — no float mean, no second shuffle)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
