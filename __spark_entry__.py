@@ -584,6 +584,68 @@ def q_crawl_diff(spark, sf_dir):
     return crawl_diff(prev, curr)
 
 
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap discovery + ingestion (sources/sitemap.py — the crawl-tier
+    seeding hop linkinator lacks; RFC 9309 §2.3 / sitemaps.org): per host
+    (doc_id%7) a robots.txt declares one sitemapindex, the index lists two
+    urlset parts (doc_id%2), and each doc plants one <url> entry with
+    priority BEFORE loc (field-order independence), lastmod omitted on
+    %3==0 and priority omitted on %4==0 (protocol default 0.5). The whole
+    XML build/strip/parse round trip must reproduce the doc_id arithmetic
+    the oracle computes directly — a namespace slip, block mis-framing, or
+    field mis-alignment breaks the hash. All parsing is codegen
+    regexp/xpath; the only join broadcasts the metadata-scale body table."""
+    from linkinator_spark.sources import sitemap as SM
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".sm.example"))
+    loc = F.concat(F.lit("http://"), host, F.lit("/p/"), d.cast("string"))
+    lastmod_tag = F.when(
+        d % 3 != 0,
+        F.concat(F.lit("<lastmod>2026-05-1"), (d % 9).cast("string"),
+                 F.lit("</lastmod>"))).otherwise(F.lit(""))
+    pri_tag = F.when(
+        d % 4 != 0,
+        F.concat(F.lit("<priority>0."), (d % 10).cast("string"),
+                 F.lit("</priority>"))).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit("<url>"), pri_tag,
+        F.lit("<loc>"), loc, F.lit("</loc>"), lastmod_tag, F.lit("</url>"))
+    parts = docs.select(
+        host.alias("host"), (d % 2).cast("string").alias("part"),
+        d.alias("doc_id"), entry.alias("entry"))
+    urlsets = (
+        parts.groupBy("host", "part")
+        .agg(F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+                  'sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                    lambda s: s["entry"]), ""),
+            F.lit("</urlset>")).alias("xml"))
+        .select(
+            F.concat(F.lit("http://"), F.col("host"), F.lit("/sm_"),
+                     F.col("part"), F.lit(".xml")).alias("sitemap_url"),
+            "xml"))
+    hosts = docs.select(host.alias("host")).distinct()
+    base = F.concat(F.lit("http://"), F.col("host"))
+    indexes = hosts.select(
+        F.concat(base, F.lit("/sitemap.xml")).alias("sitemap_url"),
+        F.concat(
+            F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+                  'sitemap/0.9"><sitemap><loc>'),
+            base, F.lit("/sm_0.xml</loc></sitemap><sitemap><loc>"),
+            base, F.lit("/sm_1.xml</loc></sitemap></sitemapindex>"),
+        ).alias("xml"))
+    robots = hosts.select(
+        "host",
+        F.concat(F.lit("User-agent: *\nDisallow: /private\nSitemap: "),
+                 base, F.lit("/sitemap.xml")).alias("robots_txt"))
+    return SM.resolve_sitemaps(robots, urlsets.unionByName(indexes))
+
+
 def q_host_delay_maxwins(spark, sf_dir):
     """J3/A4: per-host retry-after delays merge max-wins."""
     events = _t(spark, sf_dir, "events")
@@ -2317,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_schedule": q_revisit_schedule,
         "crawl_diff": q_crawl_diff,
         "host_health": q_host_health,
+        "sitemap_ingest": q_sitemap_ingest,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2811,6 +2874,25 @@ def oracle_sql() -> dict[str, str]:
                            then 'trailing_failures'
                          else '' end) <> '' as tripped
             from base b left join trail t using (host)
+        """,
+        "sitemap_ingest": """
+            -- the oracle computes the declared URL inventory directly from
+            -- the doc_id arithmetic; the Spark side must reproduce it
+            -- through the robots -> index -> urlset XML round trip
+            select 'h' || cast(doc_id % 7 as varchar) || '.sm.example'
+                     as host,
+                   'http://h' || cast(doc_id % 7 as varchar)
+                     || '.sm.example/p/' || cast(doc_id as varchar) as loc,
+                   case when doc_id % 3 <> 0
+                        then '2026-05-1' || cast(doc_id % 9 as varchar)
+                   end as lastmod,
+                   cast(case when doc_id % 4 <> 0
+                             then (doc_id % 10) * 100000
+                             else 500000 end as bigint) as priority_micro,
+                   'http://h' || cast(doc_id % 7 as varchar)
+                     || '.sm.example/sm_' || cast(doc_id % 2 as varchar)
+                     || '.xml' as sitemap_url
+            from documents
         """,
         "crawl_diff": f"""
             -- two replayed snapshots -> full-outer join -> transition CASE
