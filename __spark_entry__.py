@@ -646,6 +646,19 @@ def q_sitemap_ingest(spark, sf_dir):
     return SM.resolve_sitemaps(robots, urlsets.unionByName(indexes))
 
 
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted index over the raw corpus text
+    (search.inverted_index): term -> df, total_tf, and the full ordered
+    posting list ('%012d@pos.pos' entries). The salted three-phase build
+    (per-(term,doc) partial -> per-(term,bucket) collect -> <=salt-array
+    merge) must agree with DuckDB's direct group-and-sort — a bucket
+    mis-merge, position mis-sort, or padding slip breaks the hash.
+    min_df=2 exercises the hapax pruning."""
+    from linkinator_spark.functions.search import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), min_df=2)
+
+
 def q_host_delay_maxwins(spark, sf_dir):
     """J3/A4: per-host retry-after delays merge max-wins."""
     events = _t(spark, sf_dir, "events")
@@ -2380,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "host_health": q_host_health,
         "sitemap_ingest": q_sitemap_ingest,
+        "inverted_index": q_inverted_index,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2893,6 +2907,29 @@ def oracle_sql() -> dict[str, str]:
                      || '.sm.example/sm_' || cast(doc_id % 2 as varchar)
                      || '.xml' as sitemap_url
             from documents
+        """,
+        "inverted_index": """
+            -- direct group-and-sort twin of the salted three-phase build
+            with toks as (
+              select doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') as ts
+              from documents
+            ),
+            pos as (
+              select doc_id, ts[i] as term, i - 1 as pos
+              from toks, lateral (select unnest(range(1, len(ts) + 1)) as i)
+            ),
+            per_doc as (
+              select term, doc_id, cast(count(*) as bigint) as tf,
+                     printf('%012d', doc_id) || '@' ||
+                     string_agg(cast(pos as varchar), '.' order by pos) as e
+              from pos group by term, doc_id
+            )
+            select term, cast(count(*) as bigint) as df,
+                   cast(sum(tf) as bigint) as total_tf,
+                   list_sort(list(e)) as postings
+            from per_doc group by term
+            having count(*) >= 2
         """,
         "crawl_diff": f"""
             -- two replayed snapshots -> full-outer join -> transition CASE

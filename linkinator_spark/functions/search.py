@@ -145,3 +145,65 @@ def vocab_topk(
     return top.select(
         "term", "freq", "doc_freq",
         F.row_number().over(w).cast("long").alias("rank"))
+
+
+def inverted_index(
+    docs: DataFrame, min_df: int = 1, salt: int = 16,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Positional inverted index: one row per term with its full posting
+    list — the index-construction primitive behind BM25 serving, corpus
+    audit tooling, and phrase search. Output: (term, df, total_tf,
+    postings array<string>) where each entry is
+    ``%012d@p1.p2.p3`` — the zero-padded doc id, '@', the ascending
+    0-based token positions '.'-joined — and the array is in ascending
+    doc order (zero padding makes lexical order == numeric order, so the
+    merge is a plain `array_sort`).
+
+    Scale shape (100-TB lens): the classic MapReduce index-build hot-key
+    problem is the stopword — "the" appears in ~every doc, so a naive
+    groupBy(term).collect_list serializes a corpus-sized posting list
+    through one reducer. Three phases avoid that:
+      1. (term, doc) partial aggregate — keys are uniform pairs, map-side
+         combined, and each group is one doc's positions (bounded by
+         doc length);
+      2. (term, hash(doc) % salt) bucket collect — a hot term's postings
+         spread across `salt` reducers, each holding 1/salt of the list;
+      3. per-term merge of <= `salt` pre-built arrays — the only
+         term-keyed shuffle moves one partial array per bucket, not one
+         row per posting.
+    The final per-term array is necessarily materialized (that IS the
+    output format); for serving, shard the index by `pmod(hash(term),
+    n_shards)` instead of merging to one row — phase 3 then becomes the
+    shard writer. `min_df` prunes hapax noise before the merge.
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit(WORD_RE), 0)).alias("pos", "term"),
+    )
+    per_doc = (
+        toks.groupBy("term", "id")
+        .agg(F.count("*").alias("tf"),
+             F.array_sort(F.collect_list("pos")).alias("_ps"))
+        .withColumn("_e", F.concat(
+            F.format_string("%012d", F.col("id")), F.lit("@"),
+            F.array_join(F.transform(
+                F.col("_ps"), lambda p: p.cast("string")), ".")))
+    )
+    bucketed = per_doc.withColumn(
+        "_b", F.pmod(portable_hash64(F.col("id").cast("string"),
+                                     prefix="inv:"), F.lit(salt)))
+    partial = (
+        bucketed.groupBy("term", "_b")
+        .agg(F.count("*").alias("_df"), F.sum("tf").alias("_tf"),
+             F.array_sort(F.collect_list("_e")).alias("_pl"))
+    )
+    merged = (
+        partial.groupBy("term")
+        .agg(F.sum("_df").alias("df"), F.sum("_tf").alias("total_tf"),
+             F.array_sort(F.flatten(F.collect_list("_pl")))
+             .alias("postings"))
+    )
+    return merged.filter(F.col("df") >= min_df)
