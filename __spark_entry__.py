@@ -30,6 +30,7 @@ from linkinator_spark.functions import graph as GR  # noqa: E402
 from linkinator_spark.functions import interleave as IV  # noqa: E402
 from linkinator_spark.functions import lm as LM  # noqa: E402
 from linkinator_spark.functions import media as M  # noqa: E402
+from linkinator_spark.functions import search as SRCH  # noqa: E402
 from linkinator_spark.functions import similarity as S  # noqa: E402
 from linkinator_spark.functions import text as T  # noqa: E402
 from linkinator_spark.functions import traps as TRM  # noqa: E402
@@ -312,6 +313,20 @@ def q_link_pagerank(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pr = GR.pagerank(G.edges_df(docs), iters=5, damping=0.85)
     return pr.select("node", F.round("pagerank", 6).alias("pagerank"))
+
+
+def q_link_hits(spark, sf_dir):
+    """HITS hubs & authorities over the same deterministic crawl graph:
+    5 mutual-reinforcement rounds with L1 normalization
+    (functions/graph.hits — per-round join + map-side-combined sum,
+    score vector localCheckpoint-ed). Complements link_pagerank: hub
+    score ranks crawl-seed directories, auth score ranks keep-worthy
+    content. The DuckDB oracle unrolls all 5 rounds; 6dp rounding
+    absorbs engine-specific double accumulation order."""
+    docs = _t(spark, sf_dir, "documents")
+    hs = GR.hits(G.edges_df(docs), iters=5)
+    return hs.select("node", F.round("hub", 6).alias("hub"),
+                     F.round("auth", 6).alias("auth"))
 
 
 def q_url_canonicalize(spark, sf_dir):
@@ -644,6 +659,28 @@ def q_sitemap_ingest(spark, sf_dir):
         F.concat(F.lit("User-agent: *\nDisallow: /private\nSitemap: "),
                  base, F.lit("/sitemap.xml")).alias("robots_txt"))
     return SM.resolve_sitemaps(robots, urlsets.unionByName(indexes))
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase query over positional tokens (search.phrase_search):
+    a token at (doc, pos) matching phrase offset k votes for start
+    pos-k; starts with every offset present are hits. Phrases are
+    corpus-derived (tokens 3..5 of docs 0-2) so both engines build the
+    same query set and every phrase is guaranteed >=1 hit. Oracle:
+    identical vote-and-count logic in DuckDB. The broadcast-dictionary
+    semi-join shape (only phrase-term tokens shuffle) is the same as
+    bm25_topk's."""
+    from linkinator_spark.functions.search import WORD_RE, phrase_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    phrases = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("phrase_id"),
+        F.array_join(
+            F.slice(F.regexp_extract_all(F.lower(F.col("text")),
+                                         F.lit(WORD_RE), 0), 3, 3),
+            " ").alias("phrase"),
+    )
+    return phrase_search(docs, phrases)
 
 
 def q_inverted_index(spark, sf_dir):
@@ -2337,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "top_hosts": q_top_hosts,
         "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "dedup_bloom_exact": q_dedup_bloom_exact,
@@ -2394,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_health": q_host_health,
         "sitemap_ingest": q_sitemap_ingest,
         "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2813,6 +2852,15 @@ def oracle_sql() -> dict[str, str]:
                 "select doc_id as id from documents",
                 iters=5, damping=0.85)})
         """,
+        "link_hits": f"""
+            -- unrolled 5-round HITS with L1 normalization over the same
+            -- derived edge set (functions/graph.hits_oracle_sql)
+            select node, round(hub, 6) as hub, round(auth, 6) as auth
+            from ({GR.hits_oracle_sql(
+                G.edges_sql(n_sf001),
+                "select doc_id as id from documents",
+                iters=5)})
+        """,
         "frontier_priority": f"""
             -- unrolled PageRank -> micro-priority -> per-host top-4 by
             -- descending priority -> global emission rank
@@ -2907,6 +2955,16 @@ def oracle_sql() -> dict[str, str]:
                      || '.sm.example/sm_' || cast(doc_id % 2 as varchar)
                      || '.xml' as sitemap_url
             from documents
+        """,
+        "phrase_search": f"""
+            -- corpus-derived phrases (tokens 3..5 of docs 0-2) ->
+            -- vote-and-count positional match (search.phrase_search_oracle_sql)
+            {SRCH.phrase_search_oracle_sql(
+                "select doc_id, text from documents",
+                "select doc_id as phrase_id, "
+                " array_to_string("
+                "   regexp_extract_all(lower(text), '[a-z0-9]+')[3:5], ' ')"
+                " as phrase from documents where doc_id < 3")}
         """,
         "inverted_index": """
             -- direct group-and-sort twin of the salted three-phase build

@@ -181,3 +181,107 @@ def anchor_text_agg_oracle_sql(edges_rel: str) -> str:
         select stats.url, n_refs, n_pages, top_anchor, top_anchor_refs
         from stats join top using (url)
     """
+
+
+def hits(
+    edges: DataFrame, iters: int = 5,
+    src_col: str = "src", dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) after `iters` mutual-
+    reinforcement rounds: (node, hub, auth).
+
+    auth'(v) = Σ hub(u) over in-edges (u,v); hub'(u) = Σ auth'(v) over
+    out-edges (u,v); each vector L1-normalizes after its update (the
+    classic convergent form, and — unlike L2 — replayable as exact SQL
+    aggregation plus one division). Parallel edges collapse first; both
+    scores start uniform over src ∪ dst. A fixed iteration count keeps
+    the result a pure function of the edge set so the DuckDB oracle can
+    unroll it.
+
+    Where pagerank weights crawl sources by incoming authority alone,
+    HITS separates "good directory" (hub) from "good content" (auth) —
+    the signal for seeding a crawl (high hubs first) vs. keeping a page
+    in a training corpus (high auth).
+
+    Scale shape at 10^10 edges: each half-round is one join keyed on
+    node ids (uniform after url-hash node mapping) + one map-side-
+    combined sum; the L1 normalizer is a scalar aggregate collected to
+    the driver (O(1) rows/round, same as pagerank's dangling mass); the
+    score vectors are O(nodes) and localCheckpoint-ed per round to cut
+    the iterative lineage.
+    """
+    e = (edges.select(F.col(src_col).cast("long").alias("src"),
+                      F.col(dst_col).cast("long").alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct())
+    n_nodes = nodes.count()
+    scores = nodes.select(
+        "id", (F.lit(1.0) / n_nodes).alias("hub"),
+        (F.lit(1.0) / n_nodes).alias("auth"))
+    for _ in range(iters):
+        # auth step: sum incoming hub mass, L1-normalize
+        a_raw = (e.join(scores.select(F.col("id").alias("src"), "hub"), "src")
+                 .groupBy("dst").agg(F.sum("hub").alias("a")))
+        a_tot = a_raw.agg(F.coalesce(F.sum("a"), F.lit(1.0))).collect()[0][0]
+        auth = (nodes.join(a_raw, nodes["id"] == a_raw["dst"], "left")
+                .select("id", (F.coalesce(F.col("a"), F.lit(0.0))
+                               / F.lit(a_tot)).alias("auth")))
+        # hub step: sum outgoing (new) auth mass, L1-normalize
+        h_raw = (e.join(auth.select(F.col("id").alias("dst"),
+                                    F.col("auth").alias("na")), "dst")
+                 .groupBy("src").agg(F.sum("na").alias("h")))
+        h_tot = h_raw.agg(F.coalesce(F.sum("h"), F.lit(1.0))).collect()[0][0]
+        hub = (nodes.join(h_raw, nodes["id"] == h_raw["src"], "left")
+               .select("id", (F.coalesce(F.col("h"), F.lit(0.0))
+                              / F.lit(h_tot)).alias("hub")))
+        scores = (hub.join(auth, "id")
+                  .select("id", "hub", "auth")
+                  .localCheckpoint(eager=True))
+    return scores.select(F.col("id").alias("node"), "hub", "auth")
+
+
+def hits_oracle_sql(edges_rel: str, nodes_rel: str, iters: int = 5) -> str:
+    """Unrolled-SQL twin of `hits`: `edges_rel` yields (src, dst),
+    `nodes_rel` yields (id). Returns (node, hub, auth) unrounded."""
+    # every CTE is MATERIALIZED: the round chain references each prior
+    # round several times, and DuckDB's default CTE inlining would
+    # duplicate the whole edge scan exponentially across rounds
+    sql = [f"""
+        with e as materialized (select distinct src, dst from ({edges_rel})),
+        nodes as materialized (select id from ({nodes_rel})),
+        nn as materialized (select count(*) as n from nodes),
+        s0 as materialized (select id, 1.0::DOUBLE / nn.n as hub,
+                      1.0::DOUBLE / nn.n as auth from nodes, nn)"""]
+    for i in range(iters):
+        p, c = f"s{i}", f"s{i + 1}"
+        sql.append(f""",
+        ar{i} as materialized (
+          select e.dst, sum({p}.hub) as a
+          from e join {p} on {p}.id = e.src group by e.dst
+        ),
+        at{i} as materialized (
+          select coalesce(sum(a), 1.0) as tot from ar{i}),
+        a{i} as materialized (
+          select nodes.id,
+                 coalesce(ar{i}.a, 0)::DOUBLE / at{i}.tot as auth
+          from nodes left join ar{i} on ar{i}.dst = nodes.id, at{i}
+        ),
+        hr{i} as materialized (
+          select e.src, sum(a{i}.auth) as h
+          from e join a{i} on a{i}.id = e.dst group by e.src
+        ),
+        ht{i} as materialized (
+          select coalesce(sum(h), 1.0) as tot from hr{i}),
+        {c} as materialized (
+          select nodes.id,
+                 coalesce(hr{i}.h, 0)::DOUBLE / ht{i}.tot as hub,
+                 a{i}.auth as auth
+          from nodes
+          left join hr{i} on hr{i}.src = nodes.id
+          join a{i} on a{i}.id = nodes.id, ht{i}
+        )""")
+    sql.append(f"""
+        select id as node, hub, auth from s{iters}""")
+    return "".join(sql)

@@ -207,3 +207,100 @@ def inverted_index(
              .alias("postings"))
     )
     return merged.filter(F.col("df") >= min_df)
+
+
+def phrase_search(
+    docs: DataFrame, phrases: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    phrase_id_col: str = "phrase_id", phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact phrase query over positional tokens: (phrase_id, doc_id,
+    n_hits, first_pos) for every document containing the phrase's terms
+    consecutively, in order. The positional complement of bm25_topk —
+    the "find this exact passage" primitive behind corpus audits,
+    quotation tracing, and contamination spot-checks.
+
+    Algorithm: a token at (doc, pos) matching phrase term at offset k
+    votes for candidate start `pos - k`; a start where the number of
+    DISTINCT matched offsets equals the phrase length is a hit (repeated
+    terms inside a phrase work: each position can vote for several
+    offsets, but a full hit still needs every offset present).
+
+    Scale shape (100-TB lens): the exploded phrase-term dictionary is
+    tiny and broadcast; the semi-join keeps only corpus tokens whose
+    term appears in some phrase, so the corpus vocabulary never
+    shuffles. The (phrase, doc, start) group key is uniform (doc ids
+    dominate), both aggregates partial-combine map-side, and nothing is
+    driver-side or per-row Python.
+    """
+    pterms = phrases.select(
+        F.col(phrase_id_col).alias("phrase_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(phrase_col)),
+                                 F.lit(WORD_RE), 0)).alias("k", "term"),
+    )
+    plens = pterms.groupBy("phrase_id").agg(
+        F.count_distinct("k").alias("_plen"))
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit(WORD_RE), 0)).alias("pos", "term"),
+    )
+    votes = toks.join(F.broadcast(pterms), "term").select(
+        "phrase_id", "doc_id", (F.col("pos") - F.col("k")).alias("start"),
+        "k",
+    ).filter(F.col("start") >= 0)
+    hits = (
+        votes.groupBy("phrase_id", "doc_id", "start")
+        .agg(F.count_distinct("k").alias("_nk"))
+        .join(F.broadcast(plens), "phrase_id")
+        .filter(F.col("_nk") == F.col("_plen"))
+    )
+    return (
+        hits.groupBy("phrase_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"),
+             F.min("start").cast("long").alias("first_pos"))
+    )
+
+
+def phrase_search_oracle_sql(docs_rel: str, phrases_rel: str) -> str:
+    """DuckDB twin of `phrase_search`: `docs_rel` yields (doc_id, text),
+    `phrases_rel` yields (phrase_id, phrase)."""
+    return f"""
+        with pterms as (
+          select phrase_id, ts[i] as term, i - 1 as k
+          from (select phrase_id,
+                       regexp_extract_all(lower(phrase), '[a-z0-9]+') as ts
+                from ({phrases_rel})),
+               lateral (select unnest(range(1, len(ts) + 1)) as i)
+        ),
+        plens as (
+          select phrase_id, count(distinct k) as plen
+          from pterms group by phrase_id
+        ),
+        toks as (
+          select doc_id, ts[i] as term, i - 1 as pos
+          from (select doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') as ts
+                from ({docs_rel})),
+               lateral (select unnest(range(1, len(ts) + 1)) as i)
+        ),
+        votes as (
+          select pterms.phrase_id, toks.doc_id,
+                 toks.pos - pterms.k as start, pterms.k
+          from toks join pterms using (term)
+          where toks.pos - pterms.k >= 0
+        ),
+        hits as (
+          select phrase_id, doc_id, start
+          from votes
+          group by phrase_id, doc_id, start
+          having count(distinct k) = (select plen from plens
+                                      where plens.phrase_id = votes.phrase_id)
+        )
+        select phrase_id, doc_id,
+               cast(count(*) as bigint) as n_hits,
+               cast(min(start) as bigint) as first_pos
+        from hits group by phrase_id, doc_id
+    """

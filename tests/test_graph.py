@@ -38,3 +38,32 @@ def test_dangling_mass_redistributed(spark):
     assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
     # authority flows down the chain
     assert pr[2] > pr[1] > pr[0]
+
+
+def test_hits_directory_vs_content(spark):
+    """A pure hub (links to everything, never linked) must get hub>0,
+    auth=0; pure sinks get auth>0, hub=0; scores L1-normalize."""
+    from linkinator_spark.functions.graph import hits
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 1), (1, 2)],
+        "src bigint, dst bigint")
+    rows = {r["node"]: (r["hub"], r["auth"]) for r in hits(edges, iters=4).collect()}
+    assert rows[0][1] == 0.0          # node 0 never linked-to: no authority
+    assert rows[3][0] == 0.0          # node 3 has no out-links: no hub score
+    assert rows[0][0] > rows[4][0]    # 3-out-link hub beats 1-out-link hub
+    # node 2 is linked by the two strongest hubs -> top authority
+    assert rows[2][1] == max(a for _, a in rows.values())
+    assert abs(sum(h for h, _ in rows.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in rows.values()) - 1.0) < 1e-9
+
+
+def test_hits_parallel_edges_collapse(spark):
+    from linkinator_spark.functions.graph import hits
+
+    base = spark.createDataFrame([(0, 1), (2, 1)], "src bigint, dst bigint")
+    dup = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 1), (2, 1)], "src bigint, dst bigint")
+    a = sorted(map(tuple, hits(base, iters=3).collect()))
+    b = sorted(map(tuple, hits(dup, iters=3).collect()))
+    assert a == b

@@ -97,3 +97,40 @@ def test_exact_int_quantiles_match_sorted_definition(spark):
     s = sorted(vals)
     expect = {q: s[math.ceil(q * len(s)) - 1] for q in (0.05, 0.1, 0.4, 0.9, 1.0)}
     assert got == expect
+
+
+def test_phrase_search_basic_and_repeats(spark):
+    from linkinator_spark.functions.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "quick brown cat then the quick brown fox again"),
+            (2, "brown quick fox"),                 # right terms, wrong order
+            (3, "the quick BROWN   fox!"),          # case/punct normalize
+            (4, "buffalo buffalo buffalo"),         # repeated-term phrase
+            (5, "buffalo buffalo"),                 # too short for it
+        ],
+        "doc_id bigint, text string")
+    phrases = spark.createDataFrame(
+        [(10, "quick brown fox"), (11, "buffalo buffalo buffalo")],
+        "phrase_id bigint, phrase string")
+    got = {(r["phrase_id"], r["doc_id"]): (r["n_hits"], r["first_pos"])
+           for r in phrase_search(docs, phrases).collect()}
+    assert got == {
+        (10, 0): (1, 1),   # 'quick' at pos 1
+        (10, 1): (1, 5),
+        (10, 3): (1, 1),
+        (11, 4): (1, 0),
+    }
+
+
+def test_phrase_search_multiple_hits_counted(spark):
+    from linkinator_spark.functions.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b")], "doc_id bigint, text string")
+    phrases = spark.createDataFrame(
+        [(1, "a b")], "phrase_id bigint, phrase string")
+    [r] = phrase_search(docs, phrases).collect()
+    assert (r["n_hits"], r["first_pos"]) == (3, 0)
