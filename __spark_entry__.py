@@ -30,7 +30,9 @@ from linkinator_spark.functions import graph as GR  # noqa: E402
 from linkinator_spark.functions import interleave as IV  # noqa: E402
 from linkinator_spark.functions import lm as LM  # noqa: E402
 from linkinator_spark.functions import media as M  # noqa: E402
+from linkinator_spark.functions import mirrors as MR  # noqa: E402
 from linkinator_spark.functions import search as SRCH  # noqa: E402
+from linkinator_spark.functions import sketches as SK  # noqa: E402
 from linkinator_spark.functions import similarity as S  # noqa: E402
 from linkinator_spark.functions import text as T  # noqa: E402
 from linkinator_spark.functions import traps as TRM  # noqa: E402
@@ -681,6 +683,66 @@ def q_phrase_search(spark, sf_dir):
             " ").alias("phrase"),
     )
     return phrase_search(docs, phrases)
+
+
+def q_host_cardinality_hll(spark, sf_dir):
+    """Per-host HyperLogLog distinct-URL estimate
+    (sketches.hll_cardinality, p=6): the frontier's "how many distinct
+    URLs per host" without an exact count_distinct expansion. The input
+    re-unions every third URL so distinctness is actually exercised.
+    The oracle replays every register from the same portable md5-prefix
+    hash — v_zero and the integer register sum s_scaled pin the sketch
+    state bit-for-bit; est adds the linear-counting branch."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def derive(df):
+        return df.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string"))
+            .alias("host"),
+            F.concat(F.lit("http://corpus.test/p/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+        )
+
+    rows = derive(docs).unionByName(derive(docs.filter(F.col("doc_id") % 3 == 0)))
+    return SK.hll_cardinality(rows, "url", ["host"])
+
+
+def q_host_heavy_hitters(spark, sf_dir):
+    """Count-min frequency estimates over a skewed key stream
+    (sketches.cms_estimate, d=4 w=64): five hot keys carry half the
+    rows, the rest are singletons, so the tiny sketch visibly
+    overcounts colliding cold keys while est >= exact holds everywhere
+    (the CMS one-sided guarantee, pinned by the overcount column). The
+    oracle rebuilds every cell from the same portable hash."""
+    docs = _t(spark, sf_dir, "documents")
+    keys = docs.select(
+        F.when((F.col("doc_id") % 2) == 0,
+               F.concat(F.lit("hot"), (F.col("doc_id") % 5).cast("string")))
+        .otherwise(F.concat(F.lit("cold"), F.col("doc_id").cast("string")))
+        .alias("key"))
+    return SK.cms_estimate(keys, "key")
+
+
+def q_host_mirrors(spark, sf_dir):
+    """Mirror-site detection (mirrors.host_mirrors): hosts pair through
+    shared content fingerprints (equi-join, never all-pairs), Jaccard
+    in integer micro-points. The derived site set plants five perfect
+    mirrors (every 4th doc re-hosted under m0-m4 lands entirely on one
+    origin host each) and one partial mirror p0 (every 8th doc) whose
+    Jaccard is ~1/6 against several hosts — both families must surface
+    above the 0.1 threshold with exact shared/size/jaccard values."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.concat(F.lit("f"), F.col("doc_id").cast("string"))
+    orig = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+        .alias("host"), fp.alias("fp"))
+    full = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("m"), (F.col("doc_id") % 5).cast("string"))
+        .alias("host"), fp.alias("fp"))
+    part = docs.filter(F.col("doc_id") % 8 == 0).select(
+        F.lit("p0").alias("host"), fp.alias("fp"))
+    sites = orig.unionByName(full).unionByName(part)
+    return MR.host_mirrors(sites, min_jaccard_micro=100_000)
 
 
 def q_inverted_index(spark, sf_dir):
@@ -2433,6 +2495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": q_sitemap_ingest,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
+        "host_cardinality_hll": q_host_cardinality_hll,
+        "host_heavy_hitters": q_host_heavy_hitters,
+        "host_mirrors": q_host_mirrors,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -2965,6 +3030,43 @@ def oracle_sql() -> dict[str, str]:
                 " array_to_string("
                 "   regexp_extract_all(lower(text), '[a-z0-9]+')[3:5], ' ')"
                 " as phrase from documents where doc_id < 3")}
+        """,
+        "host_cardinality_hll": f"""
+            -- register-exact HLL replay from the portable md5-prefix hash
+            {SK.hll_cardinality_oracle_sql(
+                "select 'h' || cast(doc_id % 8 as varchar) as host,"
+                " 'http://corpus.test/p/' || cast(doc_id as varchar) as url"
+                " from documents"
+                " union all "
+                "select 'h' || cast(doc_id % 8 as varchar) as host,"
+                " 'http://corpus.test/p/' || cast(doc_id as varchar) as url"
+                " from documents where doc_id % 3 = 0",
+                "url", ["host"])}
+        """,
+        "host_heavy_hitters": f"""
+            -- cell-exact count-min replay over the skewed key stream
+            {SK.cms_estimate_oracle_sql(
+                "select case when doc_id % 2 = 0"
+                " then 'hot' || cast(doc_id % 5 as varchar)"
+                " else 'cold' || cast(doc_id as varchar) end as key"
+                " from documents",
+                "key")}
+        """,
+        "host_mirrors": f"""
+            -- planted full (m0-m4) and partial (p0) mirrors over
+            -- fingerprint equi-join + integer-micro Jaccard
+            {MR.host_mirrors_oracle_sql(
+                "select 'h' || cast(doc_id % 20 as varchar) as host,"
+                " 'f' || cast(doc_id as varchar) as fp from documents"
+                " union all "
+                "select 'm' || cast(doc_id % 5 as varchar) as host,"
+                " 'f' || cast(doc_id as varchar) as fp from documents"
+                " where doc_id % 4 = 0"
+                " union all "
+                "select 'p0' as host,"
+                " 'f' || cast(doc_id as varchar) as fp from documents"
+                " where doc_id % 8 = 0",
+                min_jaccard_micro=100_000)}
         """,
         "inverted_index": """
             -- direct group-and-sort twin of the salted three-phase build
