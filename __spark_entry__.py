@@ -23,6 +23,7 @@ from linkinator_spark.config import CheckOptions  # noqa: E402
 from linkinator_spark.functions import dedup as D  # noqa: E402
 from linkinator_spark.functions import blocklist as BL  # noqa: E402
 from linkinator_spark.functions import c4 as C4M  # noqa: E402
+from linkinator_spark.functions import cdx as CDX  # noqa: E402
 from linkinator_spark.functions import classifier as CF  # noqa: E402
 from linkinator_spark.functions import dsir as DSIR  # noqa: E402
 from linkinator_spark.functions import linededup as LD  # noqa: E402
@@ -2404,6 +2405,113 @@ def q_media_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# web-archive indexing + budget apportionment
+# ---------------------------------------------------------------------------
+
+def q_url_surt(spark, sf_dir):
+    """SURT canonicalization (functions/cdx.py — the Internet Archive /
+    Heritrix / Common Crawl sort key): deterministic messy URLs (mixed
+    case, www/www2 prefixes on %3, explicit ports on %5/%7 — default
+    and non-default, userinfo on %11, unordered two-param query on odd
+    ids, fragment on %3==1, empty path on %13==0) must reduce to the
+    same reversed-host key on both engines. Pure codegen projection —
+    the Spark Column and the DuckDB twin are built from ONE definition
+    site (surt_key / surt_sql, same file)."""
+    from linkinator_spark.functions import cdx as CDX
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(i % 11 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (i % 20).cast("string"), F.lit(".Example"),
+        F.when(i % 5 == 0, F.lit(":80"))
+         .when(i % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(i % 13 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("/Page/"), i.cast("string"))),
+        F.when(i % 2 == 1,
+               F.concat(F.lit("?b="), (i % 4).cast("string"),
+                        F.lit("&a="), (i % 6).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(i % 3 == 1, F.lit("#Sec")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        i.alias("doc_id"), url.alias("url"),
+        CDX.surt_key(url).alias("surt"))
+
+
+_CDX_HIST_SQL = """
+              select 'http://site' || cast(doc_id % 20 as varchar)
+                       || '.example/d/' || cast(doc_id as varchar) as url,
+                     cast(j * 100 + doc_id % 7 as bigint) as fetch_ts,
+                     cast(200 as int) as status,
+                     md5(cast(case when doc_id % 5 = 0 then 0
+                              else j // (doc_id % 3 + 1) end
+                              as varchar)) as digest,
+                     cast(100 + doc_id % 50 as bigint) as length
+              from documents,
+                   lateral (select unnest(range(0, doc_id % 4 + 3)) as j)
+"""
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index with WARC revisit-by-digest dedup
+    (functions/cdx.py): the revisit-schedule fetch history (3-6 captures
+    per URL, content hash rolling every ``1 + doc_id % 3`` fetches,
+    never-changing %5 docs) indexed by SURT with per-URL lag-digest
+    revisit classification, byte savings, and the global (surt, ts)
+    ordinal via the range-partition rank (never a single-task sort).
+    Oracle: same lag window + row_number in DuckDB."""
+    from linkinator_spark.functions import cdx as CDX
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = docs.select(
+        i.alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), (i % 4 + 2).cast("int"))).alias("j"),
+    )
+    period = F.col("doc_id") % 3 + 1
+    version = F.when(F.col("doc_id") % 5 == 0, F.lit(0)).otherwise(
+        F.floor(F.col("j") / period))
+    captures = base.select(
+        F.concat(F.lit("http://site"),
+                 (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.col("j").cast("long") * 100
+         + F.col("doc_id") % 7).alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.md5(version.cast("string")).alias("digest"),
+        (F.lit(100) + F.col("doc_id") % 50).cast("long").alias("length"),
+    )
+    return (
+        CDX.cdx_index(captures)
+        .withColumn("idx_rank", F.col("idx_rank").cast("long"))
+    )
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Global fetch-budget apportionment (operators/budget.py): 40 hosts
+    scored by their total stored text bytes (a demand × quality proxy)
+    share a prime budget of 997 fetches by exact largest-remainder
+    (Hamilton) apportionment — grants sum to the budget exactly, ties
+    broken host-ascending. Host table is metadata-scale; the remainder
+    rank is the range-partition global rank, not a one-task window.
+    Oracle: same integer div/mod + row_number + scalar subqueries."""
+    from linkinator_spark.operators.budget import allocate_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = (
+        docs.groupBy(
+            F.concat(F.lit("site"), (F.col("doc_id") % 40).cast("string"),
+                     F.lit(".example")).alias("host"))
+        .agg(F.sum(F.length("text")).alias("score"))
+    )
+    return allocate_budget(hosts, budget=997)
+
+
+# ---------------------------------------------------------------------------
 # events (streaming-analog) query
 # ---------------------------------------------------------------------------
 
@@ -2519,6 +2627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_arrow": q_ann_ivf_topk_arrow,
         "kmeans_train": q_kmeans_train,
         "media_features": q_media_features,
+        "url_surt": q_url_surt,
+        "cdx_index": q_cdx_index,
+        "crawl_budget": q_crawl_budget,
         "events_windowed": q_events_windowed,
     }
 
@@ -4305,6 +4416,79 @@ def oracle_sql() -> dict[str, str]:
             )
             select query_id, neighbor_id, cast(rank as int) as rank
             from ranked where rank <= {TOPK}
+        """,
+        "url_surt": f"""
+            -- messy-URL derivation + the shared SURT twin (cdx.surt_sql —
+            -- ONE definition site with the Spark Column builder)
+            with u as (
+              select doc_id,
+                (case when doc_id % 2 = 0 then 'http://'
+                      else 'https://' end)
+                || (case when doc_id % 11 = 0 then 'user:pw@' else '' end)
+                || (case when doc_id % 3 = 0 then 'WWW.' else '' end)
+                || 'Site' || cast(doc_id % 20 as varchar) || '.Example'
+                || (case when doc_id % 5 = 0 then ':80'
+                         when doc_id % 7 = 0 then ':8080' else '' end)
+                || (case when doc_id % 13 = 0 then ''
+                    else '/Page/' || cast(doc_id as varchar) end)
+                || (case when doc_id % 2 = 1
+                    then '?b=' || cast(doc_id % 4 as varchar)
+                         || '&a=' || cast(doc_id % 6 as varchar)
+                    else '' end)
+                || (case when doc_id % 3 = 1 then '#Sec' else '' end)
+                as url
+              from documents
+            )
+            select doc_id, url, {CDX.surt_sql('url')} as surt from u
+        """,
+        "cdx_index": f"""
+            -- fetch history -> SURT -> lag-digest revisit classification ->
+            -- global (surt, ts) ordinal
+            with hist as ({_CDX_HIST_SQL}),
+            surted as (
+              select *, {CDX.surt_sql('url')} as surt from hist
+            ),
+            lagged as (
+              select *, lag(digest) over
+                       (partition by url order by fetch_ts) as prev
+              from surted
+            )
+            select url, fetch_ts, status, digest, length, surt,
+                   case when prev is not null and prev = digest
+                        then 'revisit' else 'response' end as record_type,
+                   cast(case when prev is not null and prev = digest
+                        then length else 0 end as bigint) as saved_bytes,
+                   cast(row_number() over (order by surt, fetch_ts)
+                        as bigint) as idx_rank
+            from lagged
+        """,
+        "crawl_budget": """
+            -- largest-remainder (Hamilton) apportionment: floor quotas +
+            -- leftover units by remainder desc, host asc
+            with hosts as (
+              select 'site' || cast(doc_id % 40 as varchar) || '.example'
+                       as host,
+                     cast(sum(length(text)) as bigint) as score
+              from documents group by 1
+            ),
+            tot as (select sum(score) as t from hosts),
+            q as (
+              select host, score,
+                     (997 * score) // t as quota,
+                     (997 * score) % t as remainder
+              from hosts, tot
+            ),
+            lft as (select 997 - sum(quota) as l from q),
+            r as (
+              select *, row_number() over
+                       (order by remainder desc, host) as rk
+              from q
+            )
+            select host, score, cast(quota as bigint) as quota,
+                   cast(remainder as bigint) as remainder,
+                   cast(quota + case when rk <= (select l from lft)
+                                then 1 else 0 end as bigint) as granted
+            from r
         """,
         "events_windowed": """
             select strftime(time_bucket(interval '1 hour', ts), '%Y-%m-%d %H:%M:%S') as window_start,
