@@ -39,6 +39,7 @@ from linkinator_spark.functions import text as T  # noqa: E402
 from linkinator_spark.functions import traps as TRM  # noqa: E402
 from linkinator_spark.functions import vectorize as VZ  # noqa: E402
 from linkinator_spark.operators.classify import classify  # noqa: E402
+from linkinator_spark.sources import warc as WARC  # noqa: E402
 from linkinator_spark.operators.crawler import LinkChecker  # noqa: E402
 from linkinator_spark.plans import graphgen as G  # noqa: E402
 
@@ -2515,6 +2516,49 @@ def q_crawl_budget(spark, sf_dir):
 # events (streaming-analog) query
 # ---------------------------------------------------------------------------
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC (ISO 28500) archive write→read roundtrip (sources/warc.py):
+    a capture table synthesized from documents (one response per doc,
+    status cycling 200/404/301, 1-in-17 bodies poisoned with a literal
+    fake WARC header) is serialized to per-shard ``.warc.gz`` blobs —
+    codegen record build, one shard shuffle, deterministic per-record
+    gzip members — then parsed back by the Content-Length-driven
+    scanner. The oracle recomputes every header field (record-id md5,
+    Zulu date, payload digest, byte-exact Content-Length) directly from
+    the source rows in SQL, so a hash match proves writer∘parser is the
+    identity on real data, poison included."""
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    body = F.when(
+        i % 17 == 0,
+        F.concat(F.lit("WARC/1.0\r\nWARC-Type: response\r\n\r\n"),
+                 F.substring("text", 1, 160)),
+    ).otherwise(F.substring("text", 1, 200))
+    status = (F.when(i % 7 == 3, 404).when(i % 7 == 5, 301)
+              .otherwise(200))
+    captures = docs.select(
+        F.concat(F.lit("http://site"), (i % 20).cast("string"),
+                 F.lit(".example/d/"), i.cast("string")).alias("url"),
+        (F.lit(1700000000).cast("long") + i).alias("fetch_ts"),
+        status.alias("status"),
+        F.lit("text/html; charset=utf-8").alias("content_type"),
+        body.alias("body"),
+        F.concat(F.lit("s"), (i % 8).cast("string")).alias("shard"),
+    )
+    recs = WARC.build_warc_records(captures)
+    files = WARC.warc_files(recs, gzip_records=True)
+    return (
+        WARC.parse_warc_files(files)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            "shard", F.col("rec_index").cast("long").alias("rec_index"),
+            "record_id", "target_uri", "warc_date", "payload_digest",
+            F.col("content_length").cast("long").alias("content_length"),
+            F.col("http_status").cast("long").alias("http_status"),
+            "content_type", "payload")
+    )
+
+
 def q_events_windowed(spark, sf_dir):
     """Tumbling 1-hour windowed aggregation over the events stream table —
     the batch twin of the Structured Streaming path."""
@@ -2630,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_surt": q_url_surt,
         "cdx_index": q_cdx_index,
         "crawl_budget": q_crawl_budget,
+        "warc_roundtrip": q_warc_roundtrip,
         "events_windowed": q_events_windowed,
     }
 
@@ -4489,6 +4534,58 @@ def oracle_sql() -> dict[str, str]:
                    cast(quota + case when rk <= (select l from lft)
                                 then 1 else 0 end as bigint) as granted
             from r
+        """,
+        "warc_roundtrip": """
+            -- recompute every WARC header field straight from the source
+            -- rows: a hash match proves the archive writer and the
+            -- Content-Length-driven parser are exact inverses
+            with caps as (
+              select 'http://site' || cast(doc_id % 20 as varchar)
+                       || '.example/d/' || cast(doc_id as varchar) as url,
+                     1700000000 + doc_id as fetch_ts,
+                     case when doc_id % 7 = 3 then 404
+                          when doc_id % 7 = 5 then 301
+                          else 200 end as status,
+                     'text/html; charset=utf-8' as content_type,
+                     case when doc_id % 17 = 0
+                          then 'WARC/1.0' || chr(13) || chr(10)
+                               || 'WARC-Type: response'
+                               || chr(13) || chr(10) || chr(13) || chr(10)
+                               || substr(text, 1, 160)
+                          else substr(text, 1, 200) end as body,
+                     's' || cast(doc_id % 8 as varchar) as shard
+              from documents
+            ),
+            blocks as (
+              select *,
+                'HTTP/1.1 ' || cast(status as varchar) || ' '
+                  || case status when 200 then 'OK'
+                          when 301 then 'Moved Permanently'
+                          when 404 then 'Not Found' end
+                  || chr(13) || chr(10)
+                  || 'Content-Type: ' || content_type
+                  || chr(13) || chr(10)
+                  || 'Content-Length: ' || cast(strlen(body) as varchar)
+                  || chr(13) || chr(10) || chr(13) || chr(10)
+                  || body as http_block
+              from caps
+            )
+            select shard,
+                   cast(row_number() over
+                        (partition by shard order by fetch_ts)
+                        as bigint) as rec_index,
+                   '<urn:md5:'
+                     || md5(url || '|' || cast(fetch_ts as varchar))
+                     || '>' as record_id,
+                   url as target_uri,
+                   strftime(make_timestamp(fetch_ts * 1000000),
+                            '%Y-%m-%dT%H:%M:%SZ') as warc_date,
+                   'md5:' || md5(body) as payload_digest,
+                   cast(strlen(http_block) as bigint) as content_length,
+                   cast(status as bigint) as http_status,
+                   content_type,
+                   body as payload
+            from blocks
         """,
         "events_windowed": """
             select strftime(time_bucket(interval '1 hour', ts), '%Y-%m-%d %H:%M:%S') as window_start,

@@ -1,0 +1,299 @@
+"""WARC (ISO 28500 / WARC 1.1) record serialization for the crawl's
+fetch history — the standard web-archive interchange format the CDX
+index (functions/cdx.py) keys into.
+
+The reference (JustinBeckwith/linkinator) streams response bodies and
+discards them (src/index.ts fetch path); a crawl-tier engine must be
+able to *persist* fetches in the format every downstream archive tool
+(pywb, warcio, Heritrix ecosystem) consumes, and to re-ingest archives
+written by other crawlers. Both directions here, Spark-first:
+
+* ``build_warc_records`` — capture rows → per-record WARC bytes as a
+  **pure codegen projection** (concat / md5 / octet_length /
+  date_format; no UDF, no shuffle). Header fields are derived only
+  from input columns, so output is bit-deterministic: WARC-Record-ID
+  is ``<urn:md5:...>`` of ``url|ts`` (never a random UUID — resume
+  and re-runs must reproduce the archive byte-for-byte), WARC-Date
+  renders the epoch ``ts`` in the session's pinned UTC zone.
+* ``warc_files`` — records → one ``.warc`` blob per shard: a
+  ``warcinfo`` header record then the shard's records in (ts, url)
+  order. The concatenation is a codegen aggregate
+  (``array_sort(collect_list(...))`` + ``F.aggregate`` binary fold);
+  one shuffle on the caller's shard key. Callers size shards like any
+  output-file budget (e.g. bucket by host-hash to ~1 GiB targets at
+  cluster scale) — a shard must fit one task, the same contract as
+  any columnar file writer.
+* ``parse_warc_files`` — blobs → records via an Arrow-batched
+  ``mapInPandas`` scanner. Parsing is **Content-Length-driven**, never
+  delimiter-split: a payload containing the literal text ``WARC/1.0``
+  must not break framing (pinned by test). Handles per-record gzip
+  members (``.warc.gz`` convention: each record its own member,
+  mtime pinned to 0 so compression is deterministic too).
+
+Scale shape: the writer is a map-only stage over the fetch table; the
+file assembly shuffles once on the shard key; the parser is a map-only
+stage over archive blobs (one task per file — archives are split by
+construction at write time, exactly how WARC is processed everywhere:
+the .gz member boundaries make files splittable at record granularity
+for other engines, and re-sharding here is a repartition away).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WARC_VERSION = "WARC/1.0"
+
+# minimal reason-phrase map for the HTTP status line (RFC 9110 §15);
+# unlisted codes render the bare word "Status" — the status *code* is
+# authoritative, the phrase is cosmetic (and parsers must ignore it).
+_REASONS = {
+    200: "OK", 204: "No Content", 301: "Moved Permanently",
+    302: "Found", 304: "Not Modified", 400: "Bad Request",
+    403: "Forbidden", 404: "Not Found", 405: "Method Not Allowed",
+    429: "Too Many Requests", 500: "Internal Server Error",
+    503: "Service Unavailable",
+}
+
+CRLF = "\r\n"
+
+PARSED_SCHEMA = (
+    "shard string, rec_index int, warc_type string, record_id string, "
+    "target_uri string, warc_date string, payload_digest string, "
+    "content_length int, http_status int, content_type string, "
+    "payload string"
+)
+
+
+def reason_phrase(status: Column) -> Column:
+    """Codegen when-chain over the vendored reason map."""
+    expr = F.lit("Status")
+    for code, phrase in _REASONS.items():
+        expr = F.when(status == code, F.lit(phrase)).otherwise(expr)
+    return expr
+
+
+def warc_date(ts: Column) -> Column:
+    """Epoch seconds → WARC-Date (ISO 8601 Zulu). Session TZ is pinned
+    to UTC (session.py), so this is reproducible across clusters."""
+    return F.date_format(F.timestamp_seconds(ts), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def build_warc_records(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    status_col: str = "status",
+    ctype_col: str = "content_type",
+    body_col: str = "body",
+) -> DataFrame:
+    """One WARC ``response`` record per capture row, pure codegen.
+
+    Adds ``record_id``, ``warc_date``, ``payload_digest``,
+    ``http_block`` (the stored HTTP message), ``content_length`` (its
+    byte length — ``octet_length``, not char length: multi-byte UTF-8
+    must count as stored), and ``warc`` (the full record bytes).
+    """
+    url, ts = F.col(url_col), F.col(ts_col)
+    status, body = F.col(status_col), F.col(body_col)
+    http_block = F.concat(
+        F.lit("HTTP/1.1 "), status.cast("string"), F.lit(" "),
+        reason_phrase(status), F.lit(CRLF),
+        F.lit("Content-Type: "), F.col(ctype_col), F.lit(CRLF),
+        F.lit("Content-Length: "), F.octet_length(body).cast("string"),
+        F.lit(CRLF), F.lit(CRLF),
+        body,
+    )
+    rec_id = F.concat(F.lit("<urn:md5:"),
+                      F.md5(F.concat(url, F.lit("|"), ts.cast("string"))),
+                      F.lit(">"))
+    digest = F.concat(F.lit("md5:"), F.md5(body))
+    header = F.concat(
+        F.lit(WARC_VERSION + CRLF),
+        F.lit("WARC-Type: response" + CRLF),
+        F.lit("WARC-Record-ID: "), rec_id, F.lit(CRLF),
+        F.lit("WARC-Date: "), warc_date(ts), F.lit(CRLF),
+        F.lit("WARC-Target-URI: "), url, F.lit(CRLF),
+        F.lit("Content-Type: application/http;msgtype=response" + CRLF),
+        F.lit("WARC-Payload-Digest: "), digest, F.lit(CRLF),
+        F.lit("Content-Length: "), F.octet_length(http_block).cast("string"),
+        F.lit(CRLF), F.lit(CRLF),
+    )
+    return (
+        captures
+        .withColumn("record_id", rec_id)
+        .withColumn("warc_date", warc_date(ts))
+        .withColumn("payload_digest", digest)
+        .withColumn("http_block", http_block)
+        .withColumn("content_length", F.octet_length(http_block))
+        .withColumn(
+            "warc",
+            F.encode(F.concat(header, http_block, F.lit(CRLF + CRLF)),
+                     "UTF-8"))
+    )
+
+
+def _warcinfo(shard: Column, n: Column) -> Column:
+    """The shard-leading ``warcinfo`` record (string form). Its body is
+    ``warc-fields`` metadata; the record-id derives from the shard name
+    so the file is reproducible."""
+    body = F.concat(
+        F.lit("software: linkinator-spark" + CRLF),
+        F.lit("format: WARC File Format 1.0" + CRLF),
+        F.lit("shard: "), shard, F.lit(CRLF),
+        F.lit("record-count: "), n.cast("string"), F.lit(CRLF),
+    )
+    return F.concat(
+        F.lit(WARC_VERSION + CRLF),
+        F.lit("WARC-Type: warcinfo" + CRLF),
+        F.lit("WARC-Record-ID: <urn:md5:"), F.md5(shard), F.lit(">" + CRLF),
+        F.lit("Content-Type: application/warc-fields" + CRLF),
+        F.lit("Content-Length: "), F.octet_length(body).cast("string"),
+        F.lit(CRLF), F.lit(CRLF),
+        body, F.lit(CRLF + CRLF),
+    )
+
+
+def warc_files(
+    records: DataFrame,
+    shard_col: str = "shard",
+    ts_col: str = "fetch_ts",
+    url_col: str = "url",
+    gzip_records: bool = False,
+) -> DataFrame:
+    """Assemble per-record bytes into one WARC blob per shard.
+
+    One shuffle (groupBy the shard key); record order inside a file is
+    (ts, url) via ``array_sort`` on the collected structs — a total,
+    deterministic order, so the same input always writes the same
+    archive. Plain concatenation is a codegen binary fold; the
+    ``.warc.gz`` variant (each record its own gzip member, the
+    convention that keeps archives record-splittable) compresses in an
+    Arrow batch with mtime pinned to 0 for determinism.
+
+    Output: (shard, n_records, warc_file binary).
+    """
+    grouped = (
+        records
+        .groupBy(F.col(shard_col).alias("shard"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("ts"),
+                             F.col(url_col).alias("url"),
+                             F.col("warc").alias("warc")))
+            ).alias("_recs"),
+            F.count(F.lit(1)).cast("int").alias("n_records"),
+        )
+    )
+    if not gzip_records:
+        blob = F.concat(
+            F.encode(_warcinfo(F.col("shard"), F.col("n_records")), "UTF-8"),
+            F.aggregate(
+                F.col("_recs"),
+                F.lit(b""),
+                lambda acc, r: F.concat(acc, r["warc"])),
+        )
+        return grouped.select("shard", "n_records", blob.alias("warc_file"))
+
+    out = grouped.withColumn(
+        "_info", F.encode(_warcinfo(F.col("shard"), F.col("n_records")),
+                          "UTF-8"))
+
+    def gz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for info, recs in zip(pdf["_info"], pdf["_recs"]):
+                buf = io.BytesIO()
+                for member in [bytes(info)] + [bytes(r["warc"])
+                                               for r in recs]:
+                    with gzip.GzipFile(fileobj=buf, mode="wb",
+                                       mtime=0) as g:
+                        g.write(member)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({
+                "shard": pdf["shard"],
+                "n_records": pdf["n_records"],
+                "warc_file": blobs,
+            })
+
+    return out.mapInPandas(
+        gz, "shard string, n_records int, warc_file binary")
+
+
+def _inflate(blob: bytes) -> bytes:
+    """gzip blobs (including multi-member ``.warc.gz`` streams — python's
+    gzip.decompress concatenates members, which is exactly the WARC
+    byte stream) → plain bytes; non-gzip blobs pass through."""
+    if blob[:2] != b"\x1f\x8b":
+        return blob
+    return gzip.decompress(blob)
+
+
+def _parse_records(data: bytes) -> list[dict]:
+    """Content-Length-driven scan of concatenated WARC records. Never
+    splits on a delimiter — payload bytes are opaque."""
+    recs, pos, n = [], 0, len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.index(b"\r\n\r\n", pos)
+        head = data[pos:hdr_end].decode("utf-8")
+        lines = head.split(CRLF)
+        fields = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        clen = int(fields.get("content-length", "0"))
+        block = data[hdr_end + 4:hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        rec = {
+            "warc_type": fields.get("warc-type", ""),
+            "record_id": fields.get("warc-record-id", ""),
+            "target_uri": fields.get("warc-target-uri"),
+            "warc_date": fields.get("warc-date"),
+            "payload_digest": fields.get("warc-payload-digest"),
+            "content_length": clen,
+            "http_status": None,
+            "content_type": None,
+            "payload": None,
+        }
+        if rec["warc_type"] == "response" and block[:5] == b"HTTP/":
+            bh_end = block.index(b"\r\n\r\n")
+            bh = block[:bh_end].decode("utf-8").split(CRLF)
+            rec["http_status"] = int(bh[0].split(" ")[1])
+            for line in bh[1:]:
+                k, _, v = line.partition(":")
+                if k.strip().lower() == "content-type":
+                    rec["content_type"] = v.strip()
+            rec["payload"] = block[bh_end + 4:].decode("utf-8")
+        recs.append(rec)
+    return recs
+
+
+def parse_warc_files(files: DataFrame,
+                     blob_col: str = "warc_file") -> DataFrame:
+    """WARC blobs → one row per record (Arrow-batched scanner; one task
+    per file, which is the write-time shard size by construction)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard, blob in zip(pdf["shard"], pdf[blob_col]):
+                for idx, rec in enumerate(
+                        _parse_records(_inflate(bytes(blob)))):
+                    rows.append({"shard": shard, "rec_index": idx, **rec})
+            yield pd.DataFrame(
+                rows, columns=[f.strip().split(" ")[0]
+                               for f in PARSED_SCHEMA.split(",")])
+
+    return files.select("shard", blob_col).mapInPandas(fn, PARSED_SCHEMA)
