@@ -98,3 +98,147 @@ def bpe_token_count(col: Column, merges=DEFAULT_MERGES) -> Column:
     drop-in alternative to text.token_count for token-budget sharding
     (pass its output as pack_shards' `tokens_col`)."""
     return bpe_token_count_udf(merges)(col)
+
+
+# ---------------------------------------------------------------------------
+# BPE TRAINING — learn the merge table from the corpus (Sennrich et al.
+# 2016 §3.2). The vendored DEFAULT_MERGES above is the *apply* side's
+# stand-in vocabulary; this is the side that produces such a table.
+#
+# Scale shape: the corpus is touched exactly once (the word-count
+# aggregation — one shuffle on the word, Zipf-uniform enough, partial
+# aggregation map-side). Every merge round thereafter runs on the
+# DISTINCT-WORD table only (vocabulary scale, millions of rows at 100 TB,
+# never corpus scale): one pair-count shuffle + a codegen array fold to
+# apply the winning merge, with exactly ONE row collected per round
+# (the argmax pair). Lineage is truncated per round via localCheckpoint,
+# the same cage the connected-components star rounds use.
+# ---------------------------------------------------------------------------
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) vocabulary: lowercase [a-z]+ runs, summed corpus-wide.
+    The single corpus-scale stage of BPE training."""
+    return (
+        docs.select(F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _apply_merge(sym: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right single-pair merge over a symbol array as a
+    codegen fold: append each symbol unless the accumulator's last
+    element is `left` and the incoming one is `right`, in which case
+    replace the last element with the concatenation."""
+    merged = left + right
+    return F.aggregate(
+        sym,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left) & (x == right),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(words: DataFrame, n_merges: int,
+              word_col: str = "word", count_col: str = "n"):
+    """Learn `n_merges` BPE merges from a (word, count) vocabulary.
+
+    Per round: count adjacent symbol pairs weighted by word frequency
+    (groupBy — partial-aggregates map-side), pick the most frequent
+    pair with a total deterministic tie-break (count desc, then pair
+    lexicographic asc), apply it to every word's symbol array, repeat.
+
+    Returns (merges DataFrame with columns rank/left/right/merged/
+    pair_count, final symbolized-vocab DataFrame). The merges table is
+    metadata-sized (one row per round) — feed `[(l, r), ...]` into
+    :func:`bpe_token_count` to tokenize with the learned vocabulary.
+    """
+    spark = words.sparkSession
+    vocab = words.select(
+        F.col(word_col).alias("word"),
+        F.col(count_col).cast("long").alias("n"),
+        F.split(word_col, "").alias("sym"),
+    ).localCheckpoint(eager=True)
+
+    learned: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        sz = F.size("sym")
+        pairs = (
+            vocab.filter(sz >= 2)
+            .select("n", F.explode(F.arrays_zip(
+                F.slice("sym", 1, sz - 1).alias("l"),
+                F.slice("sym", 2, sz - 1).alias("r"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).head(1)
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        learned.append((rank, l, r, l + r, cnt))
+        vocab = vocab.withColumn(
+            "sym", _apply_merge(F.col("sym"), l, r)
+        ).localCheckpoint(eager=True)
+
+    merges = spark.createDataFrame(
+        learned, "rank int, left string, right string, merged string, "
+                 "pair_count long")
+    return merges, vocab
+
+
+def bpe_train_oracle_sql(n_merges: int, docs_table: str = "documents",
+                         text_col: str = "text") -> str:
+    """DuckDB twin of word_vocab → bpe_train: the merge rounds unrolled
+    into chained CTEs (the kmeans_oracle_sql pattern). Symbol arrays are
+    chr(1)-joined strings; the greedy fold is list_reduce with an
+    ends-with check — byte-identical semantics to `_apply_merge` because
+    vocabulary words are [a-z]+ only, so the separator never collides."""
+    sep = "chr(1)"
+    sql = [f"""
+        with v0 as (
+          select word, cast(count(*) as bigint) as n,
+                 substr(regexp_replace(word, '(.)', '\\1' || {sep}, 'g'),
+                        1, 2 * strlen(word) - 1) as sym
+          from (
+            select unnest(regexp_extract_all(lower({text_col}),
+                                             '[a-z]+', 0)) as word
+            from {docs_table}
+          ) group by word
+        )"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        sql.append(f"""
+        , p{k} as (
+          select s[j] as l, s[j + 1] as r, sum(n) as cnt
+          from (select n, string_split(sym, {sep}) as s from v{p}
+                where strlen(sym) > strlen(replace(sym, {sep}, ''))),
+               unnest(generate_series(1, len(s) - 1)) as t(j)
+          group by 1, 2
+        )
+        , b{k} as (
+          select l, r, cast(cnt as bigint) as cnt from p{k}
+          order by cnt desc, l, r limit 1
+        )
+        , v{k} as (
+          -- the winning pair rides in as plain columns (DuckDB lambdas
+          -- may capture row columns but not subqueries)
+          select word, n,
+                 list_reduce(
+                   string_split(sym, {sep}),
+                   (acc, x) -> case
+                     when x = b_r
+                      and (acc = b_l or ends_with(acc, {sep} || b_l))
+                     then substr(acc, 1, strlen(acc) - strlen(b_l))
+                          || b_l || x
+                     else acc || {sep} || x end) as sym
+          from v{p}, (select l as b_l, r as b_r from b{k})
+        )""")
+    picks = "\nunion all\n".join(
+        f"select {k} as rank, l as left, r as right, l || r as merged, "
+        f"cnt as pair_count from b{k}" for k in range(1, n_merges + 1))
+    return "".join(sql) + f"\nselect * from ({picks}) order by rank"
