@@ -39,6 +39,8 @@ from linkinator_spark.functions import text as T  # noqa: E402
 from linkinator_spark.functions import traps as TRM  # noqa: E402
 from linkinator_spark.functions import vectorize as VZ  # noqa: E402
 from linkinator_spark.operators.classify import classify  # noqa: E402
+from linkinator_spark.functions import boilerplate as BP_MOD  # noqa: E402
+from linkinator_spark.functions import tokenize as TOK_MOD  # noqa: E402
 from linkinator_spark.sources import warc as WARC  # noqa: E402
 from linkinator_spark.operators.crawler import LinkChecker  # noqa: E402
 from linkinator_spark.plans import graphgen as G  # noqa: E402
@@ -1373,6 +1375,55 @@ def q_doc_pack_bpe(spark, sf_dir):
     return SMP.pack_shards(docs, max_tokens=512, n_buckets=8)
 
 
+_MAIN_TEXT_NAV = (
+    '<nav><ul><li><a href="/">Home</a></li>'
+    '<li><a href="/about">About us</a></li>'
+    '<li><a href="/contact">Contact the team today</a></li></ul></nav>')
+_MAIN_TEXT_TAIL = (
+    '<div class="share"><a href="/s">Share this page now with friends'
+    '</a></div><footer><a href="/privacy">Privacy policy</a> '
+    '<a href="/terms">Terms of use</a></footer></body></html>')
+
+
+def q_extract_main_text(spark, sf_dir):
+    """Main-content extraction / boilerplate removal (functions/
+    boilerplate.py — jusText-style block classification, the RefinedWeb
+    §3.1 text-extraction stage): every document is wrapped in realistic
+    page furniture (nav, share button, footer — all links) plus two
+    prose paragraphs from its text; the classifier must strip the
+    furniture and keep the prose, reporting per-page boilerplate mass.
+    Pure codegen (regexp block split + higher-order-function features);
+    oracle shares the regex/threshold constants via
+    main_content_oracle_sql."""
+    from linkinator_spark.functions import boilerplate as BP
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body>" + _MAIN_TEXT_NAV),
+        F.lit("<p>"), F.substring("text", 1, 180), F.lit("</p>"),
+        F.lit("<p>"), F.substring("text", 181, 180), F.lit("</p>"),
+        F.lit(_MAIN_TEXT_TAIL),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return BP.main_content(pages)
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge-table training (Sennrich et al. 2016;
+    functions/tokenize.py bpe_train): one corpus-scale word-count
+    shuffle, then 12 merge rounds over the distinct-word vocabulary only
+    — per round a map-side-combined pair count, a single collected
+    argmax row (tie-break count desc then pair asc), and a codegen
+    array-fold merge apply. Oracle: the rounds unrolled into chained
+    DuckDB CTEs (the kmeans pattern) with list_reduce as the fold twin —
+    the full learned merge table must hash-match, rank by rank."""
+    from linkinator_spark.functions import tokenize as TOK
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _vocab = TOK.bpe_train(TOK.word_vocab(docs), n_merges=12)
+    return merges
+
+
 def q_corpus_build(spark, sf_dir):
     """End-to-end training-corpus assembly — the composition a real
     pipeline runs as one declarative dataflow: exact-dedup keeper ->
@@ -2675,6 +2726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "crawl_budget": q_crawl_budget,
         "warc_roundtrip": q_warc_roundtrip,
+        "bpe_train": q_bpe_train,
+        "extract_main_text": q_extract_main_text,
         "events_windowed": q_events_windowed,
     }
 
@@ -4360,6 +4413,12 @@ def oracle_sql() -> dict[str, str]:
             from ranked where rank <= {TOPK}
         """,
         "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
+        "bpe_train": TOK_MOD.bpe_train_oracle_sql(12),
+        "extract_main_text": BP_MOD.main_content_oracle_sql(
+            "'<html><body>" + _MAIN_TEXT_NAV.replace("'", "''")
+            + "<p>' || substr(text, 1, 180) || '</p><p>'"
+            " || substr(text, 181, 180) || '</p>"
+            + _MAIN_TEXT_TAIL.replace("'", "''") + "'"),
         "ann_ivf_topk": f"""
             -- full IVF recomputation (not an exact-top-k fallback): seed
             -- codebook = 16 smallest vec_ids, nearest-cell assignment,
