@@ -177,6 +177,14 @@ def main() -> None:
         ("domain_quality",
          "domain blocklist builder (ONE map-side-combined scan; integer "
          "cross-multiplied verdicts — no float mean, no second shuffle)"),
+        ("warc_roundtrip",
+         "WARC archive write->read (codegen record build; ONE shard-key "
+         "shuffle for file assembly; Arrow-batched Content-Length "
+         "scanner map stage — no delimiter split)"),
+        ("extract_main_text",
+         "boilerplate removal (ONE codegen projection: regexp block "
+         "split + higher-order-function features; zero shuffles, zero "
+         "UDFs)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
