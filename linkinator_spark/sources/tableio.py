@@ -176,6 +176,87 @@ class WaveStore:
         }
         return manifest, dfs
 
+    # ---- store maintenance (the Iceberg expire_snapshots /
+    # rewrite_data_files analogs) ----
+    #
+    # Every wave commits full state, so a long crawl accumulates one
+    # directory per wave: at 10^10 URLs x hundreds of waves the history
+    # dominates storage, and the newest wave's `seen` table carries one
+    # small file per shuffle partition per commit — death-by-small-files
+    # for the anti-join scan. Maintenance is two idempotent operations a
+    # scheduler runs between waves; both preserve resume semantics
+    # exactly (resume only ever reads the latest pointer).
+
+    def expire(self, keep_last: int = 1) -> dict:
+        """Free the data of waves older than the newest ``keep_last``
+        (never the latest), appending each expired wave's manifest to
+        ``_history.jsonl`` so per-partition lineage and metrics remain
+        auditable after the data is gone — what Iceberg's
+        expire_snapshots keeps in its metadata log."""
+        latest = self.latest_wave()
+        expired: list[int] = []
+        if latest is None:
+            return {"expired": expired}
+        cutoff = latest - max(1, keep_last)
+        hist = os.path.join(self.root, "_history.jsonl")
+        for fn in sorted(os.listdir(self.root)):
+            if not (fn.startswith("wave_") and not fn.endswith(".tmp")):
+                continue
+            w = int(fn.split("_")[1])
+            if w > cutoff:
+                continue
+            man_path = os.path.join(self.root, fn, MANIFEST)
+            if os.path.exists(man_path):
+                with open(man_path) as f:
+                    man = json.load(f)
+                man["expired_at"] = time.time()
+                with open(hist, "a") as h:
+                    h.write(json.dumps(man) + "\n")
+            shutil.rmtree(os.path.join(self.root, fn))
+            expired.append(w)
+        return {"expired": expired}
+
+    def rewrite(self, spark: SparkSession, table: str, n_files: int,
+                key: str | None = None, wave: int | None = None) -> dict:
+        """Compact one table of a committed wave (default: latest) into
+        ``n_files`` parts — hash-bucketed on ``key`` when given, so the
+        URL-seen anti-join scans co-locatable buckets instead of the
+        accumulated per-commit small files. Atomic (tmp write + two
+        renames); the manifest's lineage is refreshed and the rewrite
+        recorded, rows are never changed (asserted)."""
+        wave = self.latest_wave() if wave is None else wave
+        wave_dir = self._wave_dir(wave)
+        path = os.path.join(wave_dir, table)
+        before = spark.read.parquet(path)
+        n_before = before.count()
+        out = (before.repartition(n_files, key)
+               if key else before.repartition(n_files))
+        tmp = path + ".rw.tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        out.write.mode("overwrite").parquet(tmp)
+        lineage = self._partition_lineage(tmp)
+        if lineage["rows"] != n_before:  # paranoia: rewrite moves bytes,
+            shutil.rmtree(tmp)           # never rows
+            raise RuntimeError(
+                f"rewrite row drift on {table}: {n_before} -> "
+                f"{lineage['rows']}")
+        old = path + ".rw.old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        man_path = os.path.join(wave_dir, MANIFEST)
+        with open(man_path) as f:
+            man = json.load(f)
+        man["lineage"][table] = lineage
+        man.setdefault("rewrites", []).append(
+            {"table": table, "n_files": n_files, "key": key,
+             "at": time.time()})
+        with open(man_path + ".tmp", "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(man_path + ".tmp", man_path)
+        return lineage
+
 
 # --------------------------------------------------------------- Iceberg
 
@@ -328,6 +409,43 @@ class IcebergWaveStore:
             }
         except Exception:  # lineage is advisory; never fail a load on it
             return {"parts": {}, "rows": 0}
+
+    # ---- store maintenance: Iceberg runs these natively ----
+
+    def expire(self, keep_last: int = 1) -> dict:
+        """Delegate to Iceberg's snapshot expiry on every state table.
+        The wave_manifest table is append-only and tiny — it IS the
+        history log, so it is never expired (the parquet store's
+        _history.jsonl analog comes for free)."""
+        latest = self.latest_wave()
+        expired: list[str] = []
+        if latest is None:
+            return {"expired": expired}
+        catalog, namespace = self.prefix.split(".", 1)
+        names = [r["tableName"] for r in self.spark.sql(
+            f"show tables in {self.prefix}").collect()]
+        for name in names:
+            if not name.startswith("st_"):
+                continue  # manifest history + journals are never expired
+            self.spark.sql(
+                f"call {catalog}.system.expire_snapshots("
+                f"table => '{namespace}.{name}', retain_last => "
+                f"{max(1, keep_last)})")
+            expired.append(name)
+        return {"expired": expired}
+
+    def rewrite(self, spark: SparkSession, table: str, n_files: int,
+                key: str | None = None, wave: int | None = None) -> dict:
+        """Delegate to Iceberg's rewrite_data_files compaction (bin-pack
+        strategy); bucketing rides the table's partition spec, so `key`
+        and `n_files` shape the target via the table layout, not this
+        call."""
+        catalog, namespace = self.prefix.split(".", 1)
+        self.spark.sql(
+            f"call {catalog}.system.rewrite_data_files("
+            f"table => '{namespace}.st_{table}', "
+            "options => map('min-input-files', '2'))")
+        return self._lineage(table, self._snapshot_id(table))
 
 
 def F_current_timestamp():
