@@ -39,6 +39,7 @@ from linkinator_spark.functions import text as T  # noqa: E402
 from linkinator_spark.functions import traps as TRM  # noqa: E402
 from linkinator_spark.functions import vectorize as VZ  # noqa: E402
 from linkinator_spark.operators.classify import classify  # noqa: E402
+from linkinator_spark.functions import attributes as AT_MOD  # noqa: E402
 from linkinator_spark.functions import boilerplate as BP_MOD  # noqa: E402
 from linkinator_spark.functions import tokenize as TOK_MOD  # noqa: E402
 from linkinator_spark.sources import warc as WARC  # noqa: E402
@@ -1408,6 +1409,28 @@ def q_extract_main_text(spark, sf_dir):
     return BP.main_content(pages)
 
 
+def q_span_attributes(spark, sf_dir):
+    """Standoff paragraph-attribute tagging (functions/attributes.py —
+    the Dolma attributes model): documents are recomposed into three
+    paragraphs (two text slices + a deterministic PII-bearing contact
+    line) and tagged per paragraph with exact-integer quality + PII
+    signals and source-slicing offsets. One codegen projection + one
+    explode, no shuffle; oracle shares every regex/stoplist constant."""
+    from linkinator_spark.functions import attributes as AT
+
+    docs = _t(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.substring("text", 1, 120), F.lit("\n\n"),
+        F.substring("text", 121, 160), F.lit("\n\nReach us at ops"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("@example.org or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now."),
+    )
+    return AT.paragraph_attributes(
+        docs.select("doc_id", text2.alias("text")))
+
+
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE merge-table training (Sennrich et al. 2016;
     functions/tokenize.py bpe_train): one corpus-scale word-count
@@ -2728,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "bpe_train": q_bpe_train,
         "extract_main_text": q_extract_main_text,
+        "span_attributes": q_span_attributes,
         "events_windowed": q_events_windowed,
     }
 
@@ -4414,6 +4438,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
         "bpe_train": TOK_MOD.bpe_train_oracle_sql(12),
+        "span_attributes": AT_MOD.paragraph_attributes_oracle_sql(
+            "substr(text, 1, 120) || chr(10) || chr(10)"
+            " || substr(text, 121, 160) || chr(10) || chr(10)"
+            " || 'Reach us at ops' || cast(doc_id % 50 as varchar)"
+            " || '@example.org or +1 (555) 010-'"
+            " || lpad(cast(doc_id % 10000 as varchar), 4, '0')"
+            " || ' now.'"),
         "extract_main_text": BP_MOD.main_content_oracle_sql(
             "'<html><body>" + _MAIN_TEXT_NAV.replace("'", "''")
             + "<p>' || substr(text, 1, 180) || '</p><p>'"
