@@ -40,6 +40,7 @@ from linkinator_spark.functions import traps as TRM  # noqa: E402
 from linkinator_spark.functions import vectorize as VZ  # noqa: E402
 from linkinator_spark.operators.classify import classify  # noqa: E402
 from linkinator_spark.functions import attributes as AT_MOD  # noqa: E402
+from linkinator_spark.functions import normalize as NM_MOD  # noqa: E402
 from linkinator_spark.functions import boilerplate as BP_MOD  # noqa: E402
 from linkinator_spark.functions import tokenize as TOK_MOD  # noqa: E402
 from linkinator_spark.sources import warc as WARC  # noqa: E402
@@ -1409,6 +1410,34 @@ def q_extract_main_text(spark, sf_dir):
     return BP.main_content(pages)
 
 
+_TN_DIRTY_SQL = (
+    "(chr(8220) || substr(text, 1, 80) || chr(8221) || ' ' || chr(8212)"
+    " || ' tail' || chr(8230) || chr(160) || substr(text, 81, 40)"
+    " || chr(9) || chr(9) || 'end' || chr(7))")
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode normalization (functions/normalize.py): every document
+    is wrapped in typographic junk (curly quotes, em dash, ellipsis,
+    NBSP, tabs, a BEL control char) and must come out clean — straight
+    quotes, ASCII spacing, controls stripped. Zero-shuffle codegen
+    regexp chain; oracle shares the x{...}-escaped class constants,
+    which Java regex and RE2 parse identically."""
+    from linkinator_spark.functions import normalize as NM
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("“"), F.substring("text", 1, 80),
+        F.lit("” — tail… "),
+        F.substring("text", 81, 40),
+        F.lit("\t\tend"),
+    )
+    clean = NM.clean_text(dirty)
+    return docs.select(
+        "doc_id", clean.alias("clean"),
+        (F.length(dirty) - F.length(clean)).alias("removed"))
+
+
 def q_span_attributes(spark, sf_dir):
     """Standoff paragraph-attribute tagging (functions/attributes.py —
     the Dolma attributes model): documents are recomposed into three
@@ -2752,6 +2781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "extract_main_text": q_extract_main_text,
         "span_attributes": q_span_attributes,
+        "text_normalize": q_text_normalize,
         "events_windowed": q_events_windowed,
     }
 
@@ -4438,6 +4468,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
         "bpe_train": TOK_MOD.bpe_train_oracle_sql(12),
+        "text_normalize": (
+            "select doc_id, " + NM_MOD.clean_text_sql(_TN_DIRTY_SQL)
+            + " as clean, length(" + _TN_DIRTY_SQL + ") - length("
+            + NM_MOD.clean_text_sql(_TN_DIRTY_SQL)
+            + ") as removed from documents"),
         "span_attributes": AT_MOD.paragraph_attributes_oracle_sql(
             "substr(text, 1, 120) || chr(10) || chr(10)"
             " || substr(text, 121, 160) || chr(10) || chr(10)"

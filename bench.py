@@ -283,6 +283,20 @@ def main() -> None:
     mm_rows = E.queries()["corpus_build_mm"](spark, SF_DIR).count()
     corpus_mm = {"sec": round(time.time() - t0, 3), "rows": mm_rows}
 
+    # round-4 session operators, each measured whole at SF_DIR:
+    # WARC write->read roundtrip (codegen build + shard shuffle + Arrow
+    # scan), boilerplate removal (zero-shuffle codegen), BPE training
+    # (12 vocabulary-scale merge rounds), standoff attribute tagging
+    # (codegen + explode)
+    r4_ops = {}
+    for key, qname in (("warc_archive", "warc_roundtrip"),
+                       ("main_text", "extract_main_text"),
+                       ("bpe_train", "bpe_train"),
+                       ("span_attributes", "span_attributes")):
+        t0 = time.time()
+        n = E.queries()[qname](spark, SF_DIR).count()
+        r4_ops[key] = {"sec": round(time.time() - t0, 3), "rows": n}
+
     # frontier throughput at current parallelism (north-rule metric);
     # warm at FULL scale then best-of-3. A smaller warm pass is not
     # enough: C2 compilation of the codegen'd canonicalize/anti-join/
@@ -311,6 +325,7 @@ def main() -> None:
         "corpus_build": corpus,
         "corpus_build_v2": corpus_v2,
         "corpus_build_mm": corpus_mm,
+        "round4_ops": r4_ops,
         "notes": (
             "frontier leg warms at FULL scale before best-of-3 (round-3 "
             "fix); honest steady state is 2.6-3.6M/s at 32 threads, "
