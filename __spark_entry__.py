@@ -41,6 +41,7 @@ from linkinator_spark.functions import vectorize as VZ  # noqa: E402
 from linkinator_spark.operators.classify import classify  # noqa: E402
 from linkinator_spark.functions import attributes as AT_MOD  # noqa: E402
 from linkinator_spark.functions import normalize as NM_MOD  # noqa: E402
+from linkinator_spark.functions import urls as URLS_MOD  # noqa: E402
 from linkinator_spark.functions import boilerplate as BP_MOD  # noqa: E402
 from linkinator_spark.functions import tokenize as TOK_MOD  # noqa: E402
 from linkinator_spark.sources import warc as WARC  # noqa: E402
@@ -1408,6 +1409,37 @@ def q_extract_main_text(spark, sf_dir):
     )
     pages = docs.select("doc_id", html.alias("html"))
     return BP.main_content(pages)
+
+
+def q_url_strip_tracking(spark, sf_dir):
+    """Tracking-parameter folding (functions/urls.py
+    strip_tracking_params): frontier URLs carrying utm/click-id
+    analytics params collapse to their canonical resource — the
+    crawl-side dedup pass that kills unbounded URL aliasing (the
+    reference, a one-shot tool, has no such pass). Pure codegen
+    split + higher-order filter; survivor order preserved; oracle
+    shares TRACKING_PARAM_RE."""
+    from linkinator_spark.functions.urls import strip_tracking_params
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("http://site"), (d % 20).cast("string"),
+        F.lit(".example/p/"), d.cast("string"),
+        F.when(d % 4 == 0, F.concat(
+            F.lit("?utm_source=news&utm_medium=email&id="),
+            d.cast("string")))
+         .when(d % 4 == 1, F.concat(
+             F.lit("?id="), d.cast("string"), F.lit("&fbclid=abc"),
+             d.cast("string")))
+         .when(d % 4 == 2, F.lit("?gclid=x&utm_campaign=c"))
+         .otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id", "url",
+        strip_tracking_params("url").alias("folded"),
+        (strip_tracking_params("url") != F.col("url")).alias("changed"))
 
 
 _TN_DIRTY_SQL = (
@@ -2782,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_text": q_extract_main_text,
         "span_attributes": q_span_attributes,
         "text_normalize": q_text_normalize,
+        "url_strip_tracking": q_url_strip_tracking,
         "events_windowed": q_events_windowed,
     }
 
@@ -4468,6 +4501,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
         "bpe_train": TOK_MOD.bpe_train_oracle_sql(12),
+        "url_strip_tracking": (
+            "with u as (select doc_id, 'http://site' || "
+            "cast(doc_id % 20 as varchar) || '.example/p/' || "
+            "cast(doc_id as varchar) || case "
+            "when doc_id % 4 = 0 then '?utm_source=news&utm_medium=email"
+            "&id=' || cast(doc_id as varchar) "
+            "when doc_id % 4 = 1 then '?id=' || cast(doc_id as varchar)"
+            " || '&fbclid=abc' || cast(doc_id as varchar) "
+            "when doc_id % 4 = 2 then '?gclid=x&utm_campaign=c' "
+            "else '' end as url from documents) "
+            "select doc_id, url, " + URLS_MOD.strip_tracking_sql("url")
+            + " as folded, " + URLS_MOD.strip_tracking_sql("url")
+            + " <> url as changed from u"),
         "text_normalize": (
             "select doc_id, " + NM_MOD.clean_text_sql(_TN_DIRTY_SQL)
             + " as clean, length(" + _TN_DIRTY_SQL + ") - length("

@@ -150,3 +150,56 @@ def is_http_protocol(col: Column | str) -> Column:
     """Reference skips non-http(s) protocols (src/index.ts:941-944)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.rlike("^https?://")
+
+
+# ---------------------------------------------------------------------------
+# Tracking-parameter stripping — crawl-side URL dedup beyond RFC 3986.
+#
+# Canonicalization (parse_link/canonicalize above) is strictly
+# syntactic; real frontiers additionally fold analytics/click-id query
+# parameters (utm_*, fbclid, gclid, ...) because they multiply one
+# resource into unbounded URL aliases — the single biggest contributor
+# to avoidable refetch volume in public crawls. The reference has no
+# such pass (one-shot tool); at 10^10-URL scale it's table stakes.
+# ---------------------------------------------------------------------------
+
+# well-known cross-site trackers (public lists: utm family, major ad /
+# social click ids, analytics session ids). Param NAMES only — values
+# never matter. Kept as one regex alternation so both engines share it.
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|yclid|igshid|mc_eid|mc_cid|"
+    "_ga|_gl|s_kwcid|vero_id|wickedid|oly_enc_id|oly_anon_id|ref_src|"
+    "spm|sck)(=|$)")
+
+
+def strip_tracking_params(col: Column | str) -> Column:
+    """Remove tracking query parameters from a fragment-free URL —
+    pure codegen (split + higher-order filter + rejoin). Parameter
+    ORDER of the survivors is preserved (this is dedup folding, not
+    SURT sorting); an emptied query drops its ``?``."""
+    u = F.col(col) if isinstance(col, str) else col
+    base = F.split_part(u, F.lit("?"), F.lit(1))
+    qpos = F.locate("?", u)
+    query = F.when(qpos > 0, F.substring(u, qpos + 1, 1 << 24)).otherwise(
+        F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+    return F.when(
+        (qpos > 0) & (F.size(kept) > 0),
+        F.concat(base, F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(base)
+
+
+def strip_tracking_sql(expr: str) -> str:
+    """DuckDB twin of :func:`strip_tracking_params` — same regex
+    constant, list_filter mirror."""
+    base = f"split_part({expr}, '?', 1)"
+    query = (f"case when strpos({expr}, '?') > 0 then "
+             f"substr({expr}, strpos({expr}, '?') + 1) else '' end")
+    kept = (f"list_filter(string_split({query}, '&'), "
+            f"p -> p <> '' and not regexp_matches(p, "
+            f"'{TRACKING_PARAM_RE}'))")
+    return (f"(case when strpos({expr}, '?') > 0 and len({kept}) > 0 "
+            f"then {base} || '?' || array_to_string({kept}, '&') "
+            f"else {base} end)")

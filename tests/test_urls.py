@@ -99,3 +99,38 @@ def test_encoded_urlpatterns_parity():
     # mixed: encoded fragment decodes (links.ts:224-226)
     p = parse_link("page.html#se%C3%A7%C3%A3o", "http://h.local/")
     assert p["fragment"] == "seção"
+
+
+# ------------------------------------------------ tracking-param stripping
+
+def test_strip_tracking_params(spark):
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from linkinator_spark.functions.urls import (
+        strip_tracking_params, strip_tracking_sql,
+    )
+
+    cases = [
+        # (input, expected)
+        ("http://a.x/p?utm_source=n&id=7&utm_medium=e", "http://a.x/p?id=7"),
+        ("http://a.x/p?id=7&fbclid=abc123", "http://a.x/p?id=7"),
+        ("http://a.x/p?gclid=1&utm_campaign=c", "http://a.x/p"),   # all gone
+        ("http://a.x/p", "http://a.x/p"),                          # no query
+        ("http://a.x/p?", "http://a.x/p"),                         # empty query
+        ("http://a.x/p?keep=utm_source", "http://a.x/p?keep=utm_source"),
+        ("http://a.x/p?utm_source", "http://a.x/p"),               # bare name
+        ("http://a.x/p?b=2&a=1", "http://a.x/p?b=2&a=1"),          # order kept
+        ("http://a.x/p?spm=x&ref_src=t&mc_eid=9&real=1", "http://a.x/p?real=1"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "url string")
+    got = [r["s"] for r in
+           df.select(strip_tracking_params("url").alias("s")).collect()]
+    assert got == [c[1] for c in cases]
+
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame({"url": [c[0] for c in cases]}))
+    want = [r[0] for r in con.execute(
+        f"select {strip_tracking_sql('url')} from u").fetchall()]
+    assert want == [c[1] for c in cases]
