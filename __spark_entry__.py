@@ -1411,6 +1411,25 @@ def q_extract_main_text(spark, sf_dir):
     return BP.main_content(pages)
 
 
+def q_jsonl_export(spark, sf_dir):
+    """JSONL training-shard export roundtrip (sources/jsonl.py): the
+    corpus leaves as deterministic per-shard .jsonl.gz blobs (codegen
+    to_json lines, one shard shuffle, id-ordered, mtime-0 gzip) and the
+    reader ingests them back. Oracle recomputes (shard, ordinal, id,
+    text, sorted-key meta JSON) straight from documents — writer∘reader
+    must be the identity, JSON escaping included."""
+    from linkinator_spark.sources import jsonl as JL
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source",
+        F.concat(F.lit("s"), (F.col("doc_id") % 6).cast("string"))
+         .alias("shard"))
+    files = JL.jsonl_shards(docs, meta_cols=("lang", "source"))
+    return JL.read_jsonl_shards(files).select(
+        "shard", F.col("line_no").cast("long").alias("line_no"),
+        "doc_id", "text", "meta")
+
+
 def q_url_strip_tracking(spark, sf_dir):
     """Tracking-parameter folding (functions/urls.py
     strip_tracking_params): frontier URLs carrying utm/click-id
@@ -2815,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_attributes": q_span_attributes,
         "text_normalize": q_text_normalize,
         "url_strip_tracking": q_url_strip_tracking,
+        "jsonl_export": q_jsonl_export,
         "events_windowed": q_events_windowed,
     }
 
@@ -4501,6 +4521,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
         "bpe_train": TOK_MOD.bpe_train_oracle_sql(12),
+        "jsonl_export": """
+            -- writer-reader identity: ordinal by string-sorted id within
+            -- shard; meta reserialized with sorted keys and ', '/': '
+            -- separators (json.dumps defaults)
+            select 's' || cast(doc_id % 6 as varchar) as shard,
+                   cast(row_number() over
+                        (partition by doc_id % 6
+                         order by cast(doc_id as varchar)) - 1
+                        as bigint) as line_no,
+                   cast(doc_id as varchar) as doc_id,
+                   text,
+                   '{"lang": "' || lang || '", "source": "' || source
+                     || '"}' as meta
+            from documents
+        """,
         "url_strip_tracking": (
             "with u as (select doc_id, 'http://site' || "
             "cast(doc_id % 20 as varchar) || '.example/p/' || "
