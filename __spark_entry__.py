@@ -1411,6 +1411,64 @@ def q_extract_main_text(spark, sf_dir):
     return BP.main_content(pages)
 
 
+def q_warc_cdx(spark, sf_dir):
+    """Archive→index composition: the revisit-style fetch history (3-6
+    captures per URL, digest rolling every ``1 + doc_id % 3`` fetches)
+    is written to per-host WARC files, parsed BACK from the archive
+    bytes, and CDX-indexed from the parsed records — payload digests
+    recomputed from the recovered payloads, revisit classification via
+    the per-URL lag window, global (surt, ts) ordinal. Proves the
+    archive bytes alone reconstruct the exact capture index (what a
+    web-archive replay stack does). Oracle: the same synthesis +
+    surt/lag/rank twins, never touching WARC."""
+    from linkinator_spark.functions import cdx as CDXF
+    from linkinator_spark.sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = docs.select(
+        i.alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), (i % 4 + 2).cast("int"))).alias("j"),
+    )
+    period = F.col("doc_id") % 3 + 1
+    version = F.when(F.col("doc_id") % 5 == 0, F.lit(0)).otherwise(
+        F.floor(F.col("j") / period))
+    captures = base.select(
+        F.concat(F.lit("http://site"),
+                 (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.lit(1700000000).cast("long") + F.col("j") * 100
+         + F.col("doc_id") % 7).alias("fetch_ts"),
+        F.lit(200).alias("status"),
+        F.lit("text/html").alias("content_type"),
+        F.concat(F.lit("body v"), version.cast("string"), F.lit(" of "),
+                 F.col("doc_id").cast("string")).alias("body"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+         .alias("shard"),
+    )
+    files = W.warc_files(W.build_warc_records(captures), gzip_records=True)
+    recovered = (
+        W.parse_warc_files(files)
+        .filter(F.col("warc_type") == "response")
+        .select(F.col("target_uri").alias("url"),
+                F.col("payload").alias("body"),
+                F.unix_timestamp(
+                    F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                ).alias("fetch_ts"),
+                F.col("http_status").alias("status"),
+                F.md5("payload").alias("digest"),
+                F.octet_length("payload").cast("long").alias("length"))
+        .drop("body")
+    )
+    return (
+        CDXF.cdx_index(recovered)
+        .withColumn("idx_rank", F.col("idx_rank").cast("long"))
+        .withColumn("fetch_ts", F.col("fetch_ts").cast("long"))
+        .withColumn("status", F.col("status").cast("long"))
+    )
+
+
 def q_jsonl_export(spark, sf_dir):
     """JSONL training-shard export roundtrip (sources/jsonl.py): the
     corpus leaves as deterministic per-shard .jsonl.gz blobs (codegen
@@ -2835,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "url_strip_tracking": q_url_strip_tracking,
         "jsonl_export": q_jsonl_export,
+        "warc_cdx": q_warc_cdx,
         "events_windowed": q_events_windowed,
     }
 
@@ -4521,6 +4580,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
         "bpe_train": TOK_MOD.bpe_train_oracle_sql(12),
+        "warc_cdx": f"""
+            -- archive->index composition oracle: same synthesis, surt +
+            -- lag + rank twins, no WARC bytes involved
+            with hist as (
+              select 'http://site' || cast(doc_id % 20 as varchar)
+                       || '.example/d/' || cast(doc_id as varchar) as url,
+                     cast(1700000000 + j * 100 + doc_id % 7 as bigint)
+                       as fetch_ts,
+                     cast(200 as bigint) as status,
+                     md5(body) as digest,
+                     cast(strlen(body) as bigint) as length
+              from (
+                select doc_id, j,
+                       'body v' || cast(case when doc_id % 5 = 0 then 0
+                            else j // (doc_id % 3 + 1) end as varchar)
+                         || ' of ' || cast(doc_id as varchar) as body
+                from (select doc_id,
+                             unnest(generate_series(0,
+                                 cast(doc_id % 4 + 2 as bigint))) as j
+                      from documents)
+              )
+            ),
+            surted as (
+              select *, {CDX.surt_sql('url')} as surt from hist
+            ),
+            lagged as (
+              select *, lag(digest) over
+                       (partition by url order by fetch_ts) as prev
+              from surted
+            )
+            select url, fetch_ts, status, digest, length, surt,
+                   case when prev is not null and prev = digest
+                        then 'revisit' else 'response' end as record_type,
+                   cast(case when prev is not null and prev = digest
+                        then length else 0 end as bigint) as saved_bytes,
+                   cast(row_number() over (order by surt, fetch_ts)
+                        as bigint) as idx_rank
+            from lagged
+        """,
         "jsonl_export": """
             -- writer-reader identity: ordinal by string-sorted id within
             -- shard; meta reserialized with sorted keys and ', '/': '
