@@ -1411,6 +1411,71 @@ def q_extract_main_text(spark, sf_dir):
     return BP.main_content(pages)
 
 
+_V4_FIX1 = ("The same announcement is mirrored on every copy of this "
+            "page and it is not short at all.")
+_V4_FIX2 = ("It repeats for each mirror so the keeper logic must "
+            "collapse all of the copies into one.")
+
+
+def q_corpus_build_v4(spark, sf_dir):
+    """The extraction-first curation chain composed from this round's
+    operators: page furniture stripped (boilerplate.main_content) →
+    typography normalized (normalize.clean_text) → PII gate (docs whose
+    clean text still carries an email are dropped) → exact-dedup keeper
+    on the CLEAN content hash (1-in-7 pages share fully templated
+    bodies and must collapse to one keeper) → deterministic split
+    assignment, all one declarative dataflow. Scale shape: codegen
+    projections end-to-end with exactly ONE corpus-sized shuffle (the
+    uniform md5 keeper groupBy); split is the composable split_expr,
+    not a join. Oracle chains the four operators' SQL twins."""
+    from linkinator_spark.functions import boilerplate as BP
+    from linkinator_spark.functions import normalize as NM
+    from linkinator_spark.functions import sampling as SMP
+    from linkinator_spark.functions.text import PII_EMAIL_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    para1 = F.when(d % 7 == 0, F.lit(_V4_FIX1)).otherwise(
+        F.concat(F.lit("“"), F.substring("text", 1, 180),
+                 F.lit("”")))
+    para2 = (F.when(d % 7 == 0, F.lit(_V4_FIX2))
+             .when(d % 9 == 0, F.concat(
+                 F.lit("Contact the team at ops"),
+                 (d % 40).cast("string"),
+                 F.lit("@example.org for all support questions today.")))
+             .otherwise(F.substring("text", 181, 160)))
+    html = F.concat(
+        F.lit("<html><body>" + _MAIN_TEXT_NAV + "<p>"), para1,
+        F.lit("</p><p>"), para2, F.lit("</p>" + _MAIN_TEXT_TAIL))
+    mc = BP.main_content(docs.select("doc_id", html.alias("html")))
+    cl = mc.select("doc_id",
+                   NM.clean_text(F.col("main_text")).alias("clean"))
+    gated = cl.filter(
+        F.size(F.regexp_extract_all("clean", F.lit(PII_EMAIL_RE),
+                                    F.lit(0))) == 0)
+    keep = (
+        gated.groupBy(F.md5("clean").alias("content_md5"))
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.count(F.lit(1)).cast("long").alias("n_dups"))
+    )
+    bucket, split = SMP.split_expr()
+    return keep.select("doc_id", "content_md5", "n_dups",
+                       bucket.alias("bucket"), split.alias("split"))
+
+
+_V4_HTML_SQL = (
+    "'<html><body>" + _MAIN_TEXT_NAV.replace("'", "''") + "<p>' || "
+    "case when doc_id % 7 = 0 then '" + _V4_FIX1 + "' "
+    "else chr(8220) || substr(text, 1, 180) || chr(8221) end "
+    "|| '</p><p>' || "
+    "case when doc_id % 7 = 0 then '" + _V4_FIX2 + "' "
+    "when doc_id % 9 = 0 then 'Contact the team at ops' "
+    "|| cast(doc_id % 40 as varchar) "
+    "|| '@example.org for all support questions today.' "
+    "else substr(text, 181, 160) end "
+    "|| '</p>" + _MAIN_TEXT_TAIL.replace("'", "''") + "'")
+
+
 def q_warc_cdx(spark, sf_dir):
     """Archive→index composition: the revisit-style fetch history (3-6
     captures per URL, digest rolling every ``1 + doc_id % 3`` fetches)
@@ -2894,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_strip_tracking": q_url_strip_tracking,
         "jsonl_export": q_jsonl_export,
         "warc_cdx": q_warc_cdx,
+        "corpus_build_v4": q_corpus_build_v4,
         "events_windowed": q_events_windowed,
     }
 
@@ -4580,6 +4646,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
         "bpe_train": TOK_MOD.bpe_train_oracle_sql(12),
+        "corpus_build_v4": f"""
+            -- the four SQL twins chained: boilerplate -> normalize ->
+            -- PII gate -> keeper -> split
+            with mc as ({BP_MOD.main_content_oracle_sql(_V4_HTML_SQL)}),
+            cl as (
+              select doc_id,
+                     {NM_MOD.clean_text_sql('main_text')} as clean
+              from mc
+            ),
+            gated as (
+              select * from cl
+              where len(regexp_extract_all(clean,
+                        '{T.PII_EMAIL_RE}', 0)) = 0
+            ),
+            keep as (
+              select md5(clean) as content_md5,
+                     min(doc_id) as doc_id,
+                     cast(count(*) as bigint) as n_dups
+              from gated group by md5(clean)
+            )
+            select doc_id, content_md5, n_dups,
+                   cast({_hash_sql("cast(doc_id as varchar)", "split:")}
+                        % 100 as int) as bucket,
+                   case when {_hash_sql("cast(doc_id as varchar)",
+                                        "split:")} % 100 < 98 then 'train'
+                        when {_hash_sql("cast(doc_id as varchar)",
+                                        "split:")} % 100 < 99 then 'val'
+                        else 'test' end as split
+            from keep
+        """,
         "warc_cdx": f"""
             -- archive->index composition oracle: same synthesis, surt +
             -- lag + rank twins, no WARC bytes involved
