@@ -185,6 +185,27 @@ def main() -> None:
          "boilerplate removal (ONE codegen projection: regexp block "
          "split + higher-order-function features; zero shuffles, zero "
          "UDFs)"),
+        ("span_attributes",
+         "standoff paragraph attributes (codegen projection + one "
+         "explode; zero shuffles; output co-partitioned with its "
+         "documents)"),
+        ("text_normalize",
+         "unicode normalization (zero-shuffle codegen regexp chain, "
+         "fuses into the scan)"),
+        ("url_strip_tracking",
+         "tracking-param folding (codegen split + HOF filter; zero "
+         "shuffles)"),
+        ("jsonl_export",
+         "JSONL shard export->ingest (codegen to_json; ONE shard-key "
+         "shuffle; Arrow reader map stage)"),
+        ("warc_cdx",
+         "archive->index composition (shard shuffle + Arrow parse + "
+         "per-URL lag window + range-partition rank; no global "
+         "single-task sort)"),
+        ("corpus_build_v4",
+         "extraction-first curation chain (codegen gates end-to-end; "
+         "ONE corpus-sized shuffle: the uniform md5 keeper groupBy; "
+         "split as expression, not join)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
