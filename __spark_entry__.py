@@ -42,6 +42,7 @@ from linkinator_spark.operators.classify import classify  # noqa: E402
 from linkinator_spark.functions import attributes as AT_MOD  # noqa: E402
 from linkinator_spark.functions import normalize as NM_MOD  # noqa: E402
 from linkinator_spark.functions import urls as URLS_MOD  # noqa: E402
+from linkinator_spark.operators import revalidate as REVAL  # noqa: E402
 from linkinator_spark.functions import boilerplate as BP_MOD  # noqa: E402
 from linkinator_spark.functions import tokenize as TOK_MOD  # noqa: E402
 from linkinator_spark.sources import warc as WARC  # noqa: E402
@@ -1409,6 +1410,52 @@ def q_extract_main_text(spark, sf_dir):
     )
     pages = docs.select("doc_id", html.alias("html"))
     return BP.main_content(pages)
+
+
+def q_revalidate_plan(spark, sf_dir):
+    """Conditional-request planning + 304 accounting (operators/
+    revalidate.py): the revisit fetch history (3-6 captures per URL,
+    validator mix by construction — ETags on 2/3 of URLs, Last-Modified
+    on most of the rest, a no-validator residue) plans if-none-match /
+    if-modified-since refetches from the latest non-null validators,
+    then the refetch digests (half changed, half not) classify each
+    exchange as the 304 it would have been and the body bytes saved.
+    One uniform url-key groupBy + one equi-join; oracle via the
+    arg_max plan twin + the same join CASE."""
+    from linkinator_spark.operators import revalidate as RV
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = docs.select(
+        d.alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), (d % 4 + 2).cast("int"))).alias("j"),
+    )
+    dd = F.col("doc_id")
+    period = dd % 3 + 1
+    version = F.when(dd % 5 == 0, F.lit(0)).otherwise(
+        F.floor(F.col("j") / period)).cast("string")
+    url = F.concat(F.lit("http://site"), (dd % 20).cast("string"),
+                   F.lit(".example/d/"), dd.cast("string"))
+    hist = base.select(
+        url.alias("url"),
+        (F.col("j").cast("long") * 100 + dd % 7).alias("fetch_ts"),
+        F.when(dd % 3 != 0,
+               F.concat(F.lit('W/"'), version, F.lit('"'))).alias("etag"),
+        F.when((dd % 3 == 0) & (dd % 5 != 0),
+               F.concat(F.lit("LM-"), version)).alias("last_modified"),
+        F.concat(F.lit("dg"), version).alias("digest"),
+    )
+    v_last = F.when(dd % 5 == 0, F.lit(0)).otherwise(
+        F.floor((dd % 4 + 2) / period)).cast("string")
+    fetched = docs.select(
+        F.concat(F.lit("http://site"), (dd % 20).cast("string"),
+                 F.lit(".example/d/"), dd.cast("string")).alias("url"),
+        F.when(dd % 2 == 0, F.lit("dgNEW")).otherwise(
+            F.concat(F.lit("dg"), v_last)).alias("digest"),
+        (F.lit(100) + dd % 50).cast("long").alias("length"),
+    )
+    plan = RV.conditional_plan(hist)
+    return RV.revalidation_outcome(plan, fetched)
 
 
 _V4_FIX1 = ("The same announcement is mirrored on every copy of this "
@@ -2960,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_export": q_jsonl_export,
         "warc_cdx": q_warc_cdx,
         "corpus_build_v4": q_corpus_build_v4,
+        "revalidate_plan": q_revalidate_plan,
         "events_windowed": q_events_windowed,
     }
 
@@ -4646,6 +4694,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
         "bpe_train": TOK_MOD.bpe_train_oracle_sql(12),
+        "revalidate_plan": f"""
+            with h as (
+              select 'http://site' || cast(doc_id % 20 as varchar)
+                       || '.example/d/' || cast(doc_id as varchar) as url,
+                     cast(j * 100 + doc_id % 7 as bigint) as fetch_ts,
+                     case when doc_id % 3 <> 0
+                          then 'W/"' || v || '"' end as etag,
+                     case when doc_id % 3 = 0 and doc_id % 5 <> 0
+                          then 'LM-' || v end as last_modified,
+                     'dg' || v as digest
+              from (
+                select doc_id, j,
+                       cast(case when doc_id % 5 = 0 then 0
+                            else j // (doc_id % 3 + 1) end as varchar) as v
+                from (select doc_id,
+                             unnest(generate_series(0,
+                                 cast(doc_id % 4 + 2 as bigint))) as j
+                      from documents)
+              )
+            ),
+            plan as ({REVAL.plan_sql('h')}),
+            f as (
+              select 'http://site' || cast(doc_id % 20 as varchar)
+                       || '.example/d/' || cast(doc_id as varchar) as url,
+                     case when doc_id % 2 = 0 then 'dgNEW'
+                          else 'dg' || cast(case when doc_id % 5 = 0 then 0
+                               else (doc_id % 4 + 2) // (doc_id % 3 + 1)
+                               end as varchar) end as digest,
+                     cast(100 + doc_id % 50 as bigint) as length
+              from documents
+            )
+            select plan.url, cond_type,
+                   cast(case when cond_type <> 'unconditional'
+                             and prior_digest is not null
+                             and f.digest = prior_digest
+                        then 304 else 200 end as bigint) as status,
+                   cast(case when cond_type <> 'unconditional'
+                             and prior_digest is not null
+                             and f.digest = prior_digest
+                        then f.length else 0 end as bigint) as saved_bytes,
+                   f.digest <> prior_digest as changed
+            from plan join f on plan.url = f.url
+        """,
         "corpus_build_v4": f"""
             -- the four SQL twins chained: boilerplate -> normalize ->
             -- PII gate -> keeper -> split
