@@ -385,6 +385,7 @@ def follow_redirects(
     fetched: DataFrame,
     requester,  # Callable[[DataFrame, Column], DataFrame] — one HTTP hop
     skip_match,  # Callable[[Column], Column] | None — per-hop skip predicate
+    cache_into: list | None = None,  # registry for the hop-0 persist
 ) -> DataFrame:
     """Iterative redirect-follow: at most 20 hops (21 requests), per-hop skip
     check, 303 switches to GET. Mirrors makeRequest's loop
@@ -417,6 +418,8 @@ def follow_redirects(
             cur = cur.localCheckpoint(eager=True)
         else:
             cur = cur.persist()
+            if cache_into is not None:
+                cache_into.append(cur)
         pending = cur.filter(F.col("_pending"))
         done_parts.append(cur.filter(~F.col("_pending")).drop("_pending"))
         if pending.isEmpty():
@@ -542,7 +545,8 @@ def fetch_once(
                                           getattr(cfg, "links_to_skip", None),
                                           static_prefix=static)
     else:
-        followed = follow_redirects(first, requester, skip_match)
+        followed = follow_redirects(first, requester, skip_match,
+                                    cache_into=cache_into)
     return followed.withColumn(
         "fetch_failures",
         F.when(

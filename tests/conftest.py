@@ -30,3 +30,19 @@ def spark():
         },
     )
     yield spark
+
+
+@pytest.fixture(autouse=True)
+def _clear_sql_cache(request):
+    """Session hygiene: SQL-cache entries (df.persist) are NOT touched by
+    Spark's ContextCleaner — they live until unpersist/clearCache. Across
+    ~500 tests in one JVM the accumulated cached plans + batches pinned
+    ~15 GB of old-gen and full-GC-thrashed the suite to a standstill.
+    Clearing after every Spark-using test keeps the heap flat; frames are
+    lazily recomputable, so module-scoped fixtures stay valid."""
+    yield
+    if "spark" in request.fixturenames:
+        try:
+            request.getfixturevalue("spark").catalog.clearCache()
+        except Exception:
+            pass
