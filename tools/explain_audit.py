@@ -206,6 +206,9 @@ def main() -> None:
          "extraction-first curation chain (codegen gates end-to-end; "
          "ONE corpus-sized shuffle: the uniform md5 keeper groupBy; "
          "split as expression, not join)"),
+        ("revalidate_plan",
+         "conditional-request planning (ONE uniform url-key groupBy, "
+         "struct-max latest-non-null validators; outcome equi-join)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
