@@ -1412,6 +1412,33 @@ def q_extract_main_text(spark, sf_dir):
     return BP.main_content(pages)
 
 
+def q_jsonl_export_packed(spark, sf_dir):
+    """Packing→export composition: token-budget shard assignment
+    (doc_pack's hash-deal bucket cumsum) keys the JSONL shard writer, so
+    training shards leave in the exact layout the packer planned —
+    deterministic .jsonl.gz per (bucket, shard_seq), read back by the
+    inverse reader. Oracle chains the doc_pack SQL twin with the
+    writer∘reader identity projection."""
+    from linkinator_spark.functions import sampling as SMP
+    from linkinator_spark.sources import jsonl as JL
+
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", "text", T.token_count(F.col("text")).alias("n_tokens"))
+    packed = SMP.pack_shards(
+        counted.select("doc_id", "n_tokens"), max_tokens=512, n_buckets=8)
+    with_shard = counted.join(
+        packed.select(F.col("id").alias("doc_id"), "shard_id"), "doc_id")
+    labeled = with_shard.select(
+        "doc_id", "text",
+        F.concat(F.lit("sh"), F.col("shard_id").cast("string"))
+         .alias("shard"))
+    files = JL.jsonl_shards(labeled)
+    return JL.read_jsonl_shards(files).select(
+        "shard", F.col("line_no").cast("long").alias("line_no"),
+        "doc_id", "text", "meta")
+
+
 def q_revalidate_plan(spark, sf_dir):
     """Conditional-request planning + 304 accounting (operators/
     revalidate.py): the revisit fetch history (3-6 captures per URL,
@@ -3008,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": q_warc_cdx,
         "corpus_build_v4": q_corpus_build_v4,
         "revalidate_plan": q_revalidate_plan,
+        "jsonl_export_packed": q_jsonl_export_packed,
         "events_windowed": q_events_windowed,
     }
 
@@ -4694,6 +4722,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
         "bpe_train": TOK_MOD.bpe_train_oracle_sql(12),
+        "jsonl_export_packed": f"""
+            -- doc_pack twin -> shard label -> writer-reader identity
+            with keyed as (
+              select doc_id as id,
+                     cast(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as bigint)
+                       as tok,
+                     {_hash_sql("cast(doc_id as varchar)", "pack:")} as h
+              from documents),
+            b as (select id, tok, h, h % 8 as bucket from keyed),
+            c as (select id, bucket, tok,
+                         sum(tok) over (partition by bucket
+                                        order by h, id) as cum
+                  from b),
+            shards as (
+              select id,
+                     'sh' || cast(bucket * 281474976710656
+                       + cast(floor((cum - tok) / 512) as bigint)
+                       as varchar) as shard
+              from c),
+            j as (
+              select s.shard, cast(d.doc_id as varchar) as doc_id, d.text
+              from shards s join documents d on d.doc_id = s.id)
+            select shard,
+                   cast(row_number() over
+                        (partition by shard order by doc_id) - 1
+                        as bigint) as line_no,
+                   doc_id, text, cast(null as varchar) as meta
+            from j
+        """,
         "revalidate_plan": f"""
             with h as (
               select 'http://site' || cast(doc_id % 20 as varchar)
