@@ -41,6 +41,35 @@ def _clean(raw: str) -> str:
     return _CTRL_WS.sub("", raw.strip())
 
 
+def _idna_host(host: str) -> str:
+    """WHATWG host parsing punycodes unicode hostnames (`new URL
+    ('http://bücher.example/')` → ``xn--bcher-kva.example``, UTS #46
+    non-transitional — verified against Node). Without this, the unicode
+    and punycode spellings of one host would count as DIFFERENT URLs in
+    the seen set, breaking URL-seen parity with the reference. ASCII
+    hosts pass through untouched; per-label raw punycode is the fallback
+    for labels UTS 46 rejects but WHATWG still encodes (emoji domains);
+    a label that cannot be encoded at all is kept verbatim."""
+    if host.isascii():
+        return host
+    try:
+        import idna
+
+        return idna.encode(host, uts46=True).decode("ascii")
+    except Exception:
+        out = []
+        for label in host.split("."):
+            if label.isascii():
+                out.append(label)
+            else:
+                try:
+                    out.append(
+                        "xn--" + label.encode("punycode").decode("ascii"))
+                except Exception:
+                    out.append(label)
+        return ".".join(out)
+
+
 def canonicalize(href: str) -> str:
     """Normalize an absolute URL the way `new URL(x).href` would (subset):
     lowercase scheme + host, strip default port, '' path -> '/' for special
@@ -49,7 +78,7 @@ def canonicalize(href: str) -> str:
     parts = urlsplit(_clean(href))
     scheme = parts.scheme.lower()
     netloc = parts.netloc
-    host = (parts.hostname or "").lower()
+    host = _idna_host((parts.hostname or "").lower())
     port = parts.port
     userinfo = ""
     if "@" in netloc:

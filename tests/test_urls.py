@@ -134,3 +134,26 @@ def test_strip_tracking_params(spark):
     want = [r[0] for r in con.execute(
         f"select {strip_tracking_sql('url')} from u").fetchall()]
     assert want == [c[1] for c in cases]
+
+
+# ---------------------------------------------------------------- IDN hosts
+
+def test_idn_hosts_punycode_like_whatwg():
+    """WHATWG URL punycodes unicode hostnames; the unicode and punycode
+    spellings of one host must canonicalize to ONE seen-set key
+    (expected values verified against Node's `new URL(...)`)."""
+    cases = {
+        "http://bücher.example/path": "http://xn--bcher-kva.example/path",
+        "http://例え.jp/": "http://xn--r8jz45g.jp/",
+        "http://straße.de/": "http://xn--strae-oqa.de/",      # UTS46 non-transitional
+        "http://\U0001f4a9.la/": "http://xn--ls8h.la/",            # emoji, raw-punycode fallback
+        "http://xn--bcher-kva.example/q": "http://xn--bcher-kva.example/q",
+    }
+    for raw, want in cases.items():
+        assert canonicalize(raw) == want, raw
+    a = parse_link("http://BÜCHER.example/a", None)
+    b = parse_link("http://xn--bcher-kva.example/a", None)
+    assert a["resolved_url"] == b["resolved_url"]
+    # ascii hosts untouched, ports/userinfo survive
+    assert canonicalize("http://bücher.example:8080/x") == \
+        "http://xn--bcher-kva.example:8080/x"
