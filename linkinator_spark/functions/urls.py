@@ -41,6 +41,43 @@ def _clean(raw: str) -> str:
     return _CTRL_WS.sub("", raw.strip())
 
 
+def _ipv4_part(p: str):
+    """WHATWG IPv4-number parser: decimal, 0x-hex, or leading-0 octal."""
+    if re.fullmatch(r"0[xX][0-9a-fA-F]*", p):
+        return int(p[2:] or "0", 16)
+    if re.fullmatch(r"0[0-7]*", p):
+        return int(p, 8)
+    if re.fullmatch(r"[1-9][0-9]*", p):
+        return int(p)
+    return None
+
+
+def _maybe_ipv4(host: str) -> str | None:
+    """WHATWG IPv4 normalization: `0x7f.1` → 127.0.0.1, `2130706433` →
+    127.0.0.1, `0177.0.0.1` → 127.0.0.1, `192.168.257` → 192.168.1.1
+    (trailing part carries into the remaining bytes). Returns the dotted
+    quad, or None when `host` is not a valid numeric IPv4 form (left
+    as a domain then — verified against Node)."""
+    parts = host.split(".")
+    if parts and parts[-1] == "":
+        parts = parts[:-1]
+    if not parts or len(parts) > 4:
+        return None
+    vals = [_ipv4_part(p) for p in parts]
+    if any(v is None for v in vals):
+        return None
+    addr = 0
+    for v in vals[:-1]:
+        if v > 255:
+            return None
+        addr = (addr << 8) + v
+    rest_bytes = 4 - (len(vals) - 1)
+    if vals[-1] >= 1 << (8 * rest_bytes):
+        return None
+    addr = (addr << (8 * rest_bytes)) + vals[-1]
+    return ".".join(str((addr >> s) & 0xFF) for s in (24, 16, 8, 0))
+
+
 def _idna_host(host: str) -> str:
     """WHATWG host parsing punycodes unicode hostnames (`new URL
     ('http://bücher.example/')` → ``xn--bcher-kva.example``, UTS #46
@@ -70,6 +107,22 @@ def _idna_host(host: str) -> str:
         return ".".join(out)
 
 
+def _normalize_host(host: str) -> str:
+    """WHATWG host normalization subset (each rule verified against
+    Node's `new URL`): lowercase; IPv6 literals keep their brackets
+    (urlsplit.hostname strips them — re-wrap, else the rebuilt netloc
+    is invalid); percent-encoded domain bytes decode (`ex%61mple.com` →
+    example.com); unicode domains punycode (see `_idna_host`); numeric
+    IPv4 forms normalize to the dotted quad (see `_maybe_ipv4`)."""
+    host = host.lower()
+    if ":" in host:  # IPv6 literal (hostname comes bracket-stripped)
+        return f"[{host}]"
+    if "%" in host:
+        host = unquote(host)
+    host = _idna_host(host)
+    return _maybe_ipv4(host) or host
+
+
 def canonicalize(href: str) -> str:
     """Normalize an absolute URL the way `new URL(x).href` would (subset):
     lowercase scheme + host, strip default port, '' path -> '/' for special
@@ -78,7 +131,7 @@ def canonicalize(href: str) -> str:
     parts = urlsplit(_clean(href))
     scheme = parts.scheme.lower()
     netloc = parts.netloc
-    host = _idna_host((parts.hostname or "").lower())
+    host = _normalize_host(parts.hostname or "")
     port = parts.port
     userinfo = ""
     if "@" in netloc:

@@ -157,3 +157,22 @@ def test_idn_hosts_punycode_like_whatwg():
     # ascii hosts untouched, ports/userinfo survive
     assert canonicalize("http://bücher.example:8080/x") == \
         "http://xn--bcher-kva.example:8080/x"
+
+
+def test_whatwg_host_normalization():
+    """IPv4 numeric forms, percent-encoded domains, IPv6 brackets —
+    expected values verified against Node's `new URL(...)`."""
+    cases = {
+        "http://0x7f.1/x": "http://127.0.0.1/x",
+        "http://2130706433/": "http://127.0.0.1/",
+        "http://0177.0.0.1/": "http://127.0.0.1/",
+        "http://192.168.257/": "http://192.168.1.1/",
+        "http://192.168.0.1/": "http://192.168.0.1/",
+        "http://ex%61mple.com/": "http://example.com/",
+        "http://example.com./": "http://example.com./",  # trailing dot kept
+        "http://[::1]:8080/x": "http://[::1]:8080/x",
+        "http://[2001:DB8::1]/": "http://[2001:db8::1]/",
+        "http://a.0x7f.b/": "http://a.0x7f.b/",  # not all-numeric: domain
+    }
+    for raw, want in cases.items():
+        assert canonicalize(raw) == want, raw
