@@ -107,6 +107,68 @@ def _idna_host(host: str) -> str:
         return ".".join(out)
 
 
+_SPECIAL_SCHEMES = ("http", "https", "ws", "wss", "ftp")
+
+
+def _slash_backslashes(s: str) -> str:
+    """WHATWG treats '\\' as '/' during path parsing of special URLs —
+    but NOT inside the query or fragment (verified against Node)."""
+    cut = len(s)
+    for ch in "?#":
+        p = s.find(ch)
+        if p != -1:
+            cut = min(cut, p)
+    return s[:cut].replace("\\", "/") + s[cut:]
+
+
+def _pre_normalize(url: str) -> str:
+    """WHATWG pre-parse for special schemes: backslashes count as
+    slashes up to the query/fragment, and ANY run of slashes after the
+    scheme introduces the authority (`http:foo.com/x` and
+    `http:////a.x/` both parse a host — verified against Node)."""
+    m = re.match(r"([A-Za-z][A-Za-z0-9+.\-]*):(.*)$", url, re.S)
+    if not m or m.group(1).lower() not in _SPECIAL_SCHEMES:
+        return url
+    scheme, rest = m.group(1).lower(), _slash_backslashes(m.group(2))
+    cut = len(rest)
+    for ch in "?#":
+        p = rest.find(ch)
+        if p != -1:
+            cut = min(cut, p)
+    head, tail = rest[:cut], rest[cut:]
+    return f"{scheme}://{head.lstrip('/')}{tail}"
+
+
+def _seg_dots(seg: str):
+    """'.' / '..' equivalence incl. %2e spellings (WHATWG path state)."""
+    s = seg.lower().replace("%2e", ".")
+    return s if s in (".", "..") else None
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 / WHATWG path shortening: '..' pops (clamped at
+    root), '.' drops; a trailing dot segment keeps the directory slash
+    ('/a/..' → '/', '/./b/.' → '/b/')."""
+    if not path.startswith("/"):
+        return path
+    out: list[str] = [""]
+    segs = path.split("/")
+    for seg in segs[1:]:
+        d = _seg_dots(seg)
+        if d == ".":
+            continue
+        if d == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    if segs and _seg_dots(segs[-1]) is not None:
+        out.append("")
+    if len(out) == 1:
+        out.append("")
+    return "/".join(out)
+
+
 def _normalize_host(host: str) -> str:
     """WHATWG host normalization subset (each rule verified against
     Node's `new URL`): lowercase; IPv6 literals keep their brackets
@@ -128,7 +190,7 @@ def canonicalize(href: str) -> str:
     lowercase scheme + host, strip default port, '' path -> '/' for special
     schemes, encode spaces in path/query. Fragment is preserved if present.
     """
-    parts = urlsplit(_clean(href))
+    parts = urlsplit(_pre_normalize(_clean(href)))
     scheme = parts.scheme.lower()
     netloc = parts.netloc
     host = _normalize_host(parts.hostname or "")
@@ -143,10 +205,14 @@ def canonicalize(href: str) -> str:
     if scheme in ("http", "https", "ws", "wss", "ftp"):
         if not path:
             path = "/"
+    if netloc:
+        path = _remove_dot_segments(path)
     # WHATWG percent-encodes spaces (and a few others) in paths; cover the
     # common cases the fixtures exercise without re-encoding existing escapes.
     path = quote(path, safe="/%:@!$&'()*+,;=~[]-._")
-    query = quote(parts.query, safe="=&%:@!$'()*+,;/?~[]-._")
+    # WHATWG's query percent-encode set excludes backslash (it is only
+    # slash-converted in PATH states), so it stays raw here
+    query = quote(parts.query, safe="=&%:@!$'()*+,;/?~[]-._\\")
     return urlunsplit((scheme, netloc, path, query, parts.fragment))
 
 
@@ -166,7 +232,13 @@ def parse_link(link: str, base: str | None) -> dict:
     }
     try:
         cleaned = _clean(link)
+        if base and not _SCHEME_RE.match(cleaned) and urlsplit(
+                base).scheme.lower() in _SPECIAL_SCHEMES:
+            # relative path parsing against a special base also treats
+            # backslashes as slashes (new URL('b\\c', base) → .../b/c)
+            cleaned = _slash_backslashes(cleaned)
         resolved = urljoin(base, cleaned) if base else cleaned
+        resolved = _pre_normalize(resolved)
         if not _SCHEME_RE.match(resolved):
             raise ValueError(f"cannot resolve relative URL without base: {link!r}")
         parts = urlsplit(resolved)

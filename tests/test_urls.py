@@ -176,3 +176,27 @@ def test_whatwg_host_normalization():
     }
     for raw, want in cases.items():
         assert canonicalize(raw) == want, raw
+
+
+def test_whatwg_path_normalization():
+    """Backslash conversion, dot-segment removal (incl. %2e spellings),
+    and scheme-missing-slashes — expected values pinned against Node."""
+    cases = {
+        "http://a.x/b\\c": "http://a.x/b/c",
+        "http://a.x/p/../../q": "http://a.x/q",
+        "http:foo.com/x": "http://foo.com/x",
+        "http:////a.x/": "http://a.x/",
+        "http://a.x//b//c": "http://a.x//b//c",   # empty segments kept
+        "http://a.x/./b/.": "http://a.x/b/",
+        "http://a.x/a/..": "http://a.x/",
+        "http://a.x/a/b/..": "http://a.x/a/",
+        "http://a.x/%2e/b": "http://a.x/b",
+        "http://a.x/.%2e/b": "http://a.x/b",
+        # backslash survives raw in query and fragment
+        "http://a.x/b?c\\d#e\\f": "http://a.x/b?c\\d#e\\f",
+    }
+    for raw, want in cases.items():
+        assert canonicalize(raw) == want, raw
+    # relative path parsing against a special base converts '\' too
+    assert parse_link("b\\c", "http://a.x/d/")["resolved_url"] == \
+        "http://a.x/d/b/c"
