@@ -190,7 +190,8 @@ def canonicalize(href: str) -> str:
     lowercase scheme + host, strip default port, '' path -> '/' for special
     schemes, encode spaces in path/query. Fragment is preserved if present.
     """
-    parts = urlsplit(_pre_normalize(_clean(href)))
+    pre = _pre_normalize(_clean(href))
+    parts = urlsplit(pre)
     scheme = parts.scheme.lower()
     netloc = parts.netloc
     host = _normalize_host(parts.hostname or "")
@@ -213,7 +214,19 @@ def canonicalize(href: str) -> str:
     # WHATWG's query percent-encode set excludes backslash (it is only
     # slash-converted in PATH states), so it stays raw here
     query = quote(parts.query, safe="=&%:@!$'()*+,;/?~[]-._\\")
-    return urlunsplit((scheme, netloc, path, query, parts.fragment))
+    out = urlunsplit((scheme, netloc, path, query, parts.fragment))
+    # WHATWG href keeps a bare '?' / '#' (new URL('http://a.x/p?').href
+    # is 'http://a.x/p?'); urlunsplit drops empty markers, so restore
+    # them — the reference's URL-seen Set keys on href, where
+    # '/p?' and '/p' are distinct entries
+    frag_pos = pre.find("#")
+    if not parts.fragment and frag_pos != -1:
+        out += "#"
+    if not parts.query and "?" in (
+            pre if frag_pos == -1 else pre[:frag_pos]):
+        i = out.find("#") if "#" in out else len(out)
+        out = out[:i] + "?" + out[i:]
+    return out
 
 
 def parse_link(link: str, base: str | None) -> dict:
@@ -249,9 +262,10 @@ def parse_link(link: str, base: str | None) -> dict:
         full = canonicalize(resolved)
         frag_split = urlsplit(full)
         fragment = frag_split.fragment or None
-        fragmentless = urlunsplit(
-            (frag_split.scheme, frag_split.netloc, frag_split.path, frag_split.query, "")
-        )
+        # strip the fragment TEXTUALLY (the reference sets url.hash = ''
+        # on the WHATWG object): a bare trailing '?' must survive into
+        # the seen key, which a urlunsplit rebuild would drop
+        fragmentless = full.split("#", 1)[0]
         out["resolved_url"] = fragmentless
         out["url_with_fragment"] = full
         # reference decodes the fragment (decodeURIComponent, links.ts:224-226)

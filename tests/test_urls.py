@@ -200,3 +200,18 @@ def test_whatwg_path_normalization():
     # relative path parsing against a special base converts '\' too
     assert parse_link("b\\c", "http://a.x/d/")["resolved_url"] == \
         "http://a.x/d/b/c"
+
+
+def test_bare_query_and_fragment_markers_preserved():
+    """WHATWG href keeps a bare '?' and '#'; the reference's URL-seen
+    Set keys on href, where '/p?' and '/p' are distinct."""
+    assert canonicalize("http://a.x/p?") == "http://a.x/p?"
+    assert canonicalize("http://a.x/p#") == "http://a.x/p#"
+    assert canonicalize("http://a.x/p?#") == "http://a.x/p?#"
+    assert canonicalize("http://a.x/p") == "http://a.x/p"
+    p = parse_link("http://a.x/p?", None)
+    assert p["resolved_url"] == "http://a.x/p?"
+    assert p["fragment"] is None
+    q = parse_link("http://a.x/p#", None)
+    assert q["resolved_url"] == "http://a.x/p"     # hash='' removes '#'
+    assert q["url_with_fragment"] == "http://a.x/p#"
