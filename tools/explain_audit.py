@@ -209,6 +209,10 @@ def main() -> None:
         ("revalidate_plan",
          "conditional-request planning (ONE uniform url-key groupBy, "
          "struct-max latest-non-null validators; outcome equi-join)"),
+        ("jsonl_export_packed",
+         "packing->export composition (doc_pack's bucket-cumsum shard "
+         "assignment keys the JSONL writer; pack shuffle + shard "
+         "shuffle + Arrow reader)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
