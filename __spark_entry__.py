@@ -43,6 +43,7 @@ from linkinator_spark.functions import attributes as AT_MOD  # noqa: E402
 from linkinator_spark.functions import normalize as NM_MOD  # noqa: E402
 from linkinator_spark.functions import urls as URLS_MOD  # noqa: E402
 from linkinator_spark.operators import revalidate as REVAL  # noqa: E402
+from linkinator_spark.functions import graph as GRF_MOD  # noqa: E402
 from linkinator_spark.functions import boilerplate as BP_MOD  # noqa: E402
 from linkinator_spark.functions import tokenize as TOK_MOD  # noqa: E402
 from linkinator_spark.sources import warc as WARC  # noqa: E402
@@ -1410,6 +1411,40 @@ def q_extract_main_text(spark, sf_dir):
     )
     pages = docs.select("doc_id", html.alias("html"))
     return BP.main_content(pages)
+
+
+def q_link_spam(spark, sf_dir):
+    """Link-farm detection (functions/graph.link_spam_scores): the
+    deterministic crawl graph (3 outlinks per page) is augmented with
+    planted farms — every 37th page fans out to 30 extra cross-host
+    targets — and the detector must flag exactly the farms (high
+    out-degree AND many distinct hosts AND mostly-external, integer
+    cross-multiplied). One src-keyed groupBy; oracle is the same
+    aggregate over the same synthesized edges."""
+    from linkinator_spark.functions import graph as GRF
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    src = F.col("src")
+    base = docs.select(F.col("doc_id").alias("src")).select(
+        "src",
+        F.explode(F.array(
+            *[(src * a + b) % n for a, b in G.LINK_MULTS])).alias("dst"))
+    farm = (
+        docs.filter(F.col("doc_id") % 37 == 0)
+        .select(F.col("doc_id").alias("src"),
+                F.explode(F.sequence(F.lit(0), F.lit(29))).alias("j"))
+        .select("src", ((F.col("src") * 7 + F.col("j") * 13 + 1) % n)
+                .alias("dst"))
+    )
+    edges = base.unionByName(farm).select(
+        "src", "dst",
+        F.concat(F.lit("site"), (F.col("src") % 20).cast("string"))
+         .alias("src_host"),
+        F.concat(F.lit("site"), (F.col("dst") % 20).cast("string"))
+         .alias("dst_host"),
+    )
+    return GRF.link_spam_scores(edges)
 
 
 def q_jsonl_export_packed(spark, sf_dir):
@@ -3036,6 +3071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_build_v4": q_corpus_build_v4,
         "revalidate_plan": q_revalidate_plan,
         "jsonl_export_packed": q_jsonl_export_packed,
+        "link_spam": q_link_spam,
         "events_windowed": q_events_windowed,
     }
 
@@ -4722,6 +4758,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
         "bpe_train": TOK_MOD.bpe_train_oracle_sql(12),
+        "link_spam": f"""
+            with base as (
+              select src, dst from {G.edges_sql(500)} e
+            ),
+            farm as (
+              select doc_id as src,
+                     (doc_id * 7 + j * 13 + 1) % 500 as dst
+              from documents,
+                   unnest(generate_series(0, 29)) as t(j)
+              where doc_id % 37 = 0
+            ),
+            edges as (
+              select src, dst,
+                     'site' || cast(src % 20 as varchar) as src_host,
+                     'site' || cast(dst % 20 as varchar) as dst_host
+              from (select * from base union all select * from farm)
+            )
+            {GRF_MOD.link_spam_oracle_sql('edges')}
+        """,
         "jsonl_export_packed": f"""
             -- doc_pack twin -> shard label -> writer-reader identity
             with keyed as (

@@ -285,3 +285,63 @@ def hits_oracle_sql(edges_rel: str, nodes_rel: str, iters: int = 5) -> str:
     sql.append(f"""
         select id as node, hub, auth from s{iters}""")
     return "".join(sql)
+
+
+# ---------------------------------------------------------------------------
+# Link-farm / outlink-spam detection
+# ---------------------------------------------------------------------------
+
+def link_spam_scores(
+    edges: DataFrame,
+    min_out: int = 20,
+    min_hosts: int = 8,
+    min_ext_pct: int = 80,
+) -> DataFrame:
+    """Per-source outlink-spam signals over an edge table carrying
+    (src, dst, src_host, dst_host): pages that fan out to many distinct
+    external hosts are link farms / SEO spam — a standard web-corpus
+    quality signal (the "too many outbound domains" family of CC
+    cleaning heuristics) and a crawl-frontier poisoner (every farm page
+    injects dozens of junk hosts into the politeness scheduler).
+
+    Output per src: out_degree, n_targets, n_hosts, n_ext, and
+    ``spam`` — true iff out_degree >= min_out AND n_hosts >= min_hosts
+    AND external share >= min_ext_pct (integer cross-multiplication, no
+    float division). One groupBy on the src key; out-degree is bounded
+    by page size, so no hot-key path. The two exact count-distincts
+    ride Spark's expand; sketched variants (functions/sketches.py) are
+    the downgrade path if edge volume ever makes exactness the
+    bottleneck — flagged thresholds are coarse, so HLL precision
+    suffices there.
+    """
+    per = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("out_degree"),
+        F.countDistinct("dst").cast("long").alias("n_targets"),
+        F.countDistinct("dst_host").cast("long").alias("n_hosts"),
+        F.sum(F.when(F.col("dst_host") != F.col("src_host"), 1)
+              .otherwise(0)).cast("long").alias("n_ext"),
+    )
+    spam = (
+        (F.col("out_degree") >= min_out)
+        & (F.col("n_hosts") >= min_hosts)
+        & (F.col("n_ext") * 100 >= min_ext_pct * F.col("out_degree")))
+    return per.withColumn("spam", spam)
+
+
+def link_spam_oracle_sql(edges_rel: str, min_out: int = 20,
+                         min_hosts: int = 8,
+                         min_ext_pct: int = 80) -> str:
+    """DuckDB twin of :func:`link_spam_scores`."""
+    return f"""
+      select src,
+             cast(count(*) as bigint) as out_degree,
+             cast(count(distinct dst) as bigint) as n_targets,
+             cast(count(distinct dst_host) as bigint) as n_hosts,
+             cast(sum(case when dst_host <> src_host then 1 else 0 end)
+                  as bigint) as n_ext,
+             count(*) >= {min_out}
+               and count(distinct dst_host) >= {min_hosts}
+               and sum(case when dst_host <> src_host then 1 else 0 end)
+                   * 100 >= {min_ext_pct} * count(*) as spam
+      from {edges_rel} group by src
+    """
