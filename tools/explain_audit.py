@@ -213,6 +213,10 @@ def main() -> None:
          "packing->export composition (doc_pack's bucket-cumsum shard "
          "assignment keys the JSONL writer; pack shuffle + shard "
          "shuffle + Arrow reader)"),
+        ("link_spam",
+         "link-farm detection (ONE src-keyed groupBy; exact "
+         "count-distincts via expand; integer cross-multiplied "
+         "thresholds)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
