@@ -215,3 +215,29 @@ def test_bare_query_and_fragment_markers_preserved():
     q = parse_link("http://a.x/p#", None)
     assert q["resolved_url"] == "http://a.x/p"     # hash='' removes '#'
     assert q["url_with_fragment"] == "http://a.x/p#"
+
+
+def test_idn_seen_set_collapse_in_crawl(spark):
+    """End-to-end: a page linking to BOTH spellings of one IDN host
+    (unicode and punycode) produces exactly one fetch and one OK row —
+    the reference's fetch-once semantics over WHATWG host folding."""
+    from linkinator_spark.config import CheckOptions
+    from linkinator_spark.operators.crawler import LinkChecker
+    from linkinator_spark.sources.fixtures import SiteBuilder
+
+    site = SiteBuilder()
+    site.page(
+        "http://xn--bcher-kva.example/",
+        html='<a href="http://bücher.example/x">u</a>'
+             '<a href="http://xn--bcher-kva.example/x">p</a>')
+    site.page("http://xn--bcher-kva.example/x", html="<p>leaf</p>")
+    pages, docs = site.build(spark)
+    cfg = CheckOptions(paths=["http://xn--bcher-kva.example/"],
+                       recurse=True)
+    res = LinkChecker(spark).check(cfg, pages, docs)
+    rows = res.results.collect()
+    xs = [r for r in rows if r["url"].endswith("/x")]
+    assert len(xs) == 1
+    assert xs[0]["state"] == "OK"
+    assert xs[0]["url"] == "http://xn--bcher-kva.example/x"
+    res.release()
