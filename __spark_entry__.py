@@ -340,6 +340,20 @@ def q_link_hits(spark, sf_dir):
                      F.round("auth", 6).alias("auth"))
 
 
+def q_link_communities(spark, sf_dir):
+    """Label-propagation community detection over the same deterministic
+    crawl graph: 4 synchronous rounds, most-frequent-neighbor label with
+    smallest-label tie-break (functions/graph.label_propagation — per
+    round one node-keyed join + two map-side-combinable aggregates,
+    label vector localCheckpoint-ed). Complements link_pagerank/link_hits
+    with the "which densely-linked neighborhood" signal used for site-
+    family clustering and domain-balanced corpus mixing. The DuckDB
+    oracle replays all 4 rounds as unrolled SQL — exact equality, no
+    rounding (labels are integers)."""
+    docs = _t(spark, sf_dir, "documents")
+    return GR.label_propagation(G.edges_df(docs), iters=4)
+
+
 def q_url_canonicalize(spark, sf_dir):
     """JVM-side canonicalization of messy derived URLs: lowercase scheme+host,
     strip default port, strip fragment, root empty path."""
@@ -2975,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hosts": q_top_hosts,
         "link_pagerank": q_link_pagerank,
         "link_hits": q_link_hits,
+        "link_communities": q_link_communities,
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "dedup_bloom_exact": q_dedup_bloom_exact,
@@ -3478,6 +3493,11 @@ def oracle_sql() -> dict[str, str]:
                 G.edges_sql(n_sf001),
                 "select doc_id as id from documents",
                 iters=5)})
+        """,
+        "link_communities": f"""
+            -- unrolled 4-round label propagation over the same derived
+            -- edge set (functions/graph.label_propagation_oracle_sql)
+            {GR.label_propagation_oracle_sql(G.edges_sql(n_sf001), iters=4)}
         """,
         "frontier_priority": f"""
             -- unrolled PageRank -> micro-priority -> per-host top-4 by

@@ -345,3 +345,112 @@ def link_spam_oracle_sql(edges_rel: str, min_out: int = 20,
                    * 100 >= {min_ext_pct} * count(*) as spam
       from {edges_rel} group by src
     """
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection
+# ---------------------------------------------------------------------------
+
+def label_propagation(
+    edges: DataFrame, iters: int = 4,
+    src_col: str = "src", dst_col: str = "dst",
+) -> DataFrame:
+    """(node, community) after `iters` synchronous label-propagation
+    rounds (Raghavan et al. 2007) over the UNDIRECTED graph.
+
+    Where connected_components answers "reachable at all" and pagerank
+    answers "how authoritative", LPA answers "which densely-linked
+    neighborhood" — the signal for host clustering (site families,
+    mirror groups, spam rings) in crawl analytics and for
+    domain-balanced corpus mixing.
+
+    Every node starts labeled with its own id. Each round, a node
+    adopts the most frequent label among its neighbors AND its own
+    current label (the self-inclusive variant — it damps the 2-cycle
+    oscillation plain synchronous LPA exhibits on bipartite structures);
+    ties break to the SMALLEST label, and a node with no neighbors keeps
+    its current label (its self-vote stands alone). Both rules are
+    deterministic, so a fixed iteration count makes the result a pure
+    function of the edge set and the DuckDB oracle can replay it as
+    unrolled SQL.
+
+    Scale shape at 10^10 edges: per round, one join keyed on node ids
+    (uniform after url-hash node mapping) + two map-side-combinable
+    aggregates; the (node, label) count spreads a hot node across its
+    distinct neighbor labels before the per-node argmax, whose state is
+    one struct per distinct label — never the raw adjacency list. The
+    label vector is O(nodes) and localCheckpoint-ed per round to cut
+    the iterative lineage, exactly like pagerank/hits/star rounds.
+    """
+    e = (edges.select(F.col(src_col).cast("long").alias("src"),
+                      F.col(dst_col).cast("long").alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct())
+    sym = (e.filter(F.col("src") != F.col("dst"))
+           .select("src", "dst")
+           .union(e.filter(F.col("src") != F.col("dst"))
+                  .select(F.col("dst").alias("src"),
+                          F.col("src").alias("dst")))
+           .distinct())
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(iters):
+        nbr = (sym.join(labels.select(F.col("id").alias("dst"), "label"),
+                        "dst")
+               .select(F.col("src").alias("id"), "label")
+               .union(labels.select("id", "label")))
+        cnt = nbr.groupBy("id", "label").agg(F.count(F.lit(1)).alias("n"))
+        # argmax by (count desc, label asc) via lexicographic struct-min
+        best = (cnt.groupBy("id")
+                .agg(F.min(F.struct((-F.col("n")).alias("nn"),
+                                    F.col("label").alias("lb"))).alias("t"))
+                .select("id", F.col("t.lb").alias("new_label")))
+        labels = (labels.join(best, "id", "left")
+                  .select("id", F.coalesce("new_label", "label")
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels.select(F.col("id").alias("node"),
+                         F.col("label").alias("community"))
+
+
+def label_propagation_oracle_sql(
+    edges_rel: str, iters: int = 4,
+) -> str:
+    """Unrolled-SQL twin of :func:`label_propagation`: `edges_rel`
+    yields (src, dst). Returns (node, community). CTEs are MATERIALIZED
+    for the same reason as `hits_oracle_sql` — each round is referenced
+    twice and default inlining would re-derive the chain per reference."""
+    sql = [f"""
+        with e as materialized (select distinct src, dst from ({edges_rel})),
+        nodes as materialized (
+          select src as id from e union select dst from e),
+        sym as materialized (
+          select src, dst from e where src <> dst
+          union select dst, src from e where src <> dst),
+        l0 as materialized (select id, id as label from nodes)"""]
+    for i in range(iters):
+        p, c = f"l{i}", f"l{i + 1}"
+        sql.append(f""",
+        c{i} as materialized (
+          select id, label, count(*) as n from (
+            select sym.src as id, {p}.label
+            from sym join {p} on {p}.id = sym.dst
+            union all select id, label from {p}
+          ) group by id, label
+        ),
+        b{i} as materialized (
+          select id, label as new_label
+          from (select id, label,
+                       row_number() over (partition by id
+                                          order by n desc, label asc) rn
+                from c{i})
+          where rn = 1
+        ),
+        {c} as materialized (
+          select {p}.id, coalesce(b{i}.new_label, {p}.label) as label
+          from {p} left join b{i} on b{i}.id = {p}.id
+        )""")
+    sql.append(f"""
+        select id as node, label as community from l{iters}""")
+    return "".join(sql)

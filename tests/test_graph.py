@@ -67,3 +67,47 @@ def test_hits_parallel_edges_collapse(spark):
     a = sorted(map(tuple, hits(base, iters=3).collect()))
     b = sorted(map(tuple, hits(dup, iters=3).collect()))
     assert a == b
+
+
+def test_lpa_two_triangles(spark):
+    """Two triangles bridged by one edge resolve into two communities,
+    each labeled by its smallest member (deterministic tie-break)."""
+    from linkinator_spark.functions.graph import label_propagation
+
+    edges = [(0, 1), (1, 2), (2, 0),
+             (3, 4), (4, 5), (5, 3),
+             (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.community
+           for r in label_propagation(df, iters=4).collect()}
+    assert out[0] == out[1] == out[2] == 0
+    assert out[3] == out[4] == out[5]
+    assert out[3] != out[0]
+
+
+def test_lpa_isolated_self_loop_keeps_label(spark):
+    """A node whose only edge is a self-loop has no neighbors: it keeps
+    its own id as its community."""
+    from linkinator_spark.functions.graph import label_propagation
+
+    df = spark.createDataFrame([(0, 1), (1, 0), (7, 7)],
+                               "src long, dst long")
+    out = {r.node: r.community
+           for r in label_propagation(df, iters=3).collect()}
+    assert out[7] == 7
+    assert out[0] == out[1] == 0
+
+
+def test_lpa_undirected_and_parallel_collapse(spark):
+    """Direction and duplicate edge rows don't change the result: the
+    graph symmetrizes and edges collapse before propagation."""
+    from linkinator_spark.functions.graph import label_propagation
+
+    a = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    b = spark.createDataFrame([(1, 0), (2, 1), (2, 1), (1, 2)],
+                              "src long, dst long")
+    ra = sorted((r.node, r.community)
+                for r in label_propagation(a, iters=4).collect())
+    rb = sorted((r.node, r.community)
+                for r in label_propagation(b, iters=4).collect())
+    assert ra == rb
