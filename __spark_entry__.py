@@ -42,6 +42,7 @@ from linkinator_spark.operators.classify import classify  # noqa: E402
 from linkinator_spark.functions import attributes as AT_MOD  # noqa: E402
 from linkinator_spark.functions import normalize as NM_MOD  # noqa: E402
 from linkinator_spark.functions import urls as URLS_MOD  # noqa: E402
+from linkinator_spark.operators import politeness as PLT  # noqa: E402
 from linkinator_spark.operators import revalidate as REVAL  # noqa: E402
 from linkinator_spark.functions import graph as GRF_MOD  # noqa: E402
 from linkinator_spark.functions import boilerplate as BP_MOD  # noqa: E402
@@ -494,6 +495,29 @@ def q_politeness_schedule(spark, sf_dir):
         F.row_number().over(w).alias("host_seq"),
         F.floor((F.row_number().over(w) - 1) / 4).cast("int").alias("fetch_wave"),
     )
+
+
+def q_politeness_ip(spark, sf_dir):
+    """Per-SERVER politeness: sibling subdomains resolve (deterministic
+    DNS stand-in, operators/politeness.resolve_server_ips — bit-exact in
+    DuckDB) to one shared IP, and the scheduler budgets fetches per IP
+    rather than per hostname, so vanity-subdomain farms can't multiply
+    their budget. The per-IP FIFO rank runs through
+    hierarchical_row_number (stripe ranks + offsets — a server fronting
+    thousands of subdomains never serializes into one window task)."""
+    from linkinator_spark.operators.politeness import politeness_take_ip
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(F.lit("s"), (i % 7).cast("string"), F.lit(".site"),
+                 (i % 3).cast("string"), F.lit(".test")).alias("host"),
+        F.concat(F.lit("http://s"), (i % 7).cast("string"), F.lit(".site"),
+                 (i % 3).cast("string"), F.lit(".test/p/"),
+                 i.cast("string")).alias("url"),
+    )
+    return politeness_take_ip(frontier, budget=8).select(
+        "server_ip", "host", "url", F.col("ip_rank").cast("long"))
 
 
 def q_frontier_priority(spark, sf_dir):
@@ -2997,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_broken_rereport": q_dup_broken_rereport,
         "robots_gate": q_robots_gate,
         "politeness_schedule": q_politeness_schedule,
+        "politeness_ip": q_politeness_ip,
         "host_delay_maxwins": q_host_delay_maxwins,
         "redirect_resolve": q_redirect_resolve,
         "retry_backoff": q_retry_backoff,
@@ -3805,6 +3830,29 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value * 10), 6) as not_before
             from events where event_type = 'error'
             group by 1
+        """,
+        "politeness_ip": f"""
+            -- per-server (shared-IP) budget: deterministic DNS twin
+            -- (operators/politeness.server_ip_sql) + window rank per IP
+            with fr as (
+              select concat('s', cast(doc_id % 7 as varchar), '.site',
+                            cast(doc_id % 3 as varchar), '.test') as host,
+                     concat('http://s', cast(doc_id % 7 as varchar),
+                            '.site', cast(doc_id % 3 as varchar),
+                            '.test/p/', cast(doc_id as varchar)) as url
+              from documents
+            ),
+            ips as (
+              select {PLT.server_ip_sql('host')} as server_ip, host, url
+              from fr
+            )
+            select server_ip, host, url, ip_rank from (
+              select server_ip, host, url,
+                     cast(row_number() over (partition by server_ip
+                                             order by host, url)
+                          as bigint) as ip_rank
+              from ips)
+            where ip_rank <= 8
         """,
         "redirect_resolve": f"""
             with recursive

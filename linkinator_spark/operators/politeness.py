@@ -235,3 +235,78 @@ def global_fifo_rank(
         .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_gpid", "_lrn", "_off")
     )
+
+
+# ---------------------------------------------------------------------------
+# IP-level (per-server) politeness
+# ---------------------------------------------------------------------------
+
+def registrable_domain(host: "F.Column") -> "F.Column":
+    """Last two dot-labels of a hostname ('a.b.site.test' -> 'site.test');
+    single-label hosts pass through. A simplified public-suffix rule —
+    good enough to group sibling subdomains, which is what per-server
+    politeness needs (a real PSL table would slot in as a broadcast dim
+    join without changing the shape)."""
+    return F.when(
+        host.contains("."),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
+    ).otherwise(host)
+
+
+def resolve_server_ips(
+    frontier: DataFrame, host_col: str = "host",
+    out_col: str = "server_ip",
+) -> DataFrame:
+    """Deterministic DNS stand-in: every registrable domain maps to one
+    synthetic IPv4 in 10/8, so sibling subdomains (cdn1.x.test,
+    www.x.test) land on the SAME server address — the shared-hosting
+    shape real crawlers must throttle on (politeness per server, not
+    just per hostname, or 100 vanity subdomains hammer one box with
+    100x the budget). Pure codegen projection (one md5 + integer
+    arithmetic), no network; a real resolver would replace this column
+    via a broadcast host->ip dim without touching downstream operators.
+    The arithmetic is bit-exact in DuckDB (portable_hash64) so the
+    scheduler's oracle replays it."""
+    from linkinator_spark.functions.text import portable_hash64
+
+    h = portable_hash64(registrable_domain(F.col(host_col)), prefix="dns:")
+    v = F.pmod(h, F.lit(1 << 24))
+    ip = F.concat_ws(
+        ".", F.lit("10"),
+        F.floor(v / 65536).cast("int").cast("string"),
+        F.pmod(F.floor(v / 256).cast("bigint"), F.lit(256))
+         .cast("int").cast("string"),
+        F.pmod(v, F.lit(256)).cast("int").cast("string"),
+    )
+    return frontier.withColumn(out_col, ip)
+
+
+def server_ip_sql(host_expr: str) -> str:
+    """DuckDB twin of `resolve_server_ips`' ip column."""
+    from linkinator_spark.functions.text import portable_hash64_sql
+
+    rdom = (f"case when contains({host_expr}, '.') then "
+            f"regexp_extract({host_expr}, '([^.]+\\.[^.]+)$', 1) "
+            f"else {host_expr} end")
+    h = portable_hash64_sql(rdom, prefix="dns:")
+    v = f"(({h}) % 16777216)"
+    return (f"concat('10.', cast(cast(floor({v} / 65536) as int) as varchar),"
+            f" '.', cast(cast(floor({v} / 256) as bigint) % 256 as varchar),"
+            f" '.', cast({v} % 256 as varchar))")
+
+
+def politeness_take_ip(
+    frontier: DataFrame, budget: int,
+    host_col: str = "host", url_col: str = "url",
+) -> DataFrame:
+    """Per-SERVER fetch budget: rank candidates within each resolved
+    server IP by (host, url) FIFO and keep `budget` per IP. The rank
+    runs through `hierarchical_row_number` (rank within (ip, host)
+    stripes + per-host offsets), so a server fronting thousands of
+    subdomains — the hot-key case this operator exists for — never
+    serializes into one window task. Output = input + server_ip +
+    ip_rank, identical to the naive single-window answer."""
+    df = resolve_server_ips(frontier, host_col=host_col)
+    ranked = hierarchical_row_number(
+        df, "server_ip", host_col, url_col, out_col="ip_rank")
+    return ranked.filter(F.col("ip_rank") <= budget)

@@ -64,3 +64,60 @@ def test_reshuffle_stable(spark):
         .select("url", "host", "priority_micro", "host_rank", "emit_rank")
         .collect(), key=lambda r: r["url"])
     assert a == b
+
+
+# ---------------------------------------------------------------- per-IP
+
+def test_ip_politeness_groups_sibling_subdomains(spark):
+    """Subdomains of one registrable domain share a server IP and one
+    budget; a different domain gets its own IP and budget."""
+    from linkinator_spark.operators.politeness import politeness_take_ip
+
+    rows = [(f"s{i}.alpha.test", f"http://s{i}.alpha.test/") for i in range(6)]
+    rows += [("www.beta.test", "http://www.beta.test/")]
+    df = spark.createDataFrame(rows, "host string, url string")
+    out = politeness_take_ip(df, budget=4).collect()
+    by_ip = {}
+    for r in out:
+        by_ip.setdefault(r.server_ip, []).append(r)
+    assert len(by_ip) == 2
+    sizes = sorted(len(v) for v in by_ip.values())
+    assert sizes == [1, 4]  # alpha capped at 4 of 6; beta keeps its 1
+
+
+def test_ip_politeness_rank_matches_naive_window(spark):
+    """ip_rank equals row_number() over (partition by ip order by
+    host, url) — the hierarchical rank is exact."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from linkinator_spark.operators.politeness import (
+        politeness_take_ip,
+        resolve_server_ips,
+    )
+
+    rows = [(f"s{i % 5}.dom{i % 3}.test",
+             f"http://s{i % 5}.dom{i % 3}.test/p/{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = sorted((r.server_ip, r.host, r.url, r.ip_rank)
+                 for r in politeness_take_ip(df, budget=100).collect())
+    w = Window.partitionBy("server_ip").orderBy("host", "url")
+    want = sorted(
+        (r.server_ip, r.host, r.url, r.ip_rank)
+        for r in resolve_server_ips(df)
+        .withColumn("ip_rank", F.row_number().over(w).cast("long"))
+        .collect())
+    assert got == want
+
+
+def test_registrable_domain_single_label_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from linkinator_spark.operators.politeness import registrable_domain
+
+    df = spark.createDataFrame(
+        [("localhost",), ("a.b.c.example.org",)], "host string")
+    out = [r.d for r in
+           df.select(registrable_domain(F.col("host")).alias("d"))
+           .orderBy("host").collect()]
+    assert out == ["example.org", "localhost"]
