@@ -15,6 +15,7 @@ limited to trailing-* as in the classic spec).
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -72,14 +73,25 @@ def parse_robots_txt(body: str, user_agent: str = "*") -> dict:
     return {"disallow": [], "allow": [], "crawl_delay": None}
 
 
+def _rule_regex(rule: str) -> str:
+    """RFC 9309 §2.2.3 rule -> anchored regex: '*' matches any char run,
+    a trailing '$' anchors at end-of-path; all else is literal."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    pat = ".*".join(re.escape(p) for p in body.split("*"))
+    return "^" + pat + ("$" if anchored else "")
+
+
 def robots_allowed(path: str, disallow: list[str], allow: list[str]) -> bool:
-    """Longest-prefix-match between allow and disallow rules."""
+    """RFC 9309 §2.2.2 most-specific-match: the longest matching rule
+    (raw octet length, wildcards counted — the de-facto Googlebot tie
+    rule) wins; Allow wins exact ties. Rules support '*' anywhere and a
+    trailing '$' end-anchor (§2.2.3)."""
     def best(rules: list[str]) -> int:
         hit = -1
         for r in rules or []:
-            prefix = r[:-1] if r.endswith("*") else r
-            if path.startswith(prefix) and len(prefix) > hit:
-                hit = len(prefix)
+            if re.match(_rule_regex(r), path) and len(r) > hit:
+                hit = len(r)
         return hit
 
     return best(allow) >= best(disallow)
@@ -132,15 +144,30 @@ def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> tuple[DataFrame
         "_path", F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
     ).join(F.broadcast(host_rules), "host", "left")
 
+    def rule_regex(r):
+        # JVM twin of _rule_regex: trailing '$' anchors, '*' -> '.*',
+        # everything else regex-escaped (whole-stage codegen, no Python)
+        anchored = r.endswith("$")
+        body = F.when(anchored, F.substr(r, F.lit(1), F.length(r) - 1)
+                      ).otherwise(r)
+        escaped = F.regexp_replace(
+            body, F.lit(r"([.\[\]{}()+?^$|\\])"), F.lit(r"\\$1"))
+        wild = F.regexp_replace(escaped, F.lit(r"\*"), F.lit(".*"))
+        return F.concat(F.lit("^"), wild,
+                        F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+
     def best_len(rules_col):
+        # RFC 9309 most-specific match: longest RAW rule that matches
+        # (wildcards counted in the length — the Googlebot tie rule,
+        # mirrored by robots_allowed on the Python side)
         return F.aggregate(
             F.coalesce(rules_col, F.array().cast("array<string>")),
             F.lit(-1),
             lambda acc, r: F.greatest(
                 acc,
                 F.when(
-                    F.col("_path").startswith(F.regexp_replace(r, r"\*$", "")),
-                    F.length(F.regexp_replace(r, r"\*$", "")),
+                    F.regexp_like(F.col("_path"), rule_regex(r)),
+                    F.length(r),
                 ).otherwise(F.lit(-1)),
             ),
         )
