@@ -341,6 +341,21 @@ def q_link_hits(spark, sf_dir):
                      F.round("auth", 6).alias("auth"))
 
 
+def q_link_trustrank(spark, sf_dir):
+    """TrustRank over the deterministic crawl graph: PageRank whose
+    teleport vector is uniform over a trusted seed set (every 50th doc),
+    so trust decays with link distance from the seeds — the classic
+    link-farm demotion signal (functions/graph.trustrank; pairs with
+    link_pagerank for the raw-authority side and link_spam for the
+    structural side). The DuckDB oracle replays all 5 biased iterations
+    as unrolled SQL; 6dp rounding absorbs double accumulation order."""
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.select(F.col("doc_id").alias("id")).filter(
+        F.col("id") % 50 == 0)
+    tr = GR.trustrank(G.edges_df(docs), seeds, iters=5, damping=0.85)
+    return tr.select("node", F.round("trust", 6).alias("trust"))
+
+
 def q_link_communities(spark, sf_dir):
     """Label-propagation community detection over the same deterministic
     crawl graph: 4 synchronous rounds, most-frequent-neighbor label with
@@ -3014,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "link_hits": q_link_hits,
         "link_communities": q_link_communities,
+        "link_trustrank": q_link_trustrank,
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "dedup_bloom_exact": q_dedup_bloom_exact,
@@ -3523,6 +3539,15 @@ def oracle_sql() -> dict[str, str]:
             -- unrolled 4-round label propagation over the same derived
             -- edge set (functions/graph.label_propagation_oracle_sql)
             {GR.label_propagation_oracle_sql(G.edges_sql(n_sf001), iters=4)}
+        """,
+        "link_trustrank": f"""
+            -- unrolled 5-iteration seed-biased power method
+            -- (functions/graph.trustrank_oracle_sql)
+            select node, round(trust, 6) as trust
+            from ({GR.trustrank_oracle_sql(
+                G.edges_sql(n_sf001),
+                "select doc_id as id from documents where doc_id % 50 = 0",
+                iters=5, damping=0.85)})
         """,
         "frontier_priority": f"""
             -- unrolled PageRank -> micro-priority -> per-host top-4 by

@@ -111,3 +111,36 @@ def test_lpa_undirected_and_parallel_collapse(spark):
     rb = sorted((r.node, r.community)
                 for r in label_propagation(b, iters=4).collect())
     assert ra == rb
+
+
+def test_trustrank_decays_from_seeds(spark):
+    """Trust is highest at the seed, decays along links, and is exactly
+    zero for nodes unreachable from any seed."""
+    from linkinator_spark.functions.graph import trustrank
+
+    # seed 0 fans out to 1 and 2; 3 is two hops out; 4 -> 5 is
+    # disconnected from the seed entirely. Decay-per-hop is a property
+    # of the CONVERGED vector (finite power iterations carry traveling
+    # mass waves), so iterate to convergence: residual ~0.85^40 = 1.5e-3
+    # against a 0.03 gap between the hop levels.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (4, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    tr = {r.node: r.trust
+          for r in trustrank(edges, seeds, iters=40).collect()}
+    assert tr[0] > tr[1] > tr[3] > 0  # one more hop, less trust
+    assert tr[1] == tr[2]  # symmetric children split evenly
+    assert tr[4] == 0.0 and tr[5] == 0.0
+    assert sum(tr.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_trustrank_empty_and_foreign_seeds(spark):
+    """Seeds absent from the graph are ignored; an empty effective seed
+    set yields all-zero trust rather than dividing by zero."""
+    from linkinator_spark.functions.graph import trustrank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "id long")
+    tr = {r.node: r.trust
+          for r in trustrank(edges, seeds, iters=3).collect()}
+    assert tr == {0: 0.0, 1: 0.0}
