@@ -23,15 +23,22 @@ def stream_candidates(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """File-source candidate stream -> canonical frontier rows, streaming
-    dedup by URL within the watermark horizon (dropDuplicates state is the
+    dedup by URL within the watermark horizon (the dedup state is the
     streaming analog of the URL-seen set; the authoritative exact set still
-    lives in the batch `seen` table)."""
+    lives in the batch `seen` table).
+
+    Uses ``dropDuplicatesWithinWatermark`` — NOT plain ``dropDuplicates``:
+    with a key that excludes the event-time column, plain dropDuplicates
+    keeps every key's state FOREVER (the watermark never evicts it), which
+    on an unbounded candidate stream is an O(all URLs ever seen) state
+    store on the hot path. WithinWatermark expires each URL's state one
+    watermark-delay after its arrival, bounding state to the horizon."""
     raw = spark.readStream.schema(schema).parquet(input_dir)
     canon = raw.select(
         F.lower(F.regexp_replace("url", r"#.*$", "")).alias("url"),
         F.col("ts"),
     ).withColumn("host", url_host(F.col("url")))
-    return canon.withWatermark("ts", watermark).dropDuplicates(["url"])
+    return canon.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["url"])
 
 
 def stream_fetch_metrics(
