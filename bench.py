@@ -292,7 +292,12 @@ def main() -> None:
     for key, qname in (("warc_archive", "warc_roundtrip"),
                        ("main_text", "extract_main_text"),
                        ("bpe_train", "bpe_train"),
-                       ("span_attributes", "span_attributes")):
+                       ("span_attributes", "span_attributes"),
+                       # graph analytics added late in round 4: both are
+                       # fixed-round iterative join+agg jobs, so the legs
+                       # track per-round scheduling + localCheckpoint cost
+                       ("link_communities", "link_communities"),
+                       ("trustrank", "link_trustrank")):
         t0 = time.time()
         n = E.queries()[qname](spark, SF_DIR).count()
         r4_ops[key] = {"sec": round(time.time() - t0, 3), "rows": n}
