@@ -217,6 +217,19 @@ def main() -> None:
          "link-farm detection (ONE src-keyed groupBy; exact "
          "count-distincts via expand; integer cross-multiplied "
          "thresholds)"),
+        ("link_communities",
+         "label propagation (per round one node-keyed join + two "
+         "map-side-combinable aggregates; struct-min argmax state is "
+         "one entry per distinct label, not per edge; label vector "
+         "localCheckpoint-ed — plan truncated at the last round)"),
+        ("link_trustrank",
+         "TrustRank (pagerank's per-iteration shape with a broadcast "
+         "seed dim; teleport+dangling mass over seeds; O(1) driver "
+         "rows per round)"),
+        ("politeness_ip",
+         "per-server budget (codegen DNS-hash projection; "
+         "hierarchical (ip, host)-stripe rank + group-count offsets — "
+         "no single-task hot-IP window)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
