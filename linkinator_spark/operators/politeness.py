@@ -247,10 +247,12 @@ def registrable_domain(host: "F.Column") -> "F.Column":
     good enough to group sibling subdomains, which is what per-server
     politeness needs (a real PSL table would slot in as a broadcast dim
     join without changing the shape)."""
-    return F.when(
-        host.contains("."),
-        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
-    ).otherwise(host)
+    ext = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    # fall back to the raw host whenever the extract misses (single-label
+    # hosts, trailing-dot FQDNs like 'a.test.', empty labels): mapping
+    # every miss to '' would collapse unrelated hosts onto ONE synthetic
+    # server ip — and one shared politeness budget
+    return F.when(ext != "", ext).otherwise(host)
 
 
 def resolve_server_ips(
@@ -285,7 +287,8 @@ def server_ip_sql(host_expr: str) -> str:
     """DuckDB twin of `resolve_server_ips`' ip column."""
     from linkinator_spark.functions.text import portable_hash64_sql
 
-    rdom = (f"case when contains({host_expr}, '.') then "
+    rdom = (f"case when regexp_extract({host_expr}, "
+            f"'([^.]+\\.[^.]+)$', 1) <> '' then "
             f"regexp_extract({host_expr}, '([^.]+\\.[^.]+)$', 1) "
             f"else {host_expr} end")
     h = portable_hash64_sql(rdom, prefix="dns:")

@@ -8,9 +8,13 @@ broadcast as a `host_rules` dimension. Frontier rows matching a Disallow
 prefix (and not a longer Allow prefix) are tagged SKIPPED before fetch;
 Crawl-delay feeds the per-host delay gate.
 
-Parsing follows the original robots exclusion protocol (user-agent sections,
-longest-prefix-match between Allow/Disallow, '*' wildcard suffix support is
-limited to trailing-* as in the classic spec).
+Rule matching follows RFC 9309: user-agent sections, '*' wildcards anywhere
+in a rule, a trailing '$' end-anchor, most-specific match (longest raw rule,
+wildcards counted) with Allow winning exact ties. Plain prefix rules — the
+overwhelming majority on the real web — stay on a cheap startswith path;
+only rules that actually contain '*' or a trailing '$' pay regex matching,
+and their regexes are precomputed per RULE on the O(hosts) dimension, never
+per frontier row.
 """
 
 from __future__ import annotations
@@ -132,9 +136,40 @@ def host_rules_from_pages(pages: DataFrame, documents: DataFrame,
     return host_rules_from_bodies(with_body, user_agent)
 
 
+def _rule_structs(rules_col):
+    """Per-rule match precomputation, evaluated once per RULE on the
+    O(hosts) dimension (inside F.transform over the rule array), never
+    per frontier row: (wild, pat, len) where plain prefix rules keep the
+    raw prefix for a cheap startswith and only rules containing '*' or a
+    trailing '$' get the compiled-at-match-time regex. JVM twin of
+    _rule_regex: trailing '$' anchors, '*' -> '.*', else literal."""
+    def one(r):
+        anchored = r.endswith("$")
+        wild = r.contains("*") | anchored
+        body = F.when(anchored, F.substr(r, F.lit(1), F.length(r) - 1)
+                      ).otherwise(r)
+        escaped = F.regexp_replace(
+            body, F.lit(r"([.\[\]{}()+?^$|\\])"), F.lit(r"\\$1"))
+        rex = F.concat(F.lit("^"),
+                       F.regexp_replace(escaped, F.lit(r"\*"), F.lit(".*")),
+                       F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+        return F.struct(wild.alias("wild"),
+                        F.when(wild, rex).otherwise(r).alias("pat"),
+                        F.length(r).alias("len"))
+
+    return F.transform(rules_col, one)
+
+
+_RULE_STRUCT_T = "array<struct<wild:boolean,pat:string,len:int>>"
+
+
 def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (allowed, disallowed) by broadcast rules join.
-    The prefix match runs as JVM expressions over the rule arrays."""
+    The RFC 9309 rule match runs as JVM expressions over per-rule structs
+    precomputed on the dimension side (see _rule_structs)."""
+    dim = host_rules.withColumn(
+        "_dis", _rule_structs(F.col("disallow"))
+    ).withColumn("_alw", _rule_structs(F.col("allow")))
     # `_path` must be a REAL column before the higher-order aggregate: a
     # free nested expression captured inside the HOF lambda can be carried
     # across join/filter pushdown into a plan where its `url` attribute no
@@ -142,41 +177,32 @@ def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> tuple[DataFrame
     # the filter pushes toward the broadcast side on a narrow frontier)
     joined = frontier.withColumn(
         "_path", F.regexp_replace(F.col("url"), r"^https?://[^/]+", "")
-    ).join(F.broadcast(host_rules), "host", "left")
+    ).join(F.broadcast(dim), "host", "left")
 
-    def rule_regex(r):
-        # JVM twin of _rule_regex: trailing '$' anchors, '*' -> '.*',
-        # everything else regex-escaped (whole-stage codegen, no Python)
-        anchored = r.endswith("$")
-        body = F.when(anchored, F.substr(r, F.lit(1), F.length(r) - 1)
-                      ).otherwise(r)
-        escaped = F.regexp_replace(
-            body, F.lit(r"([.\[\]{}()+?^$|\\])"), F.lit(r"\\$1"))
-        wild = F.regexp_replace(escaped, F.lit(r"\*"), F.lit(".*"))
-        return F.concat(F.lit("^"), wild,
-                        F.when(anchored, F.lit("$")).otherwise(F.lit("")))
-
-    def best_len(rules_col):
+    def best_len(structs_col):
         # RFC 9309 most-specific match: longest RAW rule that matches
         # (wildcards counted in the length — the Googlebot tie rule,
         # mirrored by robots_allowed on the Python side)
         return F.aggregate(
-            F.coalesce(rules_col, F.array().cast("array<string>")),
+            F.coalesce(structs_col, F.array().cast(_RULE_STRUCT_T)),
             F.lit(-1),
-            lambda acc, r: F.greatest(
+            lambda acc, s: F.greatest(
                 acc,
                 F.when(
-                    F.regexp_like(F.col("_path"), rule_regex(r)),
-                    F.length(r),
+                    F.when(s["wild"],
+                           F.regexp_like(F.col("_path"), s["pat"]))
+                    .otherwise(F.col("_path").startswith(s["pat"])),
+                    s["len"],
                 ).otherwise(F.lit(-1)),
             ),
         )
 
     allowed_cond = F.col("disallow").isNull() | (
-        best_len(F.col("allow")) >= best_len(F.col("disallow"))
+        best_len(F.col("_alw")) >= best_len(F.col("_dis"))
     )
     tagged = joined.withColumn("_robots_ok", allowed_cond)
-    drop = ["_robots_ok", "_path", "disallow", "allow", "crawl_delay"]
+    drop = ["_robots_ok", "_path", "disallow", "allow", "crawl_delay",
+            "_dis", "_alw"]
     allowed = tagged.filter(F.col("_robots_ok")).drop(*drop)
     disallowed = tagged.filter(~F.col("_robots_ok")).drop(*drop)
     return allowed, disallowed

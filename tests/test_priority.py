@@ -116,8 +116,11 @@ def test_registrable_domain_single_label_passthrough(spark):
     from linkinator_spark.operators.politeness import registrable_domain
 
     df = spark.createDataFrame(
-        [("localhost",), ("a.b.c.example.org",)], "host string")
+        [("localhost",), ("a.b.c.example.org",), ("a.test.",),
+         ("b.example.",)], "host string")
     out = [r.d for r in
            df.select(registrable_domain(F.col("host")).alias("d"))
            .orderBy("host").collect()]
-    assert out == ["example.org", "localhost"]
+    # misses (single label, trailing-dot FQDNs) pass through RAW — never
+    # collapsing distinct hosts onto '' (one shared server ip)
+    assert out == ["example.org", "a.test.", "b.example.", "localhost"]
