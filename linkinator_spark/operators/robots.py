@@ -20,6 +20,7 @@ per frontier row.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from typing import Iterator
 
 import pandas as pd
@@ -77,9 +78,11 @@ def parse_robots_txt(body: str, user_agent: str = "*") -> dict:
     return {"disallow": [], "allow": [], "crawl_delay": None}
 
 
+@lru_cache(maxsize=4096)
 def _rule_regex(rule: str) -> str:
     """RFC 9309 §2.2.3 rule -> anchored regex: '*' matches any char run,
-    a trailing '$' anchors at end-of-path; all else is literal."""
+    a trailing '$' anchors at end-of-path; all else is literal. Memoized:
+    the fused gear calls this per (row, rule) and rulesets repeat."""
     anchored = rule.endswith("$")
     body = rule[:-1] if anchored else rule
     pat = ".*".join(re.escape(p) for p in body.split("*"))
