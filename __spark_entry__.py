@@ -341,6 +341,31 @@ def q_link_hits(spark, sf_dir):
                      F.round("auth", 6).alias("auth"))
 
 
+def q_link_opic(spark, sf_dir):
+    """OPIC online page importance over the deterministic crawl graph
+    (functions/graph.opic — 5 synchronous cash-distribution rounds): the
+    crawl-ORDER twin of link_pagerank; a frontier scheduler ranks by
+    current cash without waiting for an offline power method. The DuckDB
+    oracle replays all rounds as unrolled SQL; 6dp rounding absorbs
+    double accumulation order."""
+    docs = _t(spark, sf_dir, "documents")
+    op = GR.opic(G.edges_df(docs), iters=5)
+    return op.select("node", F.round("cash", 6).alias("cash"),
+                     F.round("history", 6).alias("history"),
+                     F.round("importance", 6).alias("importance"))
+
+
+def q_crawl_coverage(spark, sf_dir):
+    """Crawl-completeness estimation over link-discovery events
+    (functions/graph.discovery_coverage): Good-Turing sample coverage
+    (probability the next discovered link is already seen — the "stop
+    crawling?" signal) + bias-corrected Chao1 total-URL richness. Two
+    map-side-combined aggregates and a one-row rollup; the DuckDB twin
+    recomputes the full frequency spectrum."""
+    docs = _t(spark, sf_dir, "documents")
+    return GR.discovery_coverage(G.edges_df(docs))
+
+
 def q_link_trustrank(spark, sf_dir):
     """TrustRank over the deterministic crawl graph: PageRank whose
     teleport vector is uniform over a trusted seed set (every 50th doc),
@@ -3030,6 +3055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "link_communities": q_link_communities,
         "link_trustrank": q_link_trustrank,
+        "link_opic": q_link_opic,
+        "crawl_coverage": q_crawl_coverage,
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "dedup_bloom_exact": q_dedup_bloom_exact,
@@ -3549,6 +3576,16 @@ def oracle_sql() -> dict[str, str]:
                 "select doc_id as id from documents where doc_id % 50 = 0",
                 iters=5, damping=0.85)})
         """,
+        "link_opic": f"""
+            -- unrolled 5-round synchronous OPIC cash distribution
+            -- (functions/graph.opic_oracle_sql)
+            select node, round(cash, 6) as cash,
+                   round(history, 6) as history,
+                   round(importance, 6) as importance
+            from ({GR.opic_oracle_sql(G.edges_sql(n_sf001), iters=5)})
+        """,
+        "crawl_coverage": GR.discovery_coverage_oracle_sql(
+            G.edges_sql(n_sf001)),
         "frontier_priority": f"""
             -- unrolled PageRank -> micro-priority -> per-host top-4 by
             -- descending priority -> global emission rank

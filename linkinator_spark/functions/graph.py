@@ -572,3 +572,183 @@ def trustrank_oracle_sql(
     sql.append(f"""
         select id as node, tr as trust from t{iters}""")
     return "".join(sql)
+
+
+# ---------------------------------------------------------------------------
+# OPIC — On-line Page Importance Computation
+# ---------------------------------------------------------------------------
+
+def opic(
+    edges: DataFrame, iters: int = 5,
+    src_col: str = "src", dst_col: str = "dst",
+) -> DataFrame:
+    """(node, cash, history, importance) after `iters` synchronous OPIC
+    rounds (Abiteboul, Preda & Cobena, WWW 2003): every node starts with
+    equal cash 1/n; each round a node banks its cash into its history and
+    distributes it equally over its out-links (dangling nodes distribute
+    uniformly over ALL nodes — the paper's virtual-root link). The
+    importance estimate is (history + cash) / (rounds + 1).
+
+    Why next to pagerank: OPIC is the CRAWL-ORDER algorithm — importance
+    accumulates online as pages are visited, so a frontier scheduler can
+    rank candidates by current cash without waiting for a converged
+    offline power method; the fixed-round batch form here is the
+    deterministic synchronous variant (all nodes "crawled" per round),
+    which makes it a pure function of the edge set that the DuckDB
+    oracle replays as unrolled SQL.
+
+    Scale shape: identical per-round skeleton to pagerank — one exchange
+    keyed on node ids, map-side-combined cash aggregate, O(1) driver
+    rows (the dangling-cash scalar), (cash, history) vector O(nodes)
+    localCheckpoint-ed per round.
+
+    Invariant: total cash stays 1 every round, so history sums to the
+    round number and importance sums to 1 (asserted in tests).
+    """
+    e = (edges.select(F.col(src_col).cast("long").alias("src"),
+                      F.col(dst_col).cast("long").alias("dst"))
+         .distinct())
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct())
+    n_nodes = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    state = nodes.select(
+        "id", (F.lit(1.0) / n_nodes).alias("cash"),
+        F.lit(0.0).alias("hist"))
+    for _ in range(iters):
+        with_deg = state.join(deg, state["id"] == deg["src"], "left")
+        dangling = (with_deg.filter(F.col("src").isNull())
+                    .agg(F.coalesce(F.sum("cash"), F.lit(0.0)))
+                    .collect()[0][0])
+        inflow = (
+            e.join(state, e["src"] == state["id"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("cash") / F.col("outdeg")).alias("c"))
+        )
+        state = (
+            state.join(inflow, state["id"] == inflow["dst"], "left")
+            .select(
+                state["id"],
+                (F.coalesce(F.col("c"), F.lit(0.0))
+                 + F.lit(dangling / n_nodes)).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        ).localCheckpoint(eager=True)
+    return state.select(
+        F.col("id").alias("node"), "cash", F.col("hist").alias("history"),
+        ((F.col("hist") + F.col("cash")) / (iters + 1)).alias("importance"))
+
+
+def opic_oracle_sql(edges_rel: str, iters: int = 5) -> str:
+    """Unrolled-SQL twin of :func:`opic`: `edges_rel` yields (src, dst).
+    Returns (node, cash, history, importance) unrounded."""
+    sql = [f"""
+        with e as materialized (select distinct src, dst from ({edges_rel})),
+        nodes as materialized (
+          select src as id from e union select dst from e),
+        nn as materialized (select count(*) as n from nodes),
+        deg as materialized (
+          select src, count(*) as outdeg from e group by src),
+        s0 as materialized (
+          select id, 1.0::DOUBLE / nn.n as cash, 0.0::DOUBLE as hist
+          from nodes, nn)"""]
+    for i in range(iters):
+        p, c = f"s{i}", f"s{i + 1}"
+        sql.append(f""",
+        d{i} as materialized (
+          select coalesce(sum({p}.cash), 0) as mass from {p}
+          left join deg on deg.src = {p}.id where deg.src is null
+        ),
+        {c} as materialized (
+          select {p}.id,
+                 coalesce(inflow.c, 0)::DOUBLE + d{i}.mass / nn.n as cash,
+                 {p}.hist + {p}.cash as hist
+          from {p}
+          left join (
+            select e.dst, sum({p}.cash / deg.outdeg) as c
+            from e join {p} on {p}.id = e.src join deg on deg.src = e.src
+            group by e.dst
+          ) inflow on inflow.dst = {p}.id, nn, d{i}
+        )""")
+    sql.append(f"""
+        select id as node, cash, hist as history,
+               (hist + cash) / {iters + 1} as importance from s{iters}""")
+    return "".join(sql)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-coverage estimation (species richness over discovery events)
+# ---------------------------------------------------------------------------
+
+def discovery_coverage(
+    edges: DataFrame, dst_col: str = "dst",
+) -> DataFrame:
+    """One-row crawl-completeness report from link-discovery events: how
+    much of the reachable URL space has this crawl actually seen, and
+    how many URLs likely remain undiscovered?
+
+    Treats every edge as one discovery event of its target (species
+    sighting); the frequency-of-frequencies spectrum then yields the two
+    classic species-richness estimators:
+
+      * Good-Turing sample coverage  C = 1 - f1/N  (Good 1953): the
+        probability the NEXT discovered link points at an already-seen
+        URL — the operational "stop crawling?" signal.
+      * Chao1 richness (Chao 1984, bias-corrected form, defined even
+        when f2 = 0):  S_chao1 = S_obs + f1*(f1-1) / (2*(f2+1)); the
+        estimated total URL count including never-yet-seen ones.
+
+    Output: (s_obs, n_events, f1, f2, chao1, est_unseen, coverage) —
+    counts exact integers, chao1/coverage rounded to 6dp.
+
+    Scale shape at 10^10 events: two map-side-combined aggregates
+    (dst -> count, count -> frequency; hot URLs partial-combine, the
+    second keyspace is O(max multiplicity) — tiny) and a final one-row
+    rollup. No windows, no joins, no driver state.
+    """
+    per_url = (edges.groupBy(F.col(dst_col).alias("u"))
+               .agg(F.count(F.lit(1)).alias("k")))
+    spectrum = per_url.groupBy("k").agg(F.count(F.lit(1)).alias("f"))
+    return spectrum.agg(
+        F.sum("f").cast("long").alias("s_obs"),
+        F.sum(F.col("k") * F.col("f")).cast("long").alias("n_events"),
+        F.coalesce(F.sum(F.when(F.col("k") == 1, F.col("f"))),
+                   F.lit(0)).cast("long").alias("f1"),
+        F.coalesce(F.sum(F.when(F.col("k") == 2, F.col("f"))),
+                   F.lit(0)).cast("long").alias("f2"),
+    ).select(
+        "s_obs", "n_events", "f1", "f2",
+        F.round(F.col("s_obs")
+                + (F.col("f1") * (F.col("f1") - 1))
+                / (2.0 * (F.col("f2") + 1)), 6).alias("chao1"),
+        F.round((F.col("f1") * (F.col("f1") - 1))
+                / (2.0 * (F.col("f2") + 1)), 6).alias("est_unseen"),
+        F.round(1.0 - F.col("f1") / F.col("n_events"), 6).alias("coverage"),
+    )
+
+
+def discovery_coverage_oracle_sql(edges_rel: str) -> str:
+    """DuckDB twin of :func:`discovery_coverage`."""
+    return f"""
+        with per_url as (
+          select dst as u, count(*) as k from ({edges_rel}) group by dst
+        ),
+        spectrum as (select k, count(*) as f from per_url group by k),
+        agg as (
+          select cast(sum(f) as bigint) as s_obs,
+                 cast(sum(k * f) as bigint) as n_events,
+                 cast(coalesce(sum(case when k = 1 then f end), 0)
+                      as bigint) as f1,
+                 cast(coalesce(sum(case when k = 2 then f end), 0)
+                      as bigint) as f2
+          from spectrum
+        )
+        select s_obs, n_events, f1, f2,
+               round(s_obs + (f1 * (f1 - 1)) / (2.0 * (f2 + 1)), 6)
+                 as chao1,
+               round((f1 * (f1 - 1)) / (2.0 * (f2 + 1)), 6) as est_unseen,
+               round(1.0 - f1 / n_events, 6) as coverage
+        from agg
+    """

@@ -144,3 +144,57 @@ def test_trustrank_empty_and_foreign_seeds(spark):
     tr = {r.node: r.trust
           for r in trustrank(edges, seeds, iters=3).collect()}
     assert tr == {0: 0.0, 1: 0.0}
+
+
+def test_opic_cash_conserved_and_sums(spark):
+    """Total cash stays 1 every round, so history sums to the round
+    count and importance sums to 1; a pure sink still accumulates."""
+    from linkinator_spark.functions.graph import opic
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    out = {r.node: r for r in opic(edges, iters=5).collect()}
+    assert sum(r.cash for r in out.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(r.history for r in out.values()) == pytest.approx(
+        5.0, abs=1e-9)
+    assert sum(r.importance for r in out.values()) == pytest.approx(
+        1.0, abs=1e-9)
+    # 2 is linked by both others: most important
+    assert out[2].importance == max(r.importance for r in out.values())
+
+
+def test_opic_ring_uniform(spark):
+    from linkinator_spark.functions.graph import opic
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long")
+    out = [r.importance for r in opic(ring, iters=4).collect()]
+    for v in out:
+        assert v == pytest.approx(1.0 / 5, abs=1e-12)
+
+
+def test_discovery_coverage_exact_spectrum(spark):
+    """Hand-computed spectrum: targets seen {a:1, b:1, c:2, d:3} ->
+    s_obs=4, N=7, f1=2, f2=1, chao1 = 4 + 2*1/(2*2) = 4.5,
+    coverage = 1 - 2/7."""
+    from linkinator_spark.functions.graph import discovery_coverage
+
+    edges = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 12), (2, 12), (0, 13), (1, 13), (2, 13)],
+        "src long, dst long")
+    r = discovery_coverage(edges).collect()[0]
+    assert (r.s_obs, r.n_events, r.f1, r.f2) == (4, 7, 2, 1)
+    assert r.chao1 == pytest.approx(4.5)
+    assert r.est_unseen == pytest.approx(0.5)
+    assert r.coverage == pytest.approx(round(1 - 2 / 7, 6))
+
+
+def test_discovery_coverage_saturated(spark):
+    """Every URL seen repeatedly (f1=0): coverage exactly 1, chao1
+    collapses to s_obs — the crawl-is-complete signal."""
+    from linkinator_spark.functions.graph import discovery_coverage
+
+    edges = spark.createDataFrame(
+        [(0, 10), (1, 10), (0, 11), (1, 11)], "src long, dst long")
+    r = discovery_coverage(edges).collect()[0]
+    assert r.f1 == 0 and r.coverage == 1.0 and r.chao1 == float(r.s_obs)
