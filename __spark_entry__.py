@@ -560,6 +560,22 @@ def q_politeness_ip(spark, sf_dir):
         "server_ip", "host", "url", F.col("ip_rank").cast("long"))
 
 
+def q_host_delay_adaptive(spark, sf_dir):
+    """AIMD congestion-controlled per-host delay over the fetch history
+    (operators/politeness.adaptive_host_delay): delay doubles on each
+    throttle signal (429/5xx), decreases additively on success — one
+    map-side-combined groupBy(host) + a codegen higher-order fold over
+    the event-flag array. The DuckDB twin replays the identical fold
+    via list_reduce."""
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+        .alias("host"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") == "error").cast("int").alias("throttle"))
+    return PLT.adaptive_host_delay(fetches)
+
+
 def q_frontier_priority(spark, sf_dir):
     """Authority-weighted frontier scheduling — the priority-queue form
     with a learned/computed key instead of FIFO: PageRank over the derived
@@ -3065,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "politeness_schedule": q_politeness_schedule,
         "politeness_ip": q_politeness_ip,
+        "host_delay_adaptive": q_host_delay_adaptive,
         "host_delay_maxwins": q_host_delay_maxwins,
         "redirect_resolve": q_redirect_resolve,
         "retry_backoff": q_retry_backoff,
@@ -3893,6 +3910,11 @@ def oracle_sql() -> dict[str, str]:
             from events where event_type = 'error'
             group by 1
         """,
+        "host_delay_adaptive": PLT.adaptive_host_delay_sql(
+            "select concat('h', cast(user_id % 10 as varchar)) as host, "
+            "event_id as s, "
+            "case when event_type = 'error' then 1 else 0 end as t "
+            "from events"),
         "politeness_ip": f"""
             -- per-server (shared-IP) budget: deterministic DNS twin
             -- (operators/politeness.server_ip_sql) + window rank per IP

@@ -313,3 +313,75 @@ def politeness_take_ip(
     ranked = hierarchical_row_number(
         df, "server_ip", host_col, url_col, out_col="ip_rank")
     return ranked.filter(F.col("ip_rank") <= budget)
+
+
+# ---------------------------------------------------------------------------
+# AIMD adaptive per-host delay
+# ---------------------------------------------------------------------------
+
+def adaptive_host_delay(
+    fetches: DataFrame, base_ms: int = 1000, max_ms: int = 60_000,
+    dec_ms: int = 250,
+    host_col: str = "host", seq_col: str = "seq",
+    throttle_col: str = "throttle",
+) -> DataFrame:
+    """Congestion-controlled per-host delay from the fetch history:
+    multiplicative increase on throttle signals (429/5xx — delay
+    doubles, capped at `max_ms`), additive decrease on success (minus
+    `dec_ms`, floored at `base_ms`) — TCP's AIMD shape inverted for
+    politeness, replayed deterministically over each host's fetch
+    sequence. The output feeds the same per-host delay gate as
+    retry-after and robots Crawl-delay (max-wins), turning a static
+    budget into one that backs off from struggling servers and recovers
+    on sustained success.
+
+    Input contract: one row per fetch with an integer 0/1
+    `throttle_col` and a PER-HOST-UNIQUE `seq_col` ordering the events
+    (ties would make the fold nondeterministic). Output per host:
+    (host, delay_ms, n_throttle, n_events).
+
+    Scale shape: ONE map-side-combined groupBy(host); the fold runs as
+    a codegen higher-order aggregate over the collected event-flag
+    array — sequential semantics genuinely need the host's history in
+    one place, and that history is bounded by the politeness budget x
+    epochs (the same bound as politeness_take_heap's per-host group),
+    NOT by frontier size. A host's array holds 1-byte flags; 10^6
+    fetches against one host is a ~1 MB array. The DuckDB twin replays
+    the identical fold via list_reduce.
+    """
+    t = F.col(throttle_col).cast("int")
+    ev = F.transform(
+        F.array_sort(F.collect_list(
+            F.struct(F.col(seq_col).alias("s"), t.alias("t")))),
+        lambda s: s["t"])
+    base, mx = F.lit(int(base_ms)).cast("long"), F.lit(int(max_ms))
+    fold = F.aggregate(
+        ev, base,
+        lambda acc, x: F.when(x == 1, F.least(mx.cast("long"), acc * 2))
+        .otherwise(F.greatest(base, acc - F.lit(int(dec_ms)))))
+    return (fetches.groupBy(F.col(host_col).alias("host"))
+            .agg(fold.alias("delay_ms"),
+                 F.sum(t).cast("long").alias("n_throttle"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))
+
+
+def adaptive_host_delay_sql(
+    fetches_rel: str, base_ms: int = 1000, max_ms: int = 60_000,
+    dec_ms: int = 250,
+) -> str:
+    """DuckDB twin of :func:`adaptive_host_delay`: `fetches_rel` must
+    yield (host, s, t) with t an integer 0/1 throttle flag and s the
+    per-host-unique order."""
+    return f"""
+        select host,
+               list_reduce(
+                 list_prepend(cast({base_ms} as bigint),
+                              list(cast(t as bigint) order by s, t)),
+                 (a, b) -> case when b = 1
+                                then least({max_ms}, a * 2)
+                                else greatest({base_ms}, a - {dec_ms}) end
+               ) as delay_ms,
+               cast(sum(t) as bigint) as n_throttle,
+               cast(count(*) as bigint) as n_events
+        from ({fetches_rel}) group by host
+    """

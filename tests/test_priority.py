@@ -124,3 +124,40 @@ def test_registrable_domain_single_label_passthrough(spark):
     # misses (single label, trailing-dot FQDNs) pass through RAW — never
     # collapsing distinct hosts onto '' (one shared server ip)
     assert out == ["example.org", "a.test.", "b.example.", "localhost"]
+
+
+# ---------------------------------------------------------------- AIMD
+
+def test_aimd_delay_fold(spark):
+    """Hand-walked AIMD: base 1000, x2 on throttle (cap 60000),
+    -250 on success (floor 1000)."""
+    from linkinator_spark.operators.politeness import adaptive_host_delay
+
+    rows = [
+        # h0: ok, throttle, throttle, ok -> 1000-250->1000, 2000, 4000,
+        # 3750
+        ("h0", 1, 0), ("h0", 2, 1), ("h0", 3, 1), ("h0", 4, 0),
+        # h1: all success stays at the floor
+        ("h1", 1, 0), ("h1", 2, 0),
+        # h2: repeated throttling saturates at the cap
+        *[("h2", i, 1) for i in range(1, 9)],
+    ]
+    df = spark.createDataFrame(rows, "host string, seq long, throttle int")
+    out = {r.host: r for r in adaptive_host_delay(df).collect()}
+    assert out["h0"].delay_ms == 3750
+    assert (out["h0"].n_throttle, out["h0"].n_events) == (2, 4)
+    assert out["h1"].delay_ms == 1000
+    assert out["h2"].delay_ms == 60_000
+
+
+def test_aimd_order_matters_and_is_seq_driven(spark):
+    """The fold follows seq order, not row arrival order."""
+    from linkinator_spark.operators.politeness import adaptive_host_delay
+
+    # throttle FIRST then successes: 2000 -> 1750 -> 1500
+    fwd = [("h", 1, 1), ("h", 2, 0), ("h", 3, 0)]
+    shuffled = [fwd[2], fwd[0], fwd[1]]
+    for rows in (fwd, shuffled):
+        df = spark.createDataFrame(
+            rows, "host string, seq long, throttle int")
+        assert adaptive_host_delay(df).collect()[0].delay_ms == 1500
