@@ -230,6 +230,15 @@ def main() -> None:
          "per-server budget (codegen DNS-hash projection; "
          "hierarchical (ip, host)-stripe rank + group-count offsets — "
          "no single-task hot-IP window)"),
+        ("link_opic",
+         "OPIC cash distribution (pagerank's per-round skeleton; "
+         "plan truncated at the last localCheckpoint)"),
+        ("crawl_coverage",
+         "coverage estimation (two map-side-combined aggregates + "
+         "one-row rollup; no windows, no joins)"),
+        ("host_delay_adaptive",
+         "AIMD delay (ONE map-side-combined groupBy(host); codegen "
+         "higher-order fold over the per-host flag array)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
