@@ -12,6 +12,7 @@ Tested with availableNow triggers (bounded) — the same code runs unbounded.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -179,3 +180,44 @@ def stream_host_health(
         breaker, out_schema, "n long, e long, tr long", "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_blocklist_gate(candidates: DataFrame, rules: DataFrame,
+                          rule_col: str = "domain") -> DataFrame:
+    """Tag streaming frontier candidates with their domain-blocklist
+    verdict: adds (blocked:int, no rows dropped — the caller filters),
+    matching the batch operator's suffix-set semantics (a listed domain
+    blocks itself and every subdomain; functions/blocklist.py).
+
+    The batch path (apply_blocklist) is an explode + broadcast join +
+    per-URL argmax — that final aggregate is illegal in an append-mode
+    stream, so here the rules dim (metadata-scale: real blocklists are
+    10^4..10^6 domains, a few MB) collects ONCE into a broadcast
+    frozenset and the suffix probe runs as an Arrow-batched pandas UDF
+    (set lookups per label suffix, ~4 probes/host — vectorized batch
+    transfer, not per-row Python serialization). If a blocklist ever
+    outgrows broadcast, gate AFTER landing in the batch layer with
+    apply_blocklist's join form instead.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = candidates.sparkSession
+    domains = frozenset(
+        r[0].lower() for r in rules.select(rule_col).collect()
+        if r[0] is not None)
+    bc = spark.sparkContext.broadcast(domains)
+
+    @pandas_udf("int")
+    def _blocked(host: pd.Series) -> pd.Series:
+        rs = bc.value
+
+        def probe(h):
+            if not isinstance(h, str) or not h:
+                return 0
+            parts = h.lower().split(".")
+            return int(any(".".join(parts[i:]) in rs
+                           for i in range(len(parts))))
+
+        return host.map(probe).astype("int32")
+
+    return candidates.withColumn("blocked", _blocked(F.col("host")))

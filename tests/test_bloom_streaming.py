@@ -205,3 +205,34 @@ def test_stream_host_health_stateful(spark):
         assert latest["trip_reason"] == "trailing_failures"
         # 100% error rate but n < min_fetches=100: rate rule stays quiet
         assert latest["n_errors"] == 5
+
+
+def test_stream_blocklist_gate(spark):
+    """Streaming candidates gate against the broadcast domain blocklist:
+    a listed domain blocks itself and every subdomain; others pass."""
+    from linkinator_spark.streaming.frontier_stream import (
+        stream_blocklist_gate,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        rows = [
+            ("http://ads.bad.test/x", "2024-01-01 00:00:00"),
+            ("http://bad.test/y", "2024-01-01 00:00:01"),
+            ("http://notbad.test/z", "2024-01-01 00:00:02"),
+            ("http://good.test/w", "2024-01-01 00:00:03"),
+        ]
+        df = spark.createDataFrame(rows, "url string, ts_s string").select(
+            "url", F.to_timestamp("ts_s").alias("ts"))
+        df.write.parquet(f"{d}/in")
+        rules = spark.createDataFrame([("bad.test",)], "domain string")
+        stream = stream_blocklist_gate(
+            stream_candidates(spark, f"{d}/in"), rules)
+        run_available_now(stream, f"{d}/ckpt")
+        out = {r["url"]: r["blocked"]
+               for r in spark.sql("select * from stream_out").collect()}
+        assert out == {
+            "http://ads.bad.test/x": 1,
+            "http://bad.test/y": 1,
+            "http://notbad.test/z": 0,  # suffix-set, not substring
+            "http://good.test/w": 0,
+        }
