@@ -609,6 +609,37 @@ def q_frontier_priority(spark, sf_dir):
     )
 
 
+def q_frontier_opic(spark, sf_dir):
+    """OPIC-driven frontier scheduling — the online counterpart of
+    frontier_priority: candidates rank by CURRENT OPIC cash (the mass
+    that arrived since each page's last visit — exactly the paper's
+    crawl-ordering signal) instead of a converged offline PageRank.
+    Same composition: integer micro-priority, skew-salted per-host
+    top-4 by descending cash, scale-safe global emission rank. Oracle:
+    unrolled-SQL OPIC + two window ranks."""
+    from linkinator_spark.operators.politeness import (
+        global_fifo_rank,
+        politeness_take,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    op = GR.opic(G.edges_df(docs), iters=5)
+    frontier = op.select(
+        F.concat(F.lit("http://site"), (F.col("node") % 20).cast("string"),
+                 F.lit(".example/p/"), F.col("node").cast("string"))
+        .alias("url"),
+        F.concat(F.lit("site"), (F.col("node") % 20).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.round(F.col("cash") * 1e6, 0).cast("long")
+        .alias("priority_micro"),
+    ).withColumn("_negp", -F.col("priority_micro"))
+    took = politeness_take(frontier, budget=4, order_cols=("_negp", "url"))
+    return (
+        global_fifo_rank(took, "_negp", "url", out_col="emit_rank")
+        .select("url", "host", "priority_micro", "host_rank", "emit_rank")
+    )
+
+
 def q_revisit_schedule(spark, sf_dir):
     """Freshness-driven recrawl scheduling (operators/revisit.py — Cho &
     Garcia-Molina change-rate estimation over the standing fetch history,
@@ -3073,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_trustrank": q_link_trustrank,
         "link_opic": q_link_opic,
         "crawl_coverage": q_crawl_coverage,
+        "frontier_opic": q_frontier_opic,
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "dedup_bloom_exact": q_dedup_bloom_exact,
@@ -3617,6 +3649,32 @@ def oracle_sql() -> dict[str, str]:
                        as host,
                      cast(round(pagerank * 1e6) as bigint) as priority_micro
               from pr
+            ),
+            t as (
+              select *, cast(row_number() over
+                       (partition by host
+                        order by -priority_micro, url) as integer)
+                       as host_rank
+              from f
+            ),
+            s as (select * from t where host_rank <= 4)
+            select url, host, priority_micro, host_rank,
+                   row_number() over (order by -priority_micro, url)
+                     as emit_rank
+            from s
+        """,
+        "frontier_opic": f"""
+            -- unrolled OPIC -> micro-priority -> per-host top-4 by
+            -- descending cash -> global emission rank
+            with op as ({GR.opic_oracle_sql(G.edges_sql(n_sf001),
+                                            iters=5)}),
+            f as (
+              select 'http://site' || cast(node % 20 as varchar)
+                       || '.example/p/' || cast(node as varchar) as url,
+                     'site' || cast(node % 20 as varchar) || '.example'
+                       as host,
+                     cast(round(cash * 1e6) as bigint) as priority_micro
+              from op
             ),
             t as (
               select *, cast(row_number() over
