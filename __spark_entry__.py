@@ -355,6 +355,37 @@ def q_link_opic(spark, sf_dir):
                      F.round("importance", 6).alias("importance"))
 
 
+_LICENSE_MARKERS = (
+    "",  # no marker -> 'none'
+    "Creativecommons.org/licenses/by-nc/4.0",
+    "creativecommons.org/licenses/by-sa/4.0 legalcode",
+    "CreativeCommons.org/licenses/by/4.0",
+    "Released under CC0 1.0 Universal",
+    "distributed under the MIT License",
+    "Apache License, Version 2.0",
+    "terms of the GNU General Public License",
+    "Copyright 2024. All Rights Reserved.",
+)
+
+
+def q_text_license(spark, sf_dir):
+    """Document license classification (functions/text.license_detect):
+    in-text marker detection over LICENSE_CLASSES with most-restrictive-
+    first CC precedence — the gate a license-aware corpus build filters
+    on. Every doc gets a deterministic marker appended (doc_id % 9, one
+    per class incl. none, mixed case) so the oracle exercises every
+    branch; pure contains() chain, single codegen projection, zero
+    regex."""
+    docs = _t(spark, sf_dir, "documents")
+    marker = F.element_at(
+        F.array(*[F.lit(m) for m in _LICENSE_MARKERS]),
+        (F.col("doc_id") % 9 + 1).cast("int"))
+    return docs.select(
+        "doc_id",
+        T.license_detect(F.concat(F.col("text"), F.lit(" "), marker))
+        .alias("license"))
+
+
 def q_crawl_coverage(spark, sf_dir):
     """Crawl-completeness estimation over link-discovery events
     (functions/graph.discovery_coverage): Good-Turing sample coverage
@@ -3105,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_opic": q_link_opic,
         "crawl_coverage": q_crawl_coverage,
         "frontier_opic": q_frontier_opic,
+        "text_license": q_text_license,
         "url_canonicalize": q_url_canonicalize,
         "frontier_dedup": q_frontier_dedup,
         "dedup_bloom_exact": q_dedup_bloom_exact,
@@ -4499,6 +4531,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_shared, 0) as n_shared,
                    coalesce(h.n_shared, 0) >= 2 as contaminated
             from train_docs d left join hits h using (doc_id)
+        """,
+        "text_license": f"""
+            -- shared LICENSE_CLASSES definition site: the marker array
+            -- and the contains-chain CASE both derive from text.py
+            with aug as (
+              select doc_id,
+                     concat(text, ' ', case doc_id % 9
+                       {" ".join(f"when {i} then '{m}'" for i, m in enumerate(_LICENSE_MARKERS))}
+                       end) as t2
+              from documents
+            )
+            select doc_id, {T.license_detect_sql("t2")} as license
+            from aug
         """,
         "text_pii": f"""
             with aug as (

@@ -255,3 +255,52 @@ def kgram_min_fingerprint(col: Column, k: int = 8) -> Column:
     rolling-hash document fingerprint (robust to small edits)."""
     norm = normalize_text(col)
     return F.array_min(F.transform(shingles(norm, k), lambda s: portable_hash64(s)))
+
+
+# ---------------------------------------------------------------- license
+
+# Substring markers per license class, matched on lowercased text with
+# plain `contains` (no regex at all — cheapest codegen predicate, and
+# trivially identical in Spark and DuckDB). Each class matches if ANY of
+# its markers occurs; classification picks the FIRST matching class in
+# LICENSE_CLASSES order (most-restrictive-variant-first within the CC
+# family, so "by-nc-sa" never misreads as plain "by").
+LICENSE_CLASSES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("cc-by-nc", ("creativecommons.org/licenses/by-nc", "cc by-nc")),
+    ("cc-by-sa", ("creativecommons.org/licenses/by-sa", "cc by-sa")),
+    ("cc-by", ("creativecommons.org/licenses/by", "cc by 4.0",
+               "cc by 3.0")),
+    ("cc0", ("creativecommons.org/publicdomain", "cc0 1.0",
+             "public domain dedication")),
+    ("mit", ("mit license", "licensed under the mit")),
+    ("apache", ("apache license",)),
+    ("gpl", ("gnu general public license", "gnu gpl")),
+    ("all-rights-reserved", ("all rights reserved",)),
+)
+
+
+def license_detect(col: Column) -> Column:
+    """Document license classification from in-text markers — the gate a
+    license-aware corpus build filters on (keep permissive, drop
+    NC/all-rights-reserved). Returns the first matching class name in
+    LICENSE_CLASSES order, or 'none'. One lower() + a chain of contains
+    ORs — a single whole-stage-codegen projection, zero regex."""
+    lowered = F.lower(col)
+    expr = F.lit("none")
+    for name, markers in reversed(LICENSE_CLASSES):
+        hit = F.lit(False)
+        for m in markers:
+            hit = hit | lowered.contains(m)
+        expr = F.when(hit, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def license_detect_sql(expr: str) -> str:
+    """DuckDB twin of :func:`license_detect` (shared definition site:
+    both engines walk LICENSE_CLASSES in order)."""
+    sql = "'none'"
+    for name, markers in reversed(LICENSE_CLASSES):
+        cond = " or ".join(
+            f"contains(lower({expr}), '{m}')" for m in markers)
+        sql = f"case when {cond} then '{name}' else {sql} end"
+    return sql

@@ -834,3 +834,32 @@ def test_incremental_near_dups_batch_vs_corpus(spark):
     assert all(n >= 100 for n, _ in pairs)          # no corpus self-pairs
     for r in got:
         assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_license_detect_classes_and_precedence(spark):
+    """Each class detects from its markers; CC precedence is
+    most-restrictive-first (by-nc-sa text classifies as by-nc, plain
+    /licenses/by never steals by-sa); matching is case-insensitive;
+    unmarked text is 'none'."""
+    from pyspark.sql import functions as F
+
+    from linkinator_spark.functions.text import license_detect
+
+    cases = [
+        ("See creativecommons.org/licenses/by-nc-sa/4.0", "cc-by-nc"),
+        ("under Creativecommons.org/licenses/by-sa/3.0", "cc-by-sa"),
+        ("CREATIVECOMMONS.ORG/LICENSES/BY/4.0", "cc-by"),
+        ("released as CC0 1.0", "cc0"),
+        ("The MIT License applies", "mit"),
+        ("Apache License, Version 2.0", "apache"),
+        ("GNU General Public License v3", "gpl"),
+        ("(c) 2024 All Rights Reserved", "all-rights-reserved"),
+        ("just some ordinary text", "none"),
+        # ARR boilerplate must not override an explicit CC grant
+        ("All rights reserved except as licensed under "
+         "creativecommons.org/licenses/by/4.0", "cc-by"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r.lic for r in
+           df.select(license_detect(F.col("t")).alias("lic")).collect()]
+    assert got == [want for _, want in cases]
