@@ -568,6 +568,41 @@ def q_politeness_schedule(spark, sf_dir):
     )
 
 
+def q_robots_wildcards(spark, sf_dir):
+    """RFC 9309 wildcard rule matching through the engine's
+    robots_filter (operators/robots.py): a '$'-anchored extension rule,
+    a mid-pattern '*' rule, and an Allow that ties a Disallow on raw
+    length (Allow must win). The oracle replays the same rules as
+    hand-compiled regexes + the length arithmetic, so the codegen
+    escape→wildcard-expand→regexp_like chain is value-checked against
+    DuckDB, not only against pytest."""
+    from linkinator_spark.operators.robots import robots_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    path = (
+        F.when(i % 6 == 0, F.concat(F.lit("/a/x"), i.cast("string"),
+                                    F.lit(".tmp")))
+        .when(i % 6 == 1, F.concat(F.lit("/a/x"), i.cast("string"),
+                                   F.lit(".tmpX")))
+        .when(i % 6 == 2, F.lit("/cal/2023/day"))
+        .when(i % 6 == 3, F.lit("/cal/2024/day"))
+        .when(i % 6 == 4, F.lit("/cal/2025/x"))
+        .otherwise(F.concat(F.lit("/plain/"), i.cast("string")))
+    )
+    frontier = docs.select(
+        F.concat(F.lit("http://w.example"), path).alias("url"),
+        F.lit("w.example").alias("host"))
+    rules = spark.createDataFrame(
+        [("w.example", ["/*.tmp$", "/cal/*/day"], ["/cal/2024*"], None)],
+        "host string, disallow array<string>, allow array<string>, "
+        "crawl_delay double")
+    allowed, disallowed = robots_filter(frontier, rules)
+    return (allowed.select("url", F.lit(True).alias("allowed"))
+            .unionByName(disallowed.select(
+                "url", F.lit(False).alias("allowed"))))
+
+
 def q_politeness_ip(spark, sf_dir):
     """Per-SERVER politeness: sibling subdomains resolve (deterministic
     DNS stand-in, operators/politeness.resolve_server_ips — bit-exact in
@@ -3145,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "politeness_schedule": q_politeness_schedule,
         "politeness_ip": q_politeness_ip,
+        "robots_wildcards": q_robots_wildcards,
         "host_delay_adaptive": q_host_delay_adaptive,
         "host_delay_maxwins": q_host_delay_maxwins,
         "redirect_resolve": q_redirect_resolve,
@@ -3999,6 +4035,38 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value * 10), 6) as not_before
             from events where event_type = 'error'
             group by 1
+        """,
+        "robots_wildcards": r"""
+            -- hand-compiled regex twins of the fixture's RFC 9309
+            -- rules: disallow ['/*.tmp$' len 7, '/cal/*/day' len 10],
+            -- allow ['/cal/2024*' len 10]; allowed = best_allow >=
+            -- best_disallow over raw-rule-length specificity
+            with f as (
+              select case
+                       when doc_id % 6 = 0
+                         then concat('/a/x', cast(doc_id as varchar),
+                                     '.tmp')
+                       when doc_id % 6 = 1
+                         then concat('/a/x', cast(doc_id as varchar),
+                                     '.tmpX')
+                       when doc_id % 6 = 2 then '/cal/2023/day'
+                       when doc_id % 6 = 3 then '/cal/2024/day'
+                       when doc_id % 6 = 4 then '/cal/2025/x'
+                       else concat('/plain/', cast(doc_id as varchar))
+                     end as path
+              from documents
+            )
+            select concat('http://w.example', path) as url,
+                   greatest(
+                     case when regexp_matches(path, '^/cal/2024')
+                          then 10 else -1 end
+                   ) >= greatest(
+                     case when regexp_matches(path, '^/.*\.tmp$')
+                          then 7 else -1 end,
+                     case when regexp_matches(path, '^/cal/.*/day')
+                          then 10 else -1 end
+                   ) as allowed
+            from f
         """,
         "host_delay_adaptive": PLT.adaptive_host_delay_sql(
             "select concat('h', cast(user_id % 10 as varchar)) as host, "
