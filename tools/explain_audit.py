@@ -239,6 +239,15 @@ def main() -> None:
         ("host_delay_adaptive",
          "AIMD delay (ONE map-side-combined groupBy(host); codegen "
          "higher-order fold over the per-host flag array)"),
+        ("robots_wildcards",
+         "RFC 9309 wildcard gate (per-rule patterns precomputed on "
+         "the broadcast dim; startswith fast path for plain prefixes)"),
+        ("text_license",
+         "license classification (single codegen contains() chain — "
+         "zero regex, zero shuffles)"),
+        ("frontier_opic",
+         "OPIC-cash scheduling (unrolled cash rounds; skew-salted "
+         "per-host top-K; range-partition emission rank)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
