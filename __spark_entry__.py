@@ -386,6 +386,32 @@ def q_text_license(spark, sf_dir):
         .alias("license"))
 
 
+def q_degree_powerlaw(spark, sf_dir):
+    """In-degree distribution + discrete power-law exponent (Clauset et
+    al. 2009 MLE, functions/graph.degree_powerlaw): the scale-free-shape
+    sanity check on a crawled graph — bot farms and traps distort the
+    tail long before samples show it. One map-side-combined groupBy +
+    one-row rollup; oracle recomputes the distribution and the log-sum
+    in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return GR.degree_powerlaw(G.edges_df(docs), kmin=2)
+
+
+def q_host_graph_stats(spark, sf_dir):
+    """Host-graph interlinking report (functions/graph.host_graph_stats):
+    page edges project onto hosts (node % 20 → site host, the frontier
+    fixture mapping); per host: in/out page-link counts, distinct peer
+    hosts both directions, integer insularity percentage. Two map-side-
+    combined host aggregates + one host-sized full join."""
+    docs = _t(spark, sf_dir, "documents")
+    e = G.edges_df(docs).select(
+        F.concat(F.lit("site"), (F.col("src") % 20).cast("string"))
+        .alias("src_host"),
+        F.concat(F.lit("site"), (F.col("dst") % 20).cast("string"))
+        .alias("dst_host"))
+    return GR.host_graph_stats(e)
+
+
 def q_crawl_coverage(spark, sf_dir):
     """Crawl-completeness estimation over link-discovery events
     (functions/graph.discovery_coverage): Good-Turing sample coverage
@@ -3170,6 +3196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_trustrank": q_link_trustrank,
         "link_opic": q_link_opic,
         "crawl_coverage": q_crawl_coverage,
+        "degree_powerlaw": q_degree_powerlaw,
+        "host_graph_stats": q_host_graph_stats,
         "frontier_opic": q_frontier_opic,
         "text_license": q_text_license,
         "url_canonicalize": q_url_canonicalize,
@@ -3703,6 +3731,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_coverage": GR.discovery_coverage_oracle_sql(
             G.edges_sql(n_sf001)),
+        "degree_powerlaw": GR.degree_powerlaw_oracle_sql(
+            G.edges_sql(n_sf001), kmin=2),
+        "host_graph_stats": GR.host_graph_stats_oracle_sql(
+            f"""select concat('site', cast(src % 20 as varchar))
+                         as src_host,
+                       concat('site', cast(dst % 20 as varchar))
+                         as dst_host
+                from {G.edges_sql(n_sf001)}"""),
         "frontier_priority": f"""
             -- unrolled PageRank -> micro-priority -> per-host top-4 by
             -- descending priority -> global emission rank

@@ -752,3 +752,146 @@ def discovery_coverage_oracle_sql(edges_rel: str) -> str:
                round(1.0 - f1 / n_events, 6) as coverage
         from agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution + power-law fit
+# ---------------------------------------------------------------------------
+
+def degree_powerlaw(
+    edges: DataFrame, kmin: int = 1,
+    src_col: str = "src", dst_col: str = "dst",
+) -> DataFrame:
+    """One-row in-degree distribution report with the discrete power-law
+    exponent estimate — the standard sanity check that a crawled web
+    graph has the expected scale-free shape (alpha ~ 2.1 for the web's
+    in-degree; a bot-farm or trap-heavy crawl shows up as a distorted
+    tail long before eyeballing samples would catch it).
+
+    alpha uses the continuous MLE approximation (Clauset, Shalizi &
+    Newman 2009, eq. 3.1): alpha = 1 + n / sum(ln(k / (kmin - 1/2)))
+    over nodes with in-degree k >= kmin.
+
+    Output: (n_nodes, n_tail, kmin, max_k, mean_k, alpha) — counts
+    exact, mean/alpha rounded to 6dp.
+
+    Scale shape: one map-side-combined groupBy(dst) then a one-row
+    rollup (sum/count/max partial-combine); the log arithmetic is
+    whole-stage codegen. No windows, no joins, no driver state.
+    """
+    deg = (edges.groupBy(F.col(dst_col).alias("u"))
+           .agg(F.count(F.lit(1)).alias("k")))
+    tail = F.when(F.col("k") >= kmin, F.log(F.col("k") / (kmin - 0.5)))
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.when(F.col("k") >= kmin, 1).otherwise(0))
+        .cast("long").alias("n_tail"),
+        F.lit(kmin).cast("long").alias("kmin"),
+        F.max("k").cast("long").alias("max_k"),
+        F.round(F.avg("k"), 6).alias("mean_k"),
+        F.round(
+            1.0
+            + F.sum(F.when(F.col("k") >= kmin, 1).otherwise(0))
+            / F.sum(tail), 6).alias("alpha"),
+    )
+
+
+def degree_powerlaw_oracle_sql(edges_rel: str, kmin: int = 1) -> str:
+    """DuckDB twin of :func:`degree_powerlaw`."""
+    return f"""
+        with deg as (
+          select dst as u, count(*) as k from ({edges_rel}) group by dst
+        )
+        select cast(count(*) as bigint) as n_nodes,
+               cast(sum(case when k >= {kmin} then 1 else 0 end)
+                    as bigint) as n_tail,
+               cast({kmin} as bigint) as kmin,
+               cast(max(k) as bigint) as max_k,
+               round(avg(k), 6) as mean_k,
+               round(1.0 + sum(case when k >= {kmin} then 1 else 0 end)
+                     / sum(case when k >= {kmin}
+                                then ln(k / ({kmin} - 0.5)) end), 6)
+                 as alpha
+        from deg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Host-graph projection (interlinking report)
+# ---------------------------------------------------------------------------
+
+def host_graph_stats(
+    edges: DataFrame,
+    src_host_col: str = "src_host", dst_host_col: str = "dst_host",
+) -> DataFrame:
+    """Project the page-level edge table onto hosts and report each
+    host's interlinking profile:
+
+      (host, out_links, in_links, n_dst_hosts, n_src_hosts,
+       internal_pct)
+
+    — out_links/in_links count page edges leaving/entering the host,
+    n_dst_hosts/n_src_hosts count distinct peer hosts, internal_pct is
+    the integer percentage of the host's outgoing edges that stay on
+    the host (site insularity: ~100 = self-contained silo, ~0 = pure
+    link hub). The inputs to crawl budgeting (allocate fetches toward
+    hosts that many OTHER hosts point into) and mirror/spam triage.
+
+    Scale shape: two map-side-combined aggregates keyed on host (the
+    out side and the in side), one equi-join between two host-sized
+    tables (broadcastable). Exact count_distincts ride the expand; the
+    HLL sketches are the documented downgrade path if peer-host
+    cardinality ever dominates.
+    """
+    sh, dh = F.col(src_host_col), F.col(dst_host_col)
+    out = edges.groupBy(sh.alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_links"),
+        F.countDistinct(dh).cast("long").alias("n_dst_hosts"),
+        F.floor(
+            F.sum(F.when(dh == sh, 1).otherwise(0)) * 100
+            / F.count(F.lit(1))).cast("long").alias("internal_pct"),
+    )
+    inn = edges.groupBy(dh.alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_links"),
+        F.countDistinct(sh).cast("long").alias("n_src_hosts"),
+    )
+    return (out.join(inn, "host", "full")
+            .select("host",
+                    F.coalesce("out_links", F.lit(0)).alias("out_links"),
+                    F.coalesce("in_links", F.lit(0)).alias("in_links"),
+                    F.coalesce("n_dst_hosts", F.lit(0))
+                    .alias("n_dst_hosts"),
+                    F.coalesce("n_src_hosts", F.lit(0))
+                    .alias("n_src_hosts"),
+                    F.coalesce("internal_pct", F.lit(0))
+                    .alias("internal_pct")))
+
+
+def host_graph_stats_oracle_sql(edges_rel: str) -> str:
+    """DuckDB twin of :func:`host_graph_stats`: `edges_rel` yields
+    (src_host, dst_host)."""
+    return f"""
+        with e as (select src_host, dst_host from ({edges_rel})),
+        o as (
+          select src_host as host,
+                 cast(count(*) as bigint) as out_links,
+                 cast(count(distinct dst_host) as bigint) as n_dst_hosts,
+                 cast(floor(sum(case when dst_host = src_host then 1
+                                     else 0 end) * 100 / count(*))
+                      as bigint) as internal_pct
+          from e group by src_host
+        ),
+        i as (
+          select dst_host as host,
+                 cast(count(*) as bigint) as in_links,
+                 cast(count(distinct src_host) as bigint) as n_src_hosts
+          from e group by dst_host
+        )
+        select coalesce(o.host, i.host) as host,
+               coalesce(out_links, 0) as out_links,
+               coalesce(in_links, 0) as in_links,
+               coalesce(n_dst_hosts, 0) as n_dst_hosts,
+               coalesce(n_src_hosts, 0) as n_src_hosts,
+               coalesce(internal_pct, 0) as internal_pct
+        from o full outer join i on o.host = i.host
+    """

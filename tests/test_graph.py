@@ -198,3 +198,37 @@ def test_discovery_coverage_saturated(spark):
         [(0, 10), (1, 10), (0, 11), (1, 11)], "src long, dst long")
     r = discovery_coverage(edges).collect()[0]
     assert r.f1 == 0 and r.coverage == 1.0 and r.chao1 == float(r.s_obs)
+
+
+def test_degree_powerlaw_hand_computed(spark):
+    """in-degrees {10:1, 11:2, 12:3}, kmin=2 -> tail {2,3},
+    alpha = 1 + 2/(ln(2/1.5)+ln(3/1.5))."""
+    import math
+
+    from linkinator_spark.functions.graph import degree_powerlaw
+
+    edges = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 11), (0, 12), (1, 12), (2, 12)],
+        "src long, dst long")
+    r = degree_powerlaw(edges, kmin=2).collect()[0]
+    assert (r.n_nodes, r.n_tail, r.max_k) == (3, 2, 3)
+    assert r.mean_k == pytest.approx(2.0)
+    want = 1 + 2 / (math.log(2 / 1.5) + math.log(3 / 1.5))
+    assert r.alpha == pytest.approx(round(want, 6))
+
+
+def test_host_graph_stats_profile(spark):
+    """Insular host a (2/3 internal), hub b (all external), pure-sink
+    host c (in only, zeroed out-side)."""
+    from linkinator_spark.functions.graph import host_graph_stats
+
+    edges = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"),
+         ("b", "c"), ("b", "a")],
+        "src_host string, dst_host string")
+    out = {r.host: r for r in host_graph_stats(edges).collect()}
+    assert out["a"].out_links == 3 and out["a"].internal_pct == 66
+    assert out["a"].n_dst_hosts == 2
+    assert out["b"].internal_pct == 0 and out["b"].n_dst_hosts == 2
+    assert out["c"].out_links == 0 and out["c"].in_links == 1
+    assert out["c"].n_src_hosts == 1 and out["c"].internal_pct == 0
