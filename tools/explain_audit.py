@@ -248,6 +248,12 @@ def main() -> None:
         ("frontier_opic",
          "OPIC-cash scheduling (unrolled cash rounds; skew-salted "
          "per-host top-K; range-partition emission rank)"),
+        ("degree_powerlaw",
+         "power-law fit (one map-side-combined groupBy + one-row "
+         "rollup; codegen log-sum)"),
+        ("host_graph_stats",
+         "host interlinking report (two host aggregates + one "
+         "host-sized full join)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
