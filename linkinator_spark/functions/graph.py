@@ -720,11 +720,17 @@ def discovery_coverage(
                    F.lit(0)).cast("long").alias("f2"),
     ).select(
         "s_obs", "n_events", "f1", "f2",
+        # f1 is cast to double before the multiply: f1*(f1-1) overflows
+        # int64 once singletons exceed ~3e9 — reachable at the 10^10-
+        # event scale this operator targets
         F.round(F.col("s_obs")
-                + (F.col("f1") * (F.col("f1") - 1))
+                + (F.col("f1").cast("double") * (F.col("f1") - 1))
                 / (2.0 * (F.col("f2") + 1)), 6).alias("chao1"),
-        F.round((F.col("f1") * (F.col("f1") - 1))
-                / (2.0 * (F.col("f2") + 1)), 6).alias("est_unseen"),
+        # + 0.0 normalizes IEEE negative zero (f1 = 0 gives 0.0 * -1 =
+        # -0.0, which DuckDB would print as -0.0 and break hash parity)
+        F.round((F.col("f1").cast("double") * (F.col("f1") - 1))
+                / (2.0 * (F.col("f2") + 1)) + 0.0, 6)
+        .alias("est_unseen"),
         F.round(1.0 - F.col("f1") / F.col("n_events"), 6).alias("coverage"),
     )
 
@@ -746,9 +752,10 @@ def discovery_coverage_oracle_sql(edges_rel: str) -> str:
           from spectrum
         )
         select s_obs, n_events, f1, f2,
-               round(s_obs + (f1 * (f1 - 1)) / (2.0 * (f2 + 1)), 6)
+               round(s_obs + (f1::DOUBLE * (f1 - 1)) / (2.0 * (f2 + 1)), 6)
                  as chao1,
-               round((f1 * (f1 - 1)) / (2.0 * (f2 + 1)), 6) as est_unseen,
+               round((f1::DOUBLE * (f1 - 1)) / (2.0 * (f2 + 1)) + 0.0, 6)
+                 as est_unseen,
                round(1.0 - f1 / n_events, 6) as coverage
         from agg
     """

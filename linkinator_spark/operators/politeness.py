@@ -247,12 +247,16 @@ def registrable_domain(host: "F.Column") -> "F.Column":
     good enough to group sibling subdomains, which is what per-server
     politeness needs (a real PSL table would slot in as a broadcast dim
     join without changing the shape)."""
-    ext = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    # fall back to the raw host whenever the extract misses (single-label
-    # hosts, trailing-dot FQDNs like 'a.test.', empty labels): mapping
-    # every miss to '' would collapse unrelated hosts onto ONE synthetic
-    # server ip — and one shared politeness budget
-    return F.when(ext != "", ext).otherwise(host)
+    # strip a trailing root-label dot first: 'a.example.com.' must group
+    # with 'b.example.com' (an FQDN-spelling farm would otherwise get a
+    # budget per subdomain)
+    host_nd = F.regexp_replace(host, r"\.$", "")
+    ext = F.regexp_extract(host_nd, r"([^.]+\.[^.]+)$", 1)
+    # fall back to the (dot-stripped) host whenever the extract misses
+    # (single-label hosts, empty labels): mapping every miss to ''
+    # would collapse unrelated hosts onto ONE synthetic server ip — and
+    # one shared politeness budget
+    return F.when(ext != "", ext).otherwise(host_nd)
 
 
 def resolve_server_ips(
@@ -287,10 +291,11 @@ def server_ip_sql(host_expr: str) -> str:
     """DuckDB twin of `resolve_server_ips`' ip column."""
     from linkinator_spark.functions.text import portable_hash64_sql
 
-    rdom = (f"case when regexp_extract({host_expr}, "
+    nd = f"regexp_replace({host_expr}, '\\.$', '')"
+    rdom = (f"case when regexp_extract({nd}, "
             f"'([^.]+\\.[^.]+)$', 1) <> '' then "
-            f"regexp_extract({host_expr}, '([^.]+\\.[^.]+)$', 1) "
-            f"else {host_expr} end")
+            f"regexp_extract({nd}, '([^.]+\\.[^.]+)$', 1) "
+            f"else {nd} end")
     h = portable_hash64_sql(rdom, prefix="dns:")
     v = f"(({h}) % 16777216)"
     return (f"concat('10.', cast(cast(floor({v} / 65536) as int) as varchar),"

@@ -116,14 +116,16 @@ def test_registrable_domain_single_label_passthrough(spark):
     from linkinator_spark.operators.politeness import registrable_domain
 
     df = spark.createDataFrame(
-        [("localhost",), ("a.b.c.example.org",), ("a.test.",),
-         ("b.example.",)], "host string")
+        [("localhost",), ("a.b.c.example.org",), ("a.example.org.",),
+         ("localhost.",), ("weird..",)], "host string")
     out = [r.d for r in
            df.select(registrable_domain(F.col("host")).alias("d"))
            .orderBy("host").collect()]
-    # misses (single label, trailing-dot FQDNs) pass through RAW — never
+    # trailing root-label dots strip (FQDN spellings group with their
+    # non-FQDN siblings); residual misses pass through non-empty — never
     # collapsing distinct hosts onto '' (one shared server ip)
-    assert out == ["example.org", "a.test.", "b.example.", "localhost"]
+    assert out == ["example.org", "example.org", "localhost",
+                   "localhost", "weird."]
 
 
 # ---------------------------------------------------------------- AIMD
