@@ -1199,8 +1199,12 @@ def q_span_anchors(spark, sf_dir):
     )
     out = pages.mapInPandas(
         EX.make_anchors_udf(markdown=True), EX.ANCHORS_SCHEMA)
+    # Driver-facing outputs must be atomic (the harness hashes cells via
+    # pandas, which cannot hash list cells) — join the sorted anchor set
+    # into one scalar string.
     return out.select(
-        "page_url", "anchors",
+        "page_url",
+        F.array_join(F.sort_array("anchors"), "|").alias("anchors"),
         F.size("anchors").alias("n_anchors"),
         F.md5("body_text").alias("body_md5"))
 
@@ -4264,10 +4268,11 @@ def oracle_sql() -> dict[str, str]:
                        || ' Overview!' as md
               from documents)
             select page_url,
-                   list_sort(['top',
-                              'intro' || cast(doc_id % 5 as varchar),
-                              'section-' || cast(doc_id % 7 as varchar)
-                                || '-overview']) as anchors,
+                   array_to_string(
+                     list_sort(['top',
+                                'intro' || cast(doc_id % 5 as varchar),
+                                'section-' || cast(doc_id % 7 as varchar)
+                                  || '-overview']), '|') as anchors,
                    3 as n_anchors,
                    md5(h || md) as body_md5
             from base

@@ -47,6 +47,16 @@ def duck():
     return con
 
 
+def _assert_atomic_schema(name, sdf):
+    """Driver-gate guard: the correctness harness hashes cells via pandas,
+    which cannot hash list/map/struct cells — every driver-facing query
+    must project only atomic columns (see round-4 span_anchors failure)."""
+    from pyspark.sql import types as T
+    bad = [f.name for f in sdf.schema.fields
+           if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+    assert not bad, f"{name}: non-atomic output columns {bad}"
+
+
 ORACLES = entrymod.oracle_sql()
 QUERIES = entrymod.queries()
 CHECKED = sorted(set(QUERIES) & set(ORACLES))
@@ -56,6 +66,7 @@ UNCHECKED = sorted(set(QUERIES) - set(ORACLES))
 @pytest.mark.parametrize("name", CHECKED)
 def test_query_matches_oracle(spark, duck, name):
     sdf = QUERIES[name](spark, SF_DIR)
+    _assert_atomic_schema(name, sdf)
     spark_rows = [r.asDict() for r in sdf.collect()]
     cols = sdf.columns
 
@@ -79,6 +90,7 @@ def test_query_matches_oracle(spark, duck, name):
 @pytest.mark.parametrize("name", UNCHECKED)
 def test_uncheckable_query_runs(spark, name):
     sdf = QUERIES[name](spark, SF_DIR)
+    _assert_atomic_schema(name, sdf)
     assert sdf.count() >= 0
 
 
