@@ -267,6 +267,9 @@ def kgram_min_fingerprint(col: Column, k: int = 8) -> Column:
 # family, so "by-nc-sa" never misreads as plain "by").
 LICENSE_CLASSES: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("cc-by-nc", ("creativecommons.org/licenses/by-nc", "cc by-nc")),
+    # by-nd must precede the generic cc-by markers: a no-derivatives URL
+    # contains "licenses/by" and would otherwise classify as permissive
+    ("cc-by-nd", ("creativecommons.org/licenses/by-nd", "cc by-nd")),
     ("cc-by-sa", ("creativecommons.org/licenses/by-sa", "cc by-sa")),
     ("cc-by", ("creativecommons.org/licenses/by", "cc by 4.0",
                "cc by 3.0")),

@@ -78,13 +78,27 @@ def parse_robots_txt(body: str, user_agent: str = "*") -> dict:
     return {"disallow": [], "allow": [], "crawl_delay": None}
 
 
+# robots.txt bodies are untrusted input and each '*' compiles to a '.*'
+# regex group; a hostile rule with many wildcards drives polynomial
+# backtracking in re.match / regexp_like executor tasks. RFC 9309 lets a
+# parser impose limits, so: consecutive '*' runs collapse (semantically
+# identical), and rules still over the wildcard cap fall back to matching
+# the literal prefix before the first '*' (a superset match — safe for
+# Disallow, and an over-limit rule is adversarial, not policy).
+_MAX_WILDCARDS = 16
+
+
 @lru_cache(maxsize=4096)
 def _rule_regex(rule: str) -> str:
     """RFC 9309 §2.2.3 rule -> anchored regex: '*' matches any char run,
     a trailing '$' anchors at end-of-path; all else is literal. Memoized:
-    the fused gear calls this per (row, rule) and rulesets repeat."""
+    the fused gear calls this per (row, rule) and rulesets repeat.
+    Complexity-bounded per _MAX_WILDCARDS (see above)."""
     anchored = rule.endswith("$")
     body = rule[:-1] if anchored else rule
+    body = re.sub(r"\*+", "*", body)
+    if body.count("*") > _MAX_WILDCARDS:
+        return "^" + re.escape(body.split("*", 1)[0])
     pat = ".*".join(re.escape(p) for p in body.split("*"))
     return "^" + pat + ("$" if anchored else "")
 
@@ -148,16 +162,26 @@ def _rule_structs(rules_col):
     _rule_regex: trailing '$' anchors, '*' -> '.*', else literal."""
     def one(r):
         anchored = r.endswith("$")
-        wild = r.contains("*") | anchored
         body = F.when(anchored, F.substr(r, F.lit(1), F.length(r) - 1)
                       ).otherwise(r)
+        # JVM twin of _rule_regex's complexity bound: collapse '*' runs,
+        # and over-cap rules degrade to a plain prefix match on the text
+        # before the first '*' (untrusted robots bodies must not compile
+        # to backtracking-heavy '.*'-chained regexes)
+        body = F.regexp_replace(body, F.lit(r"\*+"), F.lit("*"))
+        nstars = F.length(body) - F.length(
+            F.regexp_replace(body, F.lit(r"\*"), F.lit("")))
+        over = nstars > _MAX_WILDCARDS
+        wild = (r.contains("*") | anchored) & ~over
         escaped = F.regexp_replace(
             body, F.lit(r"([.\[\]{}()+?^$|\\])"), F.lit(r"\\$1"))
         rex = F.concat(F.lit("^"),
                        F.regexp_replace(escaped, F.lit(r"\*"), F.lit(".*")),
                        F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+        prefix = F.substring_index(body, "*", 1)
         return F.struct(wild.alias("wild"),
-                        F.when(wild, rex).otherwise(r).alias("pat"),
+                        F.when(wild, rex)
+                        .when(over, prefix).otherwise(r).alias("pat"),
                         F.length(r).alias("len"))
 
     return F.transform(rules_col, one)

@@ -70,3 +70,56 @@ def test_jvm_filter_matches_python_matcher(spark):
         for p in paths:
             url = f"http://{h}.test{p}"
             assert got[url] is robots_allowed(p, d, a), (h, p, d, a)
+
+
+def test_hostile_wildcard_rules_bounded():
+    """Untrusted robots rules with many '*'s must not compile to
+    backtracking-heavy regexes: consecutive runs collapse (semantics
+    unchanged), and over-cap rules degrade to a literal-prefix match
+    that still evaluates in microseconds."""
+    import time
+
+    from linkinator_spark.operators.robots import _rule_regex, robots_allowed
+
+    # collapsed runs keep wildcard semantics
+    assert _rule_regex("/a***b") == _rule_regex("/a*b")
+    assert robots_allowed("/aXXb", ["/a***b"], []) is False
+    assert robots_allowed("/c", ["/a***b"], []) is True
+
+    # 100 interleaved wildcards: over the cap -> prefix fallback, and the
+    # non-matching probe (worst backtracking case) returns immediately
+    hostile = "/p" + "*x" * 100 + "$"
+    path = "/p" + "x" * 300 + "y"
+    t0 = time.time()
+    for _ in range(50):
+        robots_allowed(path, [hostile], [])
+    assert time.time() - t0 < 1.0
+    assert _rule_regex(hostile) == "^/p"  # prefix of text before first '*'
+    assert robots_allowed("/px", [hostile], []) is False
+    assert robots_allowed("/q", [hostile], []) is True
+
+
+def test_jvm_hostile_rules_match_python(spark):
+    """The JVM rule-struct path applies the same collapse + prefix-fallback
+    bound as _rule_regex."""
+    from linkinator_spark.operators.robots import robots_allowed, robots_filter
+
+    hostile = "/p" + "*x" * 100
+    rulesets = {
+        "h0": (["/a***b"], []),
+        "h1": ([hostile], []),
+    }
+    paths = ["/aXXb", "/ab", "/c", "/px", "/p", "/q"]
+    frontier = spark.createDataFrame(
+        [(h, f"http://{h}.test{p}") for h in rulesets for p in paths],
+        "host string, url string")
+    rules = spark.createDataFrame(
+        [(h, d, a, None) for h, (d, a) in rulesets.items()],
+        "host string, disallow array<string>, allow array<string>, "
+        "crawl_delay double")
+    allowed, disallowed = robots_filter(frontier, rules)
+    got = {r.url: True for r in allowed.collect()}
+    got.update({r.url: False for r in disallowed.collect()})
+    for h, (d, a) in rulesets.items():
+        for p in paths:
+            assert got[f"http://{h}.test{p}"] is robots_allowed(p, d, a), (h, p)

@@ -848,6 +848,11 @@ def test_license_detect_classes_and_precedence(spark):
     cases = [
         ("See creativecommons.org/licenses/by-nc-sa/4.0", "cc-by-nc"),
         ("under Creativecommons.org/licenses/by-sa/3.0", "cc-by-sa"),
+        # no-derivatives must NOT classify as permissive cc-by (its URL
+        # contains the generic /licenses/by prefix)
+        ("see creativecommons.org/licenses/by-nd/4.0", "cc-by-nd"),
+        ("shared CC BY-ND 3.0", "cc-by-nd"),
+        ("restricted CC BY-NC-ND 4.0 terms", "cc-by-nc"),
         ("CREATIVECOMMONS.ORG/LICENSES/BY/4.0", "cc-by"),
         ("released as CC0 1.0", "cc0"),
         ("The MIT License applies", "mit"),
