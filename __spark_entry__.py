@@ -981,7 +981,11 @@ def q_inverted_index(spark, sf_dir):
     min_df=2 exercises the hapax pruning."""
     from linkinator_spark.functions.search import inverted_index
 
-    return inverted_index(_t(spark, sf_dir, "documents"), min_df=2)
+    out = inverted_index(_t(spark, sf_dir, "documents"), min_df=2)
+    # driver-facing outputs must be atomic (pandas hashers cannot hash
+    # list cells): join the already-sorted posting list into one string
+    return out.select("term", "df", "total_tf",
+                      F.array_join("postings", ",").alias("postings"))
 
 
 def q_host_delay_maxwins(spark, sf_dir):
@@ -2779,7 +2783,13 @@ def q_kmeans_train(spark, sf_dir):
     partial-combined aggregate; driver traffic is the k*dim-long
     codebook only."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.kmeans_train(emb, n_lists=8, iters=2)
+    out = S.kmeans_train(emb, n_lists=8, iters=2)
+    # atomic projection of the codebook for the driver's hash harness
+    return out.select(
+        "list_id",
+        F.array_join(
+            F.transform("centroid_micro", lambda x: x.cast("string")), ","
+        ).alias("centroid_micro"))
 
 
 def q_lm_score(spark, sf_dir):
@@ -3930,7 +3940,7 @@ def oracle_sql() -> dict[str, str]:
             )
             select term, cast(count(*) as bigint) as df,
                    cast(sum(tf) as bigint) as total_tf,
-                   list_sort(list(e)) as postings
+                   array_to_string(list_sort(list(e)), ',') as postings
             from per_doc group by term
             having count(*) >= 2
         """,
@@ -5120,7 +5130,10 @@ def oracle_sql() -> dict[str, str]:
             select query_id, neighbor_id, cast(rank as int) as rank
             from ranked where rank <= {TOPK}
         """,
-        "kmeans_train": S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64),
+        "kmeans_train": (
+            "select list_id, array_to_string(centroid_micro, ',')"
+            " as centroid_micro from ("
+            + S.kmeans_oracle_sql(n_lists=8, iters=2, dim=64) + ")"),
         "bpe_train": TOK_MOD.bpe_train_oracle_sql(12),
         "link_spam": f"""
             with base as (
