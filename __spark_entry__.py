@@ -36,6 +36,7 @@ from linkinator_spark.functions import search as SRCH  # noqa: E402
 from linkinator_spark.functions import sketches as SK  # noqa: E402
 from linkinator_spark.functions import similarity as S  # noqa: E402
 from linkinator_spark.functions import text as T  # noqa: E402
+from linkinator_spark.functions import tokenize as TOK  # noqa: E402
 from linkinator_spark.functions import traps as TRM  # noqa: E402
 from linkinator_spark.functions import vectorize as VZ  # noqa: E402
 from linkinator_spark.operators.classify import classify  # noqa: E402
@@ -1593,10 +1594,11 @@ def q_doc_pack_bpe(spark, sf_dir):
     doc_pack, but budgets by greedy vendored-merge BPE counts instead of
     whitespace counts — the real-pipeline configuration, where rare-word
     heavy docs consume more shard budget than their word count suggests.
-    BPE is not SQL-expressible, so this entry is rows-only checked; the
-    tokenizer semantics and the 2x-inflation packing law are pinned in
-    pytest (test_text_dedup), and the pack layout itself is hash-checked
-    via the whitespace doc_pack oracle."""
+    Value-checked since round 5: the greedy lowest-rank-first apply loop
+    replays in pure SQL as a rank-ordered replace() chain over
+    delimiter-wrapped symbols (tokenize.bpe_word_tokens_sql — valid
+    because DEFAULT_MERGES' product strings are unique, so a merged pair
+    never reappears after its own pass)."""
     from linkinator_spark.functions import sampling as SMP
     from linkinator_spark.functions import tokenize as TOK
 
@@ -4518,6 +4520,25 @@ def oracle_sql() -> dict[str, str]:
                        as tok,
                      {_hash_sql("cast(doc_id as varchar)", "pack:")} as h
               from documents),
+            b as (select id, tok, h, h % 8 as bucket from keyed),
+            c as (select id, bucket, tok,
+                         sum(tok) over (partition by bucket
+                                        order by h, id) as cum
+                  from b)
+            select id, bucket,
+                   cast(floor((cum - tok) / 512) as bigint) as shard_seq,
+                   bucket * 281474976710656
+                     + cast(floor((cum - tok) / 512) as bigint) as shard_id
+            from c
+        """,
+        "doc_pack_bpe": f"""
+            -- doc_pack's hash-deal layout, budgeted by the SQL replay of
+            -- the greedy BPE apply loop (tokenize.bpe_word_tokens_sql)
+            with bpe as ({TOK.bpe_token_count_sql()}),
+            keyed as (
+              select doc_id as id, n_tokens as tok,
+                     {_hash_sql("cast(doc_id as varchar)", "pack:")} as h
+              from bpe),
             b as (select id, tok, h, h % 8 as bucket from keyed),
             c as (select id, bucket, tok,
                          sum(tok) over (partition by bucket

@@ -100,6 +100,66 @@ def bpe_token_count(col: Column, merges=DEFAULT_MERGES) -> Column:
     return bpe_token_count_udf(merges)(col)
 
 
+def bpe_word_tokens_sql(word_expr: str, merges=DEFAULT_MERGES) -> str:
+    """DuckDB scalar twin of :func:`bpe_word_tokens`: a rank-ordered
+    chain of plain `replace()` calls over a delimiter-wrapped symbol
+    string (chr(1) + symbol + chr(2) per symbol, so a merge pattern can
+    never match across a symbol boundary or consume the next symbol's
+    delimiter).
+
+    Equivalence to the greedy lowest-rank-first loop: in a valid merge
+    table every compound symbol is created at exactly one rank, so a
+    pair's elements both exist before its rank and the pair can never
+    REAPPEAR after its own replace pass (a later merge's product would
+    have to equal one of the elements — impossible when product strings
+    are unique, asserted below). Replaying merges rank-by-rank,
+    all-occurrences-left-to-right therefore reaches the same final
+    segmentation as merging one lowest-rank occurrence at a time — the
+    standard fast-BPE replay. Returns an expression: the wrapped symbol
+    string after all merges; count tokens with
+    `strlen(x) - strlen(replace(x, chr(1), ''))`."""
+    products = [left + right for left, right in merges]
+    assert len(set(products)) == len(products), (
+        "rank-by-rank replay requires unique merge products")
+    assert all(s.isalnum() for p in merges for s in p), (
+        "symbols must not contain SQL quotes/delimiters")
+
+    def sym(s: str) -> str:
+        return f"chr(1)||'{s}'||chr(2)"
+
+    expr = f"regexp_replace({word_expr}, '(.)', chr(1) || '\\1' || chr(2), 'g')"
+    for left, right in merges:
+        expr = (f"replace({expr}, {sym(left)}||{sym(right)}, "
+                f"{sym(left + right)})")
+    return expr
+
+
+def bpe_token_count_sql(docs_table: str = "documents",
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        merges=DEFAULT_MERGES) -> str:
+    """Per-document DuckDB twin of :func:`bpe_token_count`: whitespace
+    pre-split (the UDF's text.lower().split()), per-word merge replay
+    (bpe_word_tokens_sql), counts summed per document; wordless/null
+    docs count 0 exactly like the UDF. Yields ({id_col}, n_tokens)."""
+    merged = bpe_word_tokens_sql("w", merges)
+    return f"""
+        with _bpe_words as (
+          select {id_col},
+                 unnest(regexp_extract_all(lower({text_col}), '\\S+')) as w
+          from {docs_table}),
+        _bpe_m as (select {id_col}, {merged} as m from _bpe_words),
+        _bpe_cnt as (
+          select {id_col},
+                 sum(strlen(m) - strlen(replace(m, chr(1), ''))) as n
+          from _bpe_m group by {id_col})
+        select d.{id_col},
+               cast(coalesce(c.n, 0) as bigint) as n_tokens
+        from {docs_table} d
+        left join _bpe_cnt c using ({id_col})
+    """
+
+
 # ---------------------------------------------------------------------------
 # BPE TRAINING — learn the merge table from the corpus (Sennrich et al.
 # 2016 §3.2). The vendored DEFAULT_MERGES above is the *apply* side's

@@ -110,3 +110,33 @@ def test_exhausted_pairs_stop_early(spark):
     merges, vocab = TK.bpe_train(TK.word_vocab(tiny), n_merges=10)
     assert merges.count() == 1  # only (a,b) exists; loop stops when dry
     assert [list(r["sym"]) for r in vocab.collect()] == [["ab"]]
+
+
+def test_bpe_word_tokens_sql_matches_python_loop():
+    """The rank-ordered replace() chain (bpe_word_tokens_sql) replays the
+    greedy lowest-rank-first merge loop exactly — fuzzed over adversarial
+    words (adjacent repeats, punctuation, digits, empty) plus 2000 random
+    words drawn from the merge alphabet."""
+    import random
+
+    import duckdb
+
+    from linkinator_spark.functions.tokenize import (
+        DEFAULT_MERGES, bpe_word_tokens, bpe_word_tokens_sql)
+
+    ranks = {p: i for i, p in enumerate(DEFAULT_MERGES)}
+    rng = random.Random(7)
+    words = ["the", "thing", "international", "aaa", "aaaa", "x", "",
+             "station", "conditioning", "a1b2", "don't", "th-e", "prothe"]
+    words += ["".join(rng.choice("theinorastx")
+                      for _ in range(rng.randint(1, 12)))
+              for _ in range(2000)]
+    con = duckdb.connect()
+    con.execute("create table t(w varchar)")
+    con.executemany("insert into t values (?)", [(w,) for w in words])
+    got = con.execute(
+        f"select w, strlen(x) - strlen(replace(x, chr(1), '')) from "
+        f"(select w, {bpe_word_tokens_sql('w')} as x from t)").fetchall()
+    assert len(got) == len(words)
+    for w, n in got:
+        assert n == bpe_word_tokens(w, ranks), w
