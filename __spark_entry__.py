@@ -642,11 +642,16 @@ def q_politeness_ip(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     i = F.col("doc_id")
+    # odd doc_ids land under a multi-label public suffix (co.uk): the
+    # PSL rule must keep site0.co.uk / site1.co.uk / site2.co.uk as
+    # SEPARATE registrable domains (separate server budgets), not one
+    # collapsed 'co.uk' bucket
+    tld = F.when(i % 2 == 0, F.lit(".test")).otherwise(F.lit(".co.uk"))
+    host = F.concat(F.lit("s"), (i % 7).cast("string"), F.lit(".site"),
+                    (i % 3).cast("string"), tld)
     frontier = docs.select(
-        F.concat(F.lit("s"), (i % 7).cast("string"), F.lit(".site"),
-                 (i % 3).cast("string"), F.lit(".test")).alias("host"),
-        F.concat(F.lit("http://s"), (i % 7).cast("string"), F.lit(".site"),
-                 (i % 3).cast("string"), F.lit(".test/p/"),
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, F.lit("/p/"),
                  i.cast("string")).alias("url"),
     )
     return politeness_take_ip(frontier, budget=8).select(
@@ -4128,13 +4133,19 @@ def oracle_sql() -> dict[str, str]:
         "politeness_ip": f"""
             -- per-server (shared-IP) budget: deterministic DNS twin
             -- (operators/politeness.server_ip_sql) + window rank per IP
-            with fr as (
-              select concat('s', cast(doc_id % 7 as varchar), '.site',
-                            cast(doc_id % 3 as varchar), '.test') as host,
-                     concat('http://s', cast(doc_id % 7 as varchar),
-                            '.site', cast(doc_id % 3 as varchar),
-                            '.test/p/', cast(doc_id as varchar)) as url
+            with hh as (
+              select doc_id,
+                     concat('s', cast(doc_id % 7 as varchar), '.site',
+                            cast(doc_id % 3 as varchar),
+                            case when doc_id % 2 = 0 then '.test'
+                                 else '.co.uk' end) as host
               from documents
+            ),
+            fr as (
+              select host,
+                     concat('http://', host, '/p/',
+                            cast(doc_id as varchar)) as url
+              from hh
             ),
             ips as (
               select {PLT.server_ip_sql('host')} as server_ip, host, url

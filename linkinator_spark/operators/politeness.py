@@ -241,22 +241,144 @@ def global_fifo_rank(
 # IP-level (per-server) politeness
 # ---------------------------------------------------------------------------
 
+# Multi-label public suffixes, vendored from the Mozilla Public Suffix
+# List (publicsuffix.org — public data): the common ccTLD second levels
+# plus the big shared-hosting/private-section suffixes. Under any of
+# these, the registrable domain is the LAST THREE labels, not two —
+# without this, every site under co.uk (or github.io) shares one
+# synthetic server IP and one politeness budget. A full 10k-entry PSL
+# (wildcard/exception rules included) slots in via
+# `registrable_domain_psl` as a broadcast dim join; this static subset
+# keeps the hot path a pure codegen expression with an exact SQL twin.
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
+    # United Kingdom / Ireland
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    # Japan / Korea / Taiwan / Hong Kong / Singapore / SE Asia
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "lg.jp", "gr.jp",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id", "sch.id",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "co.th", "in.th", "or.th", "go.th", "ac.th",
+    # China / India
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "ac.in", "edu.in", "gov.in", "res.in", "nic.in",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "gov.co", "edu.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe",
+    "com.ve", "co.ve", "com.cl", "com.ec", "com.uy", "com.bo",
+    # Europe / Middle East / Africa
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.eg", "com.sa", "com.ae", "com.qa", "com.kw", "com.lb",
+    "com.pk", "com.bd", "com.np", "com.lk",
+    "com.ng", "com.gh", "co.ke", "or.ke", "ac.ke", "co.tz", "co.ug",
+    "com.et", "co.zw", "com.na", "co.bw",
+    # shared-hosting / private-section suffixes (each tenant is an
+    # independent site and deserves its own budget only if the HOSTER
+    # does; grouping tenants under one IP budget matches reality —
+    # they DO share servers — but the PSL private section marks these
+    # as per-tenant registrable, and mirroring it keeps host-level
+    # analytics (mirrors, domain caps) from merging unrelated sites)
+    "github.io", "gitlab.io", "blogspot.com", "appspot.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "web.app",
+    "firebaseapp.com", "azurewebsites.net", "cloudfront.net",
+    "pages.dev", "workers.dev", "wordpress.com", "readthedocs.io",
+    "onrender.com", "fly.dev", "neocities.org",
+)
+
+
 def registrable_domain(host: "F.Column") -> "F.Column":
-    """Last two dot-labels of a hostname ('a.b.site.test' -> 'site.test');
-    single-label hosts pass through. A simplified public-suffix rule —
-    good enough to group sibling subdomains, which is what per-server
-    politeness needs (a real PSL table would slot in as a broadcast dim
-    join without changing the shape)."""
+    """Registrable domain of a hostname: last two dot-labels, or last
+    THREE when the two-label tail is a known multi-label public suffix
+    ('shop.foo.co.uk' -> 'foo.co.uk', 'a.b.site.test' -> 'site.test');
+    single-label hosts pass through. The suffix check is a static InSet
+    over MULTI_LABEL_SUFFIXES — one codegen projection, no join; swap
+    in `registrable_domain_psl` for a full user-supplied PSL table."""
     # strip a trailing root-label dot first: 'a.example.com.' must group
     # with 'b.example.com' (an FQDN-spelling farm would otherwise get a
     # budget per subdomain)
     host_nd = F.regexp_replace(host, r"\.$", "")
-    ext = F.regexp_extract(host_nd, r"([^.]+\.[^.]+)$", 1)
+    ext2 = F.regexp_extract(host_nd, r"([^.]+\.[^.]+)$", 1)
+    ext3 = F.regexp_extract(host_nd, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     # fall back to the (dot-stripped) host whenever the extract misses
     # (single-label hosts, empty labels): mapping every miss to ''
     # would collapse unrelated hosts onto ONE synthetic server ip — and
     # one shared politeness budget
-    return F.when(ext != "", ext).otherwise(host_nd)
+    return (
+        F.when(ext2.isin(*MULTI_LABEL_SUFFIXES) & (ext3 != ""), ext3)
+        .when(ext2 != "", ext2)
+        .otherwise(host_nd)
+    )
+
+
+def registrable_domain_psl(
+    frontier: DataFrame, psl: DataFrame, host_col: str = "host",
+    out_col: str = "registrable_domain", max_labels: int = 5,
+) -> DataFrame:
+    """Full-PSL registrable domains via broadcast dim join — the scale
+    path for a user-vendored publicsuffix.org table `psl(suffix string,
+    is_exception boolean)` (wildcard rules pre-expanded or listed as
+    their literal parents; exception rules flagged). Longest-match
+    semantics: each host emits its last 1..max_labels label tails, the
+    tails broadcast-join the suffix dim, and the registrable domain is
+    one label more than the longest matching suffix (the PSL algorithm).
+    Exception rules match as themselves. One broadcast join + a groupBy
+    on the frontier key — no shuffle of the dim, frontier shuffled once
+    on its own key."""
+    host_nd = F.regexp_replace(F.col(host_col), r"\.$", "")
+    labels = F.split(host_nd, r"\.")
+    n = F.size(labels)
+    # tails[k] = last (k+1) labels joined, k = 0..max_labels-1
+    tails = F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+        lambda k: F.array_join(
+            F.slice(labels, n - k + 1, k), "."),
+    )
+    exploded = frontier.withColumn("_host_nd", host_nd).withColumn(
+        "_tail", F.explode(tails))
+    hit = exploded.join(
+        F.broadcast(psl.select(F.col("suffix").alias("_tail"),
+                               "is_exception")),
+        "_tail", "left")
+    # longest matching public suffix per row; exceptions count as one
+    # label shorter (the exception IS the registrable domain)
+    suf_len = F.when(
+        F.col("is_exception"),
+        F.size(F.split(F.col("_tail"), r"\.")) - 1,
+    ).otherwise(F.size(F.split(F.col("_tail"), r"\.")))
+    # no matching rule -> the PSL's implicit '*' rule (last label is the
+    # public suffix), i.e. suffix length 1 -> keep two labels
+    scored = hit.withColumn(
+        "_slen", F.when(F.col("is_exception").isNotNull(), suf_len)
+                  .otherwise(F.lit(1)))
+    keys = [c for c in frontier.columns]
+    best = (scored.groupBy(*keys, "_host_nd")
+            .agg(F.max("_slen").alias("_best")))
+    labels_b = F.split(F.col("_host_nd"), r"\.")
+    n_b = F.size(labels_b)
+    take = F.least(F.col("_best") + 1, n_b)
+    return best.withColumn(
+        out_col,
+        F.array_join(F.slice(labels_b, n_b - take + 1, take), "."),
+    ).drop("_best", "_host_nd")
 
 
 def resolve_server_ips(
@@ -287,15 +409,22 @@ def resolve_server_ips(
     return frontier.withColumn(out_col, ip)
 
 
+def registrable_domain_sql(host_expr: str) -> str:
+    """DuckDB twin of `registrable_domain` (shared definition site:
+    both walk MULTI_LABEL_SUFFIXES)."""
+    nd = f"regexp_replace({host_expr}, '\\.$', '')"
+    e2 = f"regexp_extract({nd}, '([^.]+\\.[^.]+)$', 1)"
+    e3 = f"regexp_extract({nd}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    suf = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    return (f"case when {e2} in ({suf}) and {e3} <> '' then {e3} "
+            f"when {e2} <> '' then {e2} else {nd} end")
+
+
 def server_ip_sql(host_expr: str) -> str:
     """DuckDB twin of `resolve_server_ips`' ip column."""
     from linkinator_spark.functions.text import portable_hash64_sql
 
-    nd = f"regexp_replace({host_expr}, '\\.$', '')"
-    rdom = (f"case when regexp_extract({nd}, "
-            f"'([^.]+\\.[^.]+)$', 1) <> '' then "
-            f"regexp_extract({nd}, '([^.]+\\.[^.]+)$', 1) "
-            f"else {nd} end")
+    rdom = registrable_domain_sql(host_expr)
     h = portable_hash64_sql(rdom, prefix="dns:")
     v = f"(({h}) % 16777216)"
     return (f"concat('10.', cast(cast(floor({v} / 65536) as int) as varchar),"

@@ -128,6 +128,72 @@ def test_registrable_domain_single_label_passthrough(spark):
                    "localhost", "weird."]
 
 
+def test_registrable_domain_multi_label_suffixes(spark):
+    """Hosts under multi-label public suffixes keep THREE labels: two
+    .co.uk registrants must land on different registrable domains (and
+    so different per-server politeness budgets), and each github.io
+    tenant is its own registrable domain. The DuckDB twin agrees."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from linkinator_spark.operators.politeness import (
+        registrable_domain, registrable_domain_sql)
+
+    cases = [
+        ("foo.co.uk", "foo.co.uk"),
+        ("bar.co.uk", "bar.co.uk"),
+        ("www.foo.co.uk", "foo.co.uk"),
+        ("deep.cdn.bar.co.uk", "bar.co.uk"),
+        ("shop.example.com.au.", "example.com.au"),
+        ("alice.github.io", "alice.github.io"),
+        ("www.alice.github.io", "alice.github.io"),
+        ("co.uk", "co.uk"),          # the bare suffix passes through
+        ("plain.example.com", "example.com"),
+        ("example.com", "example.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r.d for r in
+           df.select(registrable_domain(F.col("host")).alias("d")).collect()]
+    assert got == [want for _, want in cases]
+    # two .co.uk registrants -> distinct groups (separate budgets)
+    assert got[0] != got[1]
+
+    con = duckdb.connect()
+    con.execute("create table hosts(host varchar)")
+    con.executemany("insert into hosts values (?)",
+                    [(h,) for h, _ in cases])
+    sql_got = [r[0] for r in con.execute(
+        f"select {registrable_domain_sql('host')} from hosts").fetchall()]
+    assert sql_got == got
+
+
+def test_registrable_domain_psl_broadcast(spark):
+    """The full-PSL broadcast-join variant: longest-suffix match, one
+    extra label kept; exception rules match as themselves; hosts with no
+    PSL hit keep their last label + 1... i.e. fall back to two labels."""
+    from linkinator_spark.operators.politeness import registrable_domain_psl
+
+    psl = spark.createDataFrame(
+        [("uk", False), ("co.uk", False), ("sch.uk", False),
+         ("kobe.jp", False),         # stand-in for the *.kobe.jp wildcard
+         ("city.kobe.jp", True),     # the !city.kobe.jp exception
+         ("com", False)],
+        "suffix string, is_exception boolean")
+    rows = [("a.foo.co.uk",), ("bar.co.uk",), ("x.example.com",),
+            ("a.b.kobe.jp",), ("www.city.kobe.jp",), ("noache.zz",)]
+    df = spark.createDataFrame(rows, "host string")
+    got = {r.host: r.registrable_domain
+           for r in registrable_domain_psl(df, psl).collect()}
+    assert got == {
+        "a.foo.co.uk": "foo.co.uk",
+        "bar.co.uk": "bar.co.uk",
+        "x.example.com": "example.com",
+        "a.b.kobe.jp": "b.kobe.jp",
+        "www.city.kobe.jp": "city.kobe.jp",  # exception: itself
+        "noache.zz": "noache.zz",
+    }
+
+
 # ---------------------------------------------------------------- AIMD
 
 def test_aimd_delay_fold(spark):
