@@ -83,6 +83,21 @@ _DOCS_WITH_DUPS_SQL = (
     " select doc_id + 1000000 as doc_id, text from documents where doc_id % 10 = 0)"
 )
 
+# the planted mirror-site table (_mirror_sites' DuckDB twin): origin
+# hosts h0-h19, full mirrors m0-m4, partial mirror p0
+_MIRROR_SITES_SQL = (
+    "select 'h' || cast(doc_id % 20 as varchar) as host,"
+    " 'f' || cast(doc_id as varchar) as fp from documents"
+    " union all "
+    "select 'm' || cast(doc_id % 5 as varchar) as host,"
+    " 'f' || cast(doc_id as varchar) as fp from documents"
+    " where doc_id % 4 = 0"
+    " union all "
+    "select 'p0' as host,"
+    " 'f' || cast(doc_id as varchar) as fp from documents"
+    " where doc_id % 8 = 0"
+)
+
 
 def _linked_text(col):
     """Embed deterministic URLs into the document text so extraction has
@@ -975,6 +990,34 @@ def q_host_mirrors(spark, sf_dir):
         F.lit("p0").alias("host"), fp.alias("fp"))
     sites = orig.unionByName(full).unionByName(part)
     return MR.host_mirrors(sites, min_jaccard_micro=100_000)
+
+
+def _mirror_sites(spark, sf_dir):
+    """The planted mirror-site table q_host_mirrors documents, shared
+    with the group-closure query."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.concat(F.lit("f"), F.col("doc_id").cast("string"))
+    orig = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+        .alias("host"), fp.alias("fp"))
+    full = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("m"), (F.col("doc_id") % 5).cast("string"))
+        .alias("host"), fp.alias("fp"))
+    part = docs.filter(F.col("doc_id") % 8 == 0).select(
+        F.lit("p0").alias("host"), fp.alias("fp"))
+    return orig.unionByName(full).unionByName(part)
+
+
+def q_host_mirror_groups(spark, sf_dir):
+    """Mirror-closure canonical election (mirrors.host_mirror_groups —
+    the CommonCrawl/IA "mirror collapse"): mirror pairs close
+    transitively via connected_components and each group elects a
+    canonical host by (crawl volume desc, host asc) through a
+    struct-min aggregate (never a per-component window). The DuckDB
+    twin replays the closure as a recursive CTE (the dedup_cc_canonical
+    pattern) and the election as a row_number."""
+    return MR.host_mirror_groups(_mirror_sites(spark, sf_dir),
+                                 min_jaccard_micro=100_000)
 
 
 def q_inverted_index(spark, sf_dir):
@@ -3285,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cardinality_hll": q_host_cardinality_hll,
         "host_heavy_hitters": q_host_heavy_hitters,
         "host_mirrors": q_host_mirrors,
+        "host_mirror_groups": q_host_mirror_groups,
         "decontaminate": q_decontaminate,
         "corpus_build": q_corpus_build,
         "corpus_build_capped": q_corpus_build_capped,
@@ -3915,18 +3959,14 @@ def oracle_sql() -> dict[str, str]:
         "host_mirrors": f"""
             -- planted full (m0-m4) and partial (p0) mirrors over
             -- fingerprint equi-join + integer-micro Jaccard
-            {MR.host_mirrors_oracle_sql(
-                "select 'h' || cast(doc_id % 20 as varchar) as host,"
-                " 'f' || cast(doc_id as varchar) as fp from documents"
-                " union all "
-                "select 'm' || cast(doc_id % 5 as varchar) as host,"
-                " 'f' || cast(doc_id as varchar) as fp from documents"
-                " where doc_id % 4 = 0"
-                " union all "
-                "select 'p0' as host,"
-                " 'f' || cast(doc_id as varchar) as fp from documents"
-                " where doc_id % 8 = 0",
-                min_jaccard_micro=100_000)}
+            {MR.host_mirrors_oracle_sql(_MIRROR_SITES_SQL,
+                                        min_jaccard_micro=100_000)}
+        """,
+        "host_mirror_groups": f"""
+            -- pairs -> recursive transitive closure -> keeper election
+            -- by (size desc, host asc)
+            {MR.host_mirror_groups_oracle_sql(_MIRROR_SITES_SQL,
+                                              min_jaccard_micro=100_000)}
         """,
         "inverted_index": """
             -- direct group-and-sort twin of the salted three-phase build

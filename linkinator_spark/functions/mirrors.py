@@ -102,3 +102,116 @@ def host_mirrors_oracle_sql(
         where (shared * 1000000) // (sa.size + sb.size - shared)
               >= {min_jaccard_micro}
     """
+
+
+def host_mirror_groups(
+    pages: DataFrame, host_col: str = "host", fp_col: str = "fp",
+    min_jaccard_micro: int = 100_000, max_fp_df: int = 50,
+) -> DataFrame:
+    """Mirror GROUPS with one canonical host — the CommonCrawl/IA-style
+    "mirror collapse" a frontier dedups hosts on: mirror pairs (from
+    :func:`host_mirrors`) close transitively into components
+    (dedup.connected_components — the O(log n) star rounds above the
+    fused-gear threshold), and each group elects a canonical host by
+    (crawl volume desc, host asc), volume being the host's
+    non-boilerplate fingerprint count.
+
+    Output: (host, size, canonical_host, group_size) for every host in
+    a mirror group. Scale shape: pairing is fp-equi-join bounded (never
+    all-pairs over hosts), the closure is node=HOST scale (tiny next to
+    the corpus), and the keeper election is a struct-min AGGREGATE per
+    component — no window over a hot component."""
+    from linkinator_spark.functions.dedup import connected_components
+
+    pairs = host_mirrors(pages, host_col=host_col, fp_col=fp_col,
+                         min_jaccard_micro=min_jaccard_micro,
+                         max_fp_df=max_fp_df)
+    comp = connected_components(pairs, id_a="host_a", id_b="host_b")
+
+    d = (pages.select(F.col(host_col).alias("host"),
+                      F.col(fp_col).alias("fp"))
+         .distinct())
+    fp_df = d.groupBy("fp").agg(F.count("*").alias("_df"))
+    sizes = (d.join(fp_df, "fp").filter(F.col("_df") <= max_fp_df)
+             .groupBy("host").agg(F.count("*").cast("long").alias("size")))
+
+    scored = comp.select(F.col("node").alias("host"), "component").join(
+        sizes, "host")
+    # keeper = max size, ties to lexicographically smallest host:
+    # min(struct(-size, host)) — an aggregate, not a window, so a
+    # 10k-host mirror farm never serializes into one task
+    elect = scored.groupBy("component").agg(
+        F.min(F.struct((-F.col("size")).alias("ns"),
+                       F.col("host").alias("h"))).alias("_k"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+    return (scored.join(elect, "component")
+            .select("host", "size", F.col("_k.h").alias("canonical_host"),
+                    "group_size"))
+
+
+def host_mirror_groups_oracle_sql(
+    pages_rel: str, min_jaccard_micro: int = 100_000,
+    max_fp_df: int = 50,
+) -> str:
+    """DuckDB twin of `host_mirror_groups`: the host_mirrors pairing
+    CTEs + a recursive transitive closure (the dedup_cc_canonical
+    pattern) + a row_number keeper election by (size desc, host)."""
+    return f"""
+        with recursive
+        d0 as (
+          select distinct host, fp from ({pages_rel})
+        ),
+        fpdf as (
+          select fp, count(*) as df from d0 group by fp
+        ),
+        d as (
+          select host, d0.fp from d0 join fpdf on fpdf.fp = d0.fp
+          where df <= {max_fp_df}
+        ),
+        sizes as (
+          select host, cast(count(*) as bigint) as size
+          from d group by host
+        ),
+        pairs as (
+          select host_a, host_b from (
+            select a.host as host_a, b.host as host_b,
+                   count(*) as shared
+            from d a join d b on a.fp = b.fp and a.host < b.host
+            group by a.host, b.host) p
+          join sizes sa on sa.host = p.host_a
+          join sizes sb on sb.host = p.host_b
+          where (shared * 1000000) // (sa.size + sb.size - shared)
+                >= {min_jaccard_micro}
+        ),
+        edges as (
+          select host_a as u, host_b as v from pairs
+          union
+          select host_b as u, host_a as v from pairs
+        ),
+        reach(u, v) as (
+          select u, v from edges
+          union
+          select r.u, e.v from reach r join edges e on r.v = e.u
+          where r.u <> e.v
+        ),
+        comp as (
+          select u as host, least(u, min(v)) as component
+          from reach group by u
+        ),
+        scored as (
+          select c.host, c.component, s.size
+          from comp c join sizes s using (host)
+        ),
+        keep as (
+          select component, host as canonical_host from (
+            select component, host,
+                   row_number() over (partition by component
+                                      order by size desc, host) as rn
+            from scored) t where rn = 1
+        )
+        select s.host, s.size, k.canonical_host,
+               cast(count(*) over (partition by s.component) as bigint)
+                 as group_size
+        from scored s join keep k using (component)
+    """

@@ -57,3 +57,28 @@ def test_duplicate_page_rows_collapse(spark):
     rows = [("a", "f1"), ("a", "f1"), ("a", "f1"), ("b", "f1")]
     [r] = host_mirrors(_sites(spark, rows), min_jaccard_micro=100_000).collect()
     assert r["shared"] == 1 and r["size_a"] == 1 and r["size_b"] == 1
+
+
+def test_mirror_groups_canonical_election(spark):
+    """Pairs close transitively into groups; each group's canonical host
+    is the max-volume host (ties -> lexicographically smallest). Chain
+    a~b~c must land in ONE group even though (a,c) never pair directly."""
+    from linkinator_spark.functions.mirrors import host_mirror_groups
+
+    # group 1: chain a-b-c (a∩b and b∩c overlap, a∩c don't); volumes
+    # a=4, b=5, c=4 -> canonical b
+    rows = [("a", f"x{i}") for i in range(4)]
+    rows += [("b", f"x{i}") for i in range(4)] + [("b", "y0")]
+    rows += [("c", "y0")] + [("c", f"z{i}") for i in range(3)]
+    # group 2: perfect pair d=e (volume tie) -> canonical d
+    rows += [("d", f"w{i}") for i in range(3)]
+    rows += [("e", f"w{i}") for i in range(3)]
+    # loner f: no qualifying pair -> absent from the output
+    rows += [("f", "lone")]
+    got = {r.host: (r.canonical_host, r.group_size, r.size)
+           for r in host_mirror_groups(
+               _sites(spark, rows), min_jaccard_micro=100_000).collect()}
+    assert got == {
+        "a": ("b", 3, 4), "b": ("b", 3, 5), "c": ("b", 3, 4),
+        "d": ("d", 2, 3), "e": ("d", 2, 3),
+    }
