@@ -205,7 +205,8 @@ def _apply_merge(sym: Column, left: str, right: str) -> Column:
 
 
 def bpe_train(words: DataFrame, n_merges: int,
-              word_col: str = "word", count_col: str = "n"):
+              word_col: str = "word", count_col: str = "n",
+              merges_per_round: int = 1):
     """Learn `n_merges` BPE merges from a (word, count) vocabulary.
 
     Per round: count adjacent symbol pairs weighted by word frequency
@@ -213,11 +214,27 @@ def bpe_train(words: DataFrame, n_merges: int,
     pair with a total deterministic tie-break (count desc, then pair
     lexicographic asc), apply it to every word's symbol array, repeat.
 
+    SCALE BOUNDARY: each round costs one driver argmax (`head`) plus a
+    localCheckpoint — exact and fine at oracle-scale vocabularies, but
+    a real 30k-merge tokenizer would schedule 30k rounds.
+    `merges_per_round=k` lifts it the standard way: take the top-k
+    SYMBOL-DISJOINT pairs per round (a pair is skipped when either
+    element — or an earlier-selected product, which may collide with an
+    existing symbol string — was touched this round; such pairs' counts
+    would be stale after the earlier merge). Disjoint pairs' counts are
+    provably unaffected by each other's application, so every selected
+    count stays exact; the learned TABLE can still differ from k=1
+    order beyond the first round (the classic batched-BPE
+    approximation). k=1 reproduces the canonical sequence exactly and
+    stays the oracle configuration.
+
     Returns (merges DataFrame with columns rank/left/right/merged/
     pair_count, final symbolized-vocab DataFrame). The merges table is
     metadata-sized (one row per round) — feed `[(l, r), ...]` into
     :func:`bpe_token_count` to tokenize with the learned vocabulary.
     """
+    if merges_per_round < 1:
+        raise ValueError("merges_per_round must be >= 1")
     spark = words.sparkSession
     vocab = words.select(
         F.col(word_col).alias("word"),
@@ -226,7 +243,7 @@ def bpe_train(words: DataFrame, n_merges: int,
     ).localCheckpoint(eager=True)
 
     learned: list[tuple[int, str, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
+    while len(learned) < n_merges:
         sz = F.size("sym")
         pairs = (
             vocab.filter(sz >= 2)
@@ -236,14 +253,27 @@ def bpe_train(words: DataFrame, n_merges: int,
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("n").alias("cnt"))
         )
-        top = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).head(1)
+        want = min(merges_per_round, n_merges - len(learned))
+        # over-fetch: disjointness filtering may reject candidates
+        top = (pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+               .head(want if want == 1 else want * 4))
         if not top:
             break
-        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
-        learned.append((rank, l, r, l + r, cnt))
-        vocab = vocab.withColumn(
-            "sym", _apply_merge(F.col("sym"), l, r)
-        ).localCheckpoint(eager=True)
+        used: set = set()
+        batch: list[tuple[str, str, int]] = []
+        for row in top:
+            l, r = row["l"], row["r"]
+            if l in used or r in used:
+                continue
+            batch.append((l, r, int(row["cnt"])))
+            used.update((l, r, l + r))
+            if len(batch) >= want:
+                break
+        col = F.col("sym")
+        for l, r, cnt in batch:
+            learned.append((len(learned) + 1, l, r, l + r, cnt))
+            col = _apply_merge(col, l, r)
+        vocab = vocab.withColumn("sym", col).localCheckpoint(eager=True)
 
     merges = spark.createDataFrame(
         learned, "rank int, left string, right string, merged string, "

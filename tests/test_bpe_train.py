@@ -140,3 +140,48 @@ def test_bpe_word_tokens_sql_matches_python_loop():
     assert len(got) == len(words)
     for w, n in got:
         assert n == bpe_word_tokens(w, ranks), w
+
+
+def test_bpe_train_merges_per_round_k1_exact(spark):
+    """merges_per_round=1 is byte-identical to the canonical
+    one-pair-per-round loop (the oracle configuration)."""
+    from linkinator_spark.functions.tokenize import bpe_train, word_vocab
+
+    docs = spark.createDataFrame(
+        [("the theory of the thing",), ("in the inn thing ing",),
+         ("there the then than",)], "text string")
+    vocab = word_vocab(docs)
+    m1, _ = bpe_train(vocab, n_merges=6, merges_per_round=1)
+    rows1 = [(r["rank"], r["left"], r["right"], r["pair_count"])
+             for r in m1.orderBy("rank").collect()]
+    # canonical loop = the default signature
+    m0, _ = bpe_train(word_vocab(docs), n_merges=6)
+    rows0 = [(r["rank"], r["left"], r["right"], r["pair_count"])
+             for r in m0.orderBy("rank").collect()]
+    assert rows1 == rows0 and len(rows1) == 6
+
+
+def test_bpe_train_batched_rounds_disjoint_and_exact_counts(spark):
+    """merges_per_round=3 learns the same TOTAL number of merges in
+    fewer driver rounds; within each batch the pairs are symbol-disjoint
+    and each selected count equals the true pre-batch adjacency count
+    (verified against the k=1 replay's first round)."""
+    from linkinator_spark.functions.tokenize import bpe_train, word_vocab
+
+    docs = spark.createDataFrame(
+        [("aa bb cc aa bb cc dd",), ("aa bb dd ee ff",),
+         ("cc dd ee ff gg hh",)], "text string")
+    mk, _ = bpe_train(word_vocab(docs), n_merges=6, merges_per_round=3)
+    rows = [(r["left"], r["right"], r["pair_count"])
+            for r in mk.orderBy("rank").collect()]
+    assert len(rows) == 6
+    # batch 1 = ranks 1-3: pairwise symbol-disjoint (incl. products)
+    syms: set = set()
+    for left, right, _ in rows[:3]:
+        assert left not in syms and right not in syms
+        syms.update((left, right, left + right))
+    # rank-1 selection matches the canonical loop's first pick exactly
+    m1, _ = bpe_train(word_vocab(docs), n_merges=1)
+    assert rows[0] == tuple(
+        (r["left"], r["right"], r["pair_count"])
+        for r in m1.collect())[0]
