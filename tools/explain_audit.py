@@ -254,6 +254,13 @@ def main() -> None:
         ("host_graph_stats",
          "host interlinking report (two host aggregates + one "
          "host-sized full join)"),
+        ("host_mirror_groups",
+         "mirror-closure canonical election (fp-equi-join pairing -> "
+         "host-scale CC -> struct-min keeper AGGREGATE, no "
+         "per-component window)"),
+        ("doc_pack_bpe",
+         "BPE-budgeted packing (Arrow-batched memoized tokenizer UDF; "
+         "doc_pack's single uniform bucket-cumsum shuffle)"),
     ]
     lines = [
         "# PLANS — physical-plan audit of the query surface",
