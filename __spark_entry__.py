@@ -36,7 +36,6 @@ from linkinator_spark.functions import search as SRCH  # noqa: E402
 from linkinator_spark.functions import sketches as SK  # noqa: E402
 from linkinator_spark.functions import similarity as S  # noqa: E402
 from linkinator_spark.functions import text as T  # noqa: E402
-from linkinator_spark.functions import tokenize as TOK  # noqa: E402
 from linkinator_spark.functions import traps as TRM  # noqa: E402
 from linkinator_spark.functions import vectorize as VZ  # noqa: E402
 from linkinator_spark.operators.classify import classify  # noqa: E402
@@ -374,6 +373,7 @@ def q_link_opic(spark, sf_dir):
 _LICENSE_MARKERS = (
     "",  # no marker -> 'none'
     "Creativecommons.org/licenses/by-nc/4.0",
+    "shared under creativecommons.org/licenses/by-nd/4.0",
     "creativecommons.org/licenses/by-sa/4.0 legalcode",
     "CreativeCommons.org/licenses/by/4.0",
     "Released under CC0 1.0 Universal",
@@ -388,14 +388,14 @@ def q_text_license(spark, sf_dir):
     """Document license classification (functions/text.license_detect):
     in-text marker detection over LICENSE_CLASSES with most-restrictive-
     first CC precedence — the gate a license-aware corpus build filters
-    on. Every doc gets a deterministic marker appended (doc_id % 9, one
-    per class incl. none, mixed case) so the oracle exercises every
-    branch; pure contains() chain, single codegen projection, zero
-    regex."""
+    on. Every doc gets a deterministic marker appended (doc_id % 10, one
+    per class incl. none and cc-by-nd, mixed case) so the oracle
+    exercises every branch; pure contains() chain, single codegen
+    projection, zero regex."""
     docs = _t(spark, sf_dir, "documents")
     marker = F.element_at(
         F.array(*[F.lit(m) for m in _LICENSE_MARKERS]),
-        (F.col("doc_id") % 9 + 1).cast("int"))
+        (F.col("doc_id") % 10 + 1).cast("int"))
     return docs.select(
         "doc_id",
         T.license_detect(F.concat(F.col("text"), F.lit(" "), marker))
@@ -4585,7 +4585,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_bpe": f"""
             -- doc_pack's hash-deal layout, budgeted by the SQL replay of
             -- the greedy BPE apply loop (tokenize.bpe_word_tokens_sql)
-            with bpe as ({TOK.bpe_token_count_sql()}),
+            with bpe as ({TOK_MOD.bpe_token_count_sql()}),
             keyed as (
               select doc_id as id, n_tokens as tok,
                      {_hash_sql("cast(doc_id as varchar)", "pack:")} as h
@@ -4728,7 +4728,7 @@ def oracle_sql() -> dict[str, str]:
             -- and the contains-chain CASE both derive from text.py
             with aug as (
               select doc_id,
-                     concat(text, ' ', case doc_id % 9
+                     concat(text, ' ', case doc_id % 10
                        {" ".join(f"when {i} then '{m}'" for i, m in enumerate(_LICENSE_MARKERS))}
                        end) as t2
               from documents

@@ -23,6 +23,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _gated_sets(pages: DataFrame, host_col: str, fp_col: str,
+                max_fp_df: int) -> tuple[DataFrame, DataFrame]:
+    """Shared pairing substrate: the distinct (host, fp) set with
+    boilerplate fingerprints (df > max_fp_df) dropped, plus per-host
+    set sizes over the SAME gated set."""
+    d = (pages.select(F.col(host_col).alias("host"),
+                      F.col(fp_col).alias("fp"))
+         .distinct())
+    fp_df = d.groupBy("fp").agg(F.count("*").alias("_df"))
+    d = (d.join(fp_df, "fp").filter(F.col("_df") <= max_fp_df)
+         .select("host", "fp"))
+    sizes = d.groupBy("host").agg(F.count("*").alias("size"))
+    return d, sizes
+
+
 def host_mirrors(
     pages: DataFrame, host_col: str = "host", fp_col: str = "fp",
     min_jaccard_micro: int = 100_000, max_fp_df: int = 50,
@@ -34,13 +49,12 @@ def host_mirrors(
     hosts are treated as boilerplate and excluded from BOTH the pairing
     and the per-host set sizes (so a host of pure boilerplate doesn't
     dilute its real overlap)."""
-    d = (pages.select(F.col(host_col).alias("host"),
-                      F.col(fp_col).alias("fp"))
-         .distinct())
-    fp_df = d.groupBy("fp").agg(F.count("*").alias("_df"))
-    d = (d.join(fp_df, "fp").filter(F.col("_df") <= max_fp_df)
-         .select("host", "fp"))
-    sizes = d.groupBy("host").agg(F.count("*").alias("size"))
+    d, sizes = _gated_sets(pages, host_col, fp_col, max_fp_df)
+    return _mirror_pairs(d, sizes, min_jaccard_micro)
+
+
+def _mirror_pairs(d: DataFrame, sizes: DataFrame,
+                  min_jaccard_micro: int) -> DataFrame:
     pairs = (
         d.select(F.col("host").alias("host_a"), "fp")
         .join(d.select(F.col("host").alias("host_b"), "fp"), "fp")
@@ -123,17 +137,16 @@ def host_mirror_groups(
     component — no window over a hot component."""
     from linkinator_spark.functions.dedup import connected_components
 
-    pairs = host_mirrors(pages, host_col=host_col, fp_col=fp_col,
-                         min_jaccard_micro=min_jaccard_micro,
-                         max_fp_df=max_fp_df)
+    # one gated (host, fp) pass feeds the pairing self-join AND the
+    # election's volume table; checkpointing it keeps the corpus-scale
+    # distinct+df-gate from re-executing per consumer (the pairing
+    # consumes it twice, the final join a third time)
+    d, sizes = _gated_sets(pages, host_col, fp_col, max_fp_df)
+    d = d.localCheckpoint()
+    sizes = sizes.select(
+        "host", F.col("size").cast("long").alias("size")).localCheckpoint()
+    pairs = _mirror_pairs(d, sizes, min_jaccard_micro)
     comp = connected_components(pairs, id_a="host_a", id_b="host_b")
-
-    d = (pages.select(F.col(host_col).alias("host"),
-                      F.col(fp_col).alias("fp"))
-         .distinct())
-    fp_df = d.groupBy("fp").agg(F.count("*").alias("_df"))
-    sizes = (d.join(fp_df, "fp").filter(F.col("_df") <= max_fp_df)
-             .groupBy("host").agg(F.count("*").cast("long").alias("size")))
 
     scored = comp.select(F.col("node").alias("host"), "component").join(
         sizes, "host")

@@ -46,6 +46,14 @@ DEFAULT_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+# ASCII whitespace (space, \t, \n, \r, \f, \v): the word-split contract
+# shared by the tokenizer UDF and its SQL twin. chr-coded so the Python
+# regex class and the DuckDB e-string class are generated from ONE tuple.
+_WS_CHARS = (0x20, 0x09, 0x0A, 0x0D, 0x0C, 0x0B)
+_WS_CLASS = "".join(chr(c) for c in _WS_CHARS)
+_WS_CLASS_SQL = "".join(f"\\x{c:02x}" for c in _WS_CHARS)
+
+
 def bpe_word_tokens(word: str, ranks: dict) -> int:
     """Number of BPE tokens for one word: start from characters, then
     repeatedly merge the adjacent pair with the LOWEST rank until no
@@ -70,7 +78,14 @@ def bpe_token_count_udf(merges=DEFAULT_MERGES):
     GPT-2's pretokenizer); each distinct word's merge loop runs once per
     batch via the memo, then counts sum per document. Nulls count 0.
     """
+    import re
+
     ranks = {pair: i for i, pair in enumerate(merges)}
+    # explicit ASCII whitespace class, NOT str.split(): Python's split
+    # breaks on unicode whitespace (\xa0,  , ...) that DuckDB RE2's
+    # \s does not, which would silently desync the SQL twin on non-ASCII
+    # corpora (both sides share _WS_CLASS as the definition site)
+    word_re = re.compile(f"[^{_WS_CLASS}]+")
 
     @F.pandas_udf(IntegerType())
     def _count(texts: pd.Series) -> pd.Series:
@@ -80,7 +95,7 @@ def bpe_token_count_udf(merges=DEFAULT_MERGES):
             if text is None:
                 return 0
             total = 0
-            for w in text.lower().split():
+            for w in word_re.findall(text.lower()):
                 n = memo.get(w)
                 if n is None:
                     n = bpe_word_tokens(w, ranks)
@@ -138,15 +153,19 @@ def bpe_token_count_sql(docs_table: str = "documents",
                         text_col: str = "text",
                         id_col: str = "doc_id",
                         merges=DEFAULT_MERGES) -> str:
-    """Per-document DuckDB twin of :func:`bpe_token_count`: whitespace
-    pre-split (the UDF's text.lower().split()), per-word merge replay
+    """Per-document DuckDB twin of :func:`bpe_token_count`: ASCII
+    whitespace pre-split (the UDF's shared _WS_CLASS contract — NOT \\S+,
+    whose Python/RE2 unicode semantics differ), per-word merge replay
     (bpe_word_tokens_sql), counts summed per document; wordless/null
-    docs count 0 exactly like the UDF. Yields ({id_col}, n_tokens)."""
+    docs count 0 exactly like the UDF. Unicode `lower()` edge cases
+    outside ASCII remain engine-defined on both sides. Yields
+    ({id_col}, n_tokens)."""
     merged = bpe_word_tokens_sql("w", merges)
     return f"""
         with _bpe_words as (
           select {id_col},
-                 unnest(regexp_extract_all(lower({text_col}), '\\S+')) as w
+                 unnest(regexp_extract_all(lower({text_col}),
+                        e'[^{_WS_CLASS_SQL}]+')) as w
           from {docs_table}),
         _bpe_m as (select {id_col}, {merged} as m from _bpe_words),
         _bpe_cnt as (
@@ -263,7 +282,12 @@ def bpe_train(words: DataFrame, n_merges: int,
         batch: list[tuple[str, str, int]] = []
         for row in top:
             l, r = row["l"], row["r"]
-            if l in used or r in used:
+            # skip when an element was touched this round (stale count)
+            # OR the PRODUCT collides with a symbol/product already in
+            # the batch — (ab,c) then (a,bc) would both mint 'abc',
+            # breaking the unique-products invariant the SQL replay
+            # asserts on
+            if l in used or r in used or (l + r) in used:
                 continue
             batch.append((l, r, int(row["cnt"])))
             used.update((l, r, l + r))

@@ -358,23 +358,28 @@ def registrable_domain_psl(
         F.broadcast(psl.select(F.col("suffix").alias("_tail"),
                                "is_exception")),
         "_tail", "left")
-    # longest matching public suffix per row; exceptions count as one
-    # label shorter (the exception IS the registrable domain)
-    suf_len = F.when(
-        F.col("is_exception"),
-        F.size(F.split(F.col("_tail"), r"\.")) - 1,
-    ).otherwise(F.size(F.split(F.col("_tail"), r"\.")))
-    # no matching rule -> the PSL's implicit '*' rule (last label is the
-    # public suffix), i.e. suffix length 1 -> keep two labels
-    scored = hit.withColumn(
-        "_slen", F.when(F.col("is_exception").isNotNull(), suf_len)
-                  .otherwise(F.lit(1)))
+    # PSL prevailing-rule order: ANY matching exception beats every
+    # regular rule (so a pre-expanded wildcard row for the same suffix
+    # cannot out-rank its exception); among regular rules the longest
+    # wins; no match at all -> the implicit '*' rule (suffix length 1).
+    # Encoded as max(struct(exception?, matched-tail labels)).
+    mlen = F.size(F.split(F.col("_tail"), r"\."))
+    cand = (F.when(F.col("is_exception").isNull(),
+                   F.struct(F.lit(0).alias("exc"), F.lit(1).alias("len")))
+            .when(F.col("is_exception"),
+                  F.struct(F.lit(1).alias("exc"), mlen.alias("len")))
+            .otherwise(F.struct(F.lit(0).alias("exc"), mlen.alias("len"))))
+    scored = hit.withColumn("_cand", cand)
     keys = [c for c in frontier.columns]
     best = (scored.groupBy(*keys, "_host_nd")
-            .agg(F.max("_slen").alias("_best")))
+            .agg(F.max("_cand").alias("_best")))
     labels_b = F.split(F.col("_host_nd"), r"\.")
     n_b = F.size(labels_b)
-    take = F.least(F.col("_best") + 1, n_b)
+    # an exception rule IS the registrable domain (its public suffix is
+    # the exception minus its leftmost label); a regular/implicit match
+    # keeps one label more than the suffix
+    take = F.when(F.col("_best.exc") == 1, F.col("_best.len")).otherwise(
+        F.least(F.col("_best.len") + 1, n_b))
     return best.withColumn(
         out_col,
         F.array_join(F.slice(labels_b, n_b - take + 1, take), "."),

@@ -82,10 +82,19 @@ def parse_robots_txt(body: str, user_agent: str = "*") -> dict:
 # regex group; a hostile rule with many wildcards drives polynomial
 # backtracking in re.match / regexp_like executor tasks. RFC 9309 lets a
 # parser impose limits, so: consecutive '*' runs collapse (semantically
-# identical), and rules still over the wildcard cap fall back to matching
-# the literal prefix before the first '*' (a superset match — safe for
-# Disallow, and an over-limit rule is adversarial, not policy).
+# identical), and rules still over the wildcard cap degrade
+# CONSERVATIVELY by direction — a Disallow falls back to its literal
+# prefix (a superset match: over-blocks, never under-blocks) while an
+# Allow is DROPPED (a superset Allow would win the longest-raw-rule
+# tie-break and let the crawler fetch paths the site disallowed).
+# Either way the crawler errs toward politeness on adversarial input.
 _MAX_WILDCARDS = 16
+
+
+def _rule_over_cap(rule: str) -> bool:
+    """True when the ('*'-run-collapsed) rule exceeds the wildcard cap."""
+    body = rule[:-1] if rule.endswith("$") else rule
+    return re.sub(r"\*+", "*", body).count("*") > _MAX_WILDCARDS
 
 
 @lru_cache(maxsize=4096)
@@ -108,14 +117,18 @@ def robots_allowed(path: str, disallow: list[str], allow: list[str]) -> bool:
     (raw octet length, wildcards counted — the de-facto Googlebot tie
     rule) wins; Allow wins exact ties. Rules support '*' anywhere and a
     trailing '$' end-anchor (§2.2.3)."""
-    def best(rules: list[str]) -> int:
+    def best(rules: list[str], drop_over_cap: bool) -> int:
         hit = -1
         for r in rules or []:
+            if drop_over_cap and _rule_over_cap(r):
+                continue
             if re.match(_rule_regex(r), path) and len(r) > hit:
                 hit = len(r)
         return hit
 
-    return best(allow) >= best(disallow)
+    # over-cap Allow rules are dropped, over-cap Disallow rules match by
+    # literal prefix (see _MAX_WILDCARDS: both degrade toward politeness)
+    return best(allow, True) >= best(disallow, False)
 
 
 def host_rules_from_bodies(with_body: DataFrame,
@@ -153,7 +166,7 @@ def host_rules_from_pages(pages: DataFrame, documents: DataFrame,
     return host_rules_from_bodies(with_body, user_agent)
 
 
-def _rule_structs(rules_col):
+def _rule_structs(rules_col, allow: bool = False):
     """Per-rule match precomputation, evaluated once per RULE on the
     O(hosts) dimension (inside F.transform over the rule array), never
     per frontier row: (wild, pat, len) where plain prefix rules keep the
@@ -178,7 +191,12 @@ def _rule_structs(rules_col):
         rex = F.concat(F.lit("^"),
                        F.regexp_replace(escaped, F.lit(r"\*"), F.lit(".*")),
                        F.when(anchored, F.lit("$")).otherwise(F.lit("")))
-        prefix = F.substring_index(body, "*", 1)
+        # over-cap degrade is direction-aware (see _MAX_WILDCARDS):
+        # Disallow -> literal prefix (over-blocks); Allow -> dead rule
+        # (a path never starts with \x01, so it can never match and
+        # can never win the specificity tie-break)
+        prefix = (F.lit("\x01") if allow
+                  else F.substring_index(body, "*", 1))
         return F.struct(wild.alias("wild"),
                         F.when(wild, rex)
                         .when(over, prefix).otherwise(r).alias("pat"),
@@ -196,7 +214,7 @@ def robots_filter(frontier: DataFrame, host_rules: DataFrame) -> tuple[DataFrame
     precomputed on the dimension side (see _rule_structs)."""
     dim = host_rules.withColumn(
         "_dis", _rule_structs(F.col("disallow"))
-    ).withColumn("_alw", _rule_structs(F.col("allow")))
+    ).withColumn("_alw", _rule_structs(F.col("allow"), allow=True))
     # `_path` must be a REAL column before the higher-order aggregate: a
     # free nested expression captured inside the HOF lambda can be carried
     # across join/filter pushdown into a plan where its `url` attribute no

@@ -175,8 +175,10 @@ def test_registrable_domain_psl_broadcast(spark):
 
     psl = spark.createDataFrame(
         [("uk", False), ("co.uk", False), ("sch.uk", False),
-         ("kobe.jp", False),         # stand-in for the *.kobe.jp wildcard
-         ("city.kobe.jp", True),     # the !city.kobe.jp exception
+         ("kobe.jp", False),          # stand-in for the *.kobe.jp wildcard
+         ("b.kobe.jp", False),        # the wildcard PRE-EXPANDED for b
+         ("city.kobe.jp", False),     # ...and (wrongly reachable) for city
+         ("city.kobe.jp", True),      # the !city.kobe.jp exception
          ("com", False)],
         "suffix string, is_exception boolean")
     rows = [("a.foo.co.uk",), ("bar.co.uk",), ("x.example.com",),
@@ -188,8 +190,12 @@ def test_registrable_domain_psl_broadcast(spark):
         "a.foo.co.uk": "foo.co.uk",
         "bar.co.uk": "bar.co.uk",
         "x.example.com": "example.com",
-        "a.b.kobe.jp": "b.kobe.jp",
-        "www.city.kobe.jp": "city.kobe.jp",  # exception: itself
+        "a.b.kobe.jp": "a.b.kobe.jp",        # expanded wildcard: suffix
+                                             # is b.kobe.jp, keep 4
+        # the exception must PREVAIL over the same-suffix expanded
+        # wildcard row (PSL prevailing-rule order), not lose the
+        # longest-match to it
+        "www.city.kobe.jp": "city.kobe.jp",
         "noache.zz": "noache.zz",
     }
 

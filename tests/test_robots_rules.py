@@ -98,6 +98,13 @@ def test_hostile_wildcard_rules_bounded():
     assert robots_allowed("/px", [hostile], []) is False
     assert robots_allowed("/q", [hostile], []) is True
 
+    # direction-aware degrade: an over-cap ALLOW rule is dropped (its
+    # prefix superset would otherwise win the longest-raw-rule tie-break
+    # and re-open paths the site disallowed) — /private stays blocked
+    assert robots_allowed("/private/x", ["/private"], [hostile]) is False
+    # while an under-cap allow still wins normally
+    assert robots_allowed("/private/ok", ["/private"], ["/private/ok"]) is True
+
 
 def test_jvm_hostile_rules_match_python(spark):
     """The JVM rule-struct path applies the same collapse + prefix-fallback
@@ -108,8 +115,9 @@ def test_jvm_hostile_rules_match_python(spark):
     rulesets = {
         "h0": (["/a***b"], []),
         "h1": ([hostile], []),
+        "h2": (["/private"], [hostile]),   # over-cap Allow must be dropped
     }
-    paths = ["/aXXb", "/ab", "/c", "/px", "/p", "/q"]
+    paths = ["/aXXb", "/ab", "/c", "/px", "/p", "/q", "/private/x"]
     frontier = spark.createDataFrame(
         [(h, f"http://{h}.test{p}") for h in rulesets for p in paths],
         "host string, url string")
