@@ -105,12 +105,21 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     warm_dir = sf_dir.replace("sf0.1", "sf0.001")
     for name in headline:
         qs[name](spark, warm_dir if os.path.isdir(warm_dir) else sf_dir).count()
+    # best-of-3 per query (round 5): the shared host shows 1.5-2x
+    # noisy-window swings on UNCHANGED legs between back-to-back runs;
+    # min wall is the least-interfered reading — the same statistic the
+    # frontier leg has always used. (Rounds 1-4 stamped a single pass,
+    # so cross-round per-query deltas under ~2x are window noise, not
+    # code; see BENCH/BASELINE.md.)
     times: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            runs.append(time.time() - t0)
+            assert n >= 0
+        times[name] = round(min(runs), 3)
     return times
 
 
