@@ -57,6 +57,8 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        import time
+        t0 = time.time()
         try:
             df = fn(spark, SF_DIR)
             sr = df.collect()
@@ -90,7 +92,7 @@ def main():
             print(f"FAIL {name}: {'; '.join(problems)}")
             fails.append(name)
         else:
-            print(f"PASS {name} ({len(sr)} rows)")
+            print(f"PASS {name} ({len(sr)} rows, {time.time() - t0:.2f}s)")
     spark.stop()
     print(f"\n{len(fails)} failures: {fails}" if fails else "\nALL PASS")
     sys.exit(1 if fails else 0)
