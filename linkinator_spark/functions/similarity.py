@@ -31,14 +31,65 @@ from linkinator_spark.functions.dedup import cosine_similarity
 def cosine_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    query_id_col: str = "query_id",
+    query_id_col: str = "query_id", gear: str = "arrow",
 ) -> DataFrame:
     """Exact top-k by cosine for every query vector. queries is small ->
-    broadcast; ties broken by corpus id for determinism."""
+    broadcast; ties broken by corpus id for determinism.
+
+    `gear` picks the candidate-generation path; both produce IDENTICAL
+    results because the FINAL scoring/ranking always runs the same JVM
+    `cosine_similarity` expression + window over the same rows:
+
+    * "sql"   — the original brute force: broadcast-nested-loop corpus x
+      queries with the interpreted zip_with/aggregate cosine on every
+      pair. O(n*q*dim) interpreted Catalyst evaluation — the 60s leg of
+      the sf1.0 bench.
+    * "arrow" (default) — GEMM prune + exact re-rank: one numpy matmul
+      per Arrow batch scores all queries against the batch (normalized
+      dot == cosine up to accumulation order, |err| ~1e-14), each task
+      keeps a running top-(k+16) per query, and ONLY those candidates
+      (tasks * q * (k+16) id rows, never vectors) are shuffled. The
+      exact JVM cosine then re-scores the pruned candidate set and the
+      original window ranks it — bit-identical output to the "sql" gear
+      as long as the true top-k survive the prune, which the +16 pad
+      guarantees up to a 17-way tie within ~1e-13 of the k-th score
+      (impossible on real-valued embeddings; exact-duplicate ties at
+      the SAME score are ordered by the final exact window anyway, so
+      only >16 duplicates of one boundary vector could differ).
+      Per guide §4.2/§8: decide with small rows (ids + approx score),
+      move/score heavy vectors only for the ~q*(k+16) survivors.
+    """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    if gear not in ("arrow", "sql"):
+        raise ValueError(f"unknown gear {gear!r}")
+    if gear == "arrow":
+        cand = _gemm_topk_candidates(
+            corpus, queries, k + 16, id_col, vec_col, query_id_col)
+        if cand is not None:
+            # global prune to k+16 per query by the approx score, then
+            # re-attach vectors for the survivors only (broadcast the id
+            # pairs — the corpus is never shuffled)
+            wp = Window.partitionBy("query_id").orderBy(
+                F.desc("apx"), F.asc("neighbor_id"))
+            top = (cand.withColumn("pr", F.row_number().over(wp))
+                   .filter(F.col("pr") <= k + 16)
+                   .select("query_id", "neighbor_id"))
+            scored = c.join(F.broadcast(top), "neighbor_id").join(
+                F.broadcast(q), "query_id").select(
+                "query_id", "neighbor_id",
+                cosine_similarity(F.col("cv"), F.col("qv")).alias("cos"),
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("cos"), F.asc("neighbor_id"))
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.round("cos", 6).alias("cosine"), "rank")
+            )
     scored = c.join(F.broadcast(q)).select(
         "query_id", "neighbor_id",
         cosine_similarity(F.col("cv"), F.col("qv")).alias("cos"),
@@ -49,6 +100,93 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rank")
     )
+
+
+def _gemm_topk_candidates(
+    corpus: DataFrame, queries: DataFrame, kpad: int,
+    id_col: str, vec_col: str, query_id_col: str,
+):
+    """(query_id, neighbor_id, apx) — a per-task running top-`kpad` per
+    query by normalized-dot GEMM score. Returns None when the query set
+    is empty (caller falls back to the brute-force gear, which yields
+    the correct empty result). The query matrix is collected to the
+    driver (the function's contract is a broadcastable query side — same
+    bounded-dimension read as the IVF codebook) and shipped in the task
+    closure; the corpus crosses the Python boundary once as Arrow
+    batches and only candidate IDS are ever emitted or shuffled."""
+    int_types = ("tinyint", "smallint", "int", "bigint")
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if qid_type not in int_types or id_type not in int_types:
+        return None  # numpy id buffers are int64; exotic ids take the sql gear
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        return None
+    Q = np.array([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Qn = (Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)).T
+    nq = len(qids)
+    # cap the transient score matrix at ~32 MB per chunk
+    chunk = max(64, 4_000_000 // nq)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best_s = None
+        best_id = None
+
+        def merge(cs, cid):
+            nonlocal best_s, best_id
+            if best_s is None:
+                best_s, best_id = cs, cid
+            else:
+                best_s = np.vstack([best_s, cs])
+                best_id = np.vstack([best_id, cid])
+            if best_s.shape[0] > kpad:
+                sel = np.argpartition(-best_s, kpad - 1, axis=0)[:kpad]
+                best_s = np.take_along_axis(best_s, sel, axis=0)
+                best_id = np.take_along_axis(best_id, sel, axis=0)
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids_all = pdf["vid"].to_numpy(np.int64)
+            for lo in range(0, n, chunk):
+                part = pdf["v"].iloc[lo:lo + chunk]
+                M = np.stack(part.map(
+                    lambda v: np.asarray(v, dtype=np.float64)))
+                Mn = M / np.maximum(
+                    np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+                S = Mn @ Qn  # (rows, nq)
+                rows = S.shape[0]
+                ids = ids_all[lo:lo + chunk]
+                if rows > kpad:
+                    idx = np.argpartition(-S, kpad - 1, axis=0)[:kpad]
+                    cs = np.take_along_axis(S, idx, axis=0)
+                    cid = ids[idx]
+                else:
+                    cs, cid = S, np.broadcast_to(
+                        ids[:, None], S.shape).copy()
+                merge(cs, cid)
+        if best_s is not None:
+            rows = best_s.shape[0]
+            yield pd.DataFrame({
+                "query_id": np.tile(qids, rows),
+                "neighbor_id": best_id.ravel(),
+                "apx": best_s.ravel(),
+            })
+
+    vecs = corpus.select(F.col(id_col).alias("vid"),
+                         F.col(vec_col).alias("v"))
+    # a small parquet input arrives as 1-2 scan partitions, which would
+    # pin the whole GEMM onto 1-2 tasks; spread it across the cores
+    # (tiny shuffle of (id, vec) rows — the decision pass, not the
+    # payload pass)
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    vecs = vecs.repartition(n_parts)
+    return vecs.mapInPandas(
+        fn, f"query_id {qid_type}, neighbor_id {id_type}, apx double")
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
