@@ -1607,12 +1607,17 @@ def q_corpus_build_mm(spark, sf_dir):
     from linkinator_spark.functions import media as MD
     from linkinator_spark.functions import sampling as SMP
 
-    spans = q_span_flatten(spark, sf_dir)
+    # one materialization of the derived span table: it feeds the gate,
+    # the survivor semi-join, the dedup rollup and the original-media
+    # count — without it the whole span derivation (explode over the
+    # narrow documents scan) re-runs per consumer
+    spans = q_span_flatten(spark, sf_dir).localCheckpoint(eager=False)
     gate = IV.gate_interleaved(
         spans, min_media=1, max_media=3, min_tokens=30,
         min_tokens_per_media=10)
     kept_docs = gate.filter(F.col("keep")).select("doc_id")
     kept_spans = spans.join(kept_docs, "doc_id", "left_semi")
+    kept_spans = kept_spans.localCheckpoint(eager=False)
     cleaned = MD.drop_dup_media(kept_spans)
     tok = F.when(
         F.col("kind") == "media_ref", F.lit(_MEDIA_SPAN_TOKENS)
@@ -2048,11 +2053,24 @@ def q_corpus_build(spark, sf_dir):
     into the surviving rows only. Nothing in the chain collects to the
     driver or keys a shuffle on a skewable column."""
     from linkinator_spark.functions import sampling as SMP
+    from linkinator_spark.functions.partitioning import spread_small_scan
 
     docs = _t(spark, sf_dir, "documents")
-    keyed = docs.select(
+    # one spread + materialization of the slim (doc_id, text, ck) base:
+    # it feeds BOTH sides of the keeper join and the gate stage, and the
+    # LogicalRDD boundary stops Catalyst pushing the (expensive) lang/
+    # quality gate predicate below the joins onto the narrow parquet scan
+    # — the pushed copy evaluated 16 full-text regexes per row over the
+    # WHOLE corpus single-threaded, then the top projection evaluated
+    # them again (the §4.4 filter-duplication shape, here with native
+    # expressions). With the barrier the gates run once, wide, on
+    # post-dedup survivors only (13.1s -> ~1s of the sf1.0 leg).
+    keyed = spread_small_scan(
+        docs.select("doc_id", "text")
+    ).select(
         "doc_id", "text",
-        F.md5(T.normalize_text(F.col("text"))).alias("ck"))
+        F.md5(T.normalize_text(F.col("text"))).alias("ck"),
+    ).localCheckpoint(eager=False)
     keepers = keyed.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
     kept = keyed.join(keepers, ["ck", "doc_id"]).select("doc_id", "text")
     # decontaminate only the surviving keepers (the gram explode is the
@@ -2148,7 +2166,14 @@ def q_corpus_build_v2(spark, sf_dir):
     from linkinator_spark.functions import gopher as GP
     from linkinator_spark.functions import sampling as SMP
 
-    dd = _docs_v2(spark, sf_dir)
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # spread + materialize the input once: the Gopher/C4 gate expressions
+    # (dozens of full-text regex/array passes) would otherwise be pushed
+    # below the keeper join onto the narrow scan and re-evaluated per
+    # consumer (the corpus_build §4.4 shape)
+    dd = spread_small_scan(_docs_v2(spark, sf_dir)).localCheckpoint(
+        eager=False)
     d = F.col("doc_id")
     host = F.concat(F.lit("sub"), (d % 3).cast("string"),
                     F.lit(".site"), (d % 20).cast("string"),
@@ -2164,12 +2189,14 @@ def q_corpus_build_v2(spark, sf_dir):
     ).filter(F.col("_gok") & F.col("_cok"))
     rules = spark.createDataFrame(
         [(r,) for r in _BLOCKLIST_RULES], "domain string")
+    # slim (no text) decision rows; one materialization feeds the keeper
+    # groupBy AND the final join, so the gate chain runs exactly once
     surv = (
         BL.apply_blocklist(gated, rules, url_col="doc_id")
         .filter(F.col("blocked") == 0)
         .select("doc_id", "host", "n_words", "n_kept",
                 F.md5(T.normalize_text(F.col("text"))).alias("ck"))
-    )
+    ).localCheckpoint(eager=False)
     keepers = surv.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
     _, split = SMP.split_expr("doc_id")
     return (
@@ -2200,7 +2227,12 @@ def q_corpus_build_v3(spark, sf_dir):
     from linkinator_spark.functions import gopher as GP
     from linkinator_spark.functions import sampling as SMP
 
-    dd = _docs_v2(spark, sf_dir)
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # same spread + materialization shape as corpus_build_v2 (the gate
+    # expressions must evaluate once, wide, not per consumer at the scan)
+    dd = spread_small_scan(_docs_v2(spark, sf_dir)).localCheckpoint(
+        eager=False)
     d = F.col("doc_id")
     host = F.concat(F.lit("sub"), (d % 3).cast("string"),
                     F.lit(".site"), (d % 20).cast("string"),
@@ -2228,7 +2260,7 @@ def q_corpus_build_v3(spark, sf_dir):
         .select("doc_id", "host", "n_words", "n_kept",
                 "n_line_removed", "line_md5",
                 F.md5(T.normalize_text(F.col("text"))).alias("ck"))
-    )
+    ).localCheckpoint(eager=False)
     keepers = surv.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
     _, split = SMP.split_expr("doc_id")
     return (

@@ -73,6 +73,12 @@ def paragraph_attributes(
                    ).alias("n_phones"),
         )
 
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # the per-paragraph transform (nested regex + stoplist scans) is an
+    # interpreted expression; spread a narrow scan across the cores first
+    # (no-op when the input is already wide)
+    docs = spread_small_scan(docs.select(F.col(id_col), F.col(text_col)))
     tagged = docs.select(
         F.col(id_col),
         F.explode(

@@ -32,8 +32,12 @@ from linkinator_spark.functions.text import (
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents: keeper = min id."""
-    keyed = docs.select(
-        F.col(id_col).alias("doc_id"),
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    keyed = spread_small_scan(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
         F.md5(normalize_text(F.col(text_col))).alias("content_key"),
     )
     return (
@@ -100,16 +104,19 @@ def minhash_signature_table(
     the column form measured ~30x slower on multi-KB documents), and the
     shuffle carries only n_hashes partial mins per doc."""
     sh = F.array_distinct(shingles(normalize_text(F.col(text_col)), k))
-    # round-robin repartition before the shingle projection: a small parquet
+    # round-robin spread before the shingle projection: a small parquet
     # input arrives as 1-2 partitions, which would pin the whole corpus's
-    # shingling (an interpreted higher-order transform) onto one task.
-    # Deliberately NOT hash-partitioned on doc_id — pre-aligning with the
-    # groupBy key collapses the partial/final aggregate split and measured
-    # 10x slower than keeping map-side partial aggregation + tiny shuffle.
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # shingling (an interpreted higher-order transform) onto one task;
+    # scale-adaptive (no-op on an already-wide scan — a cluster-sized
+    # corpus must not pay a payload shuffle here). Deliberately NOT
+    # hash-partitioned on doc_id — pre-aligning with the groupBy key
+    # collapses the partial/final aggregate split and measured 10x slower
+    # than keeping map-side partial aggregation + tiny shuffle.
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
     ex = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-        .repartition(n_parts)
+        spread_small_scan(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select("doc_id", F.explode(sh).alias("s"))
     )
     h = shingle_hash28(F.col("s"))
@@ -226,12 +233,20 @@ def incremental_near_dups(
     table and the candidate-driven shingle lookup — both keyed on
     uniform hashes; nothing all-pairs, nothing driver-side."""
     cands = minhash_candidate_pairs_between(
-        new_docs, corpus_docs, id_col, text_col, n_hashes, bands, k)
+        new_docs, corpus_docs, id_col, text_col, n_hashes, bands, k
+    ).localCheckpoint(eager=False)
     n_parts = new_docs.sparkSession.sparkContext.defaultParallelism
 
     def _sh(df, out_id):
+        # shingle only the docs that actually appear in a candidate pair
+        # (same verify-side prune as jaccard_pairs — the corpus side would
+        # otherwise re-shingle the standing corpus every day)
+        members = cands.select(out_id).distinct().withColumnRenamed(
+            out_id, id_col)
         return (
-            df.select(F.col(id_col).alias(out_id), F.col(text_col))
+            df.select(F.col(id_col), F.col(text_col))
+            .join(members, id_col)
+            .withColumnRenamed(id_col, out_id)
             .repartition(n_parts)
             .select(out_id, F.array_distinct(
                 shingles(normalize_text(F.col(text_col)), k)).alias(
@@ -263,14 +278,31 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs; the verify step after
     LSH. Output: (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+    # compute shingle arrays ONLY for docs that appear in a candidate pair:
+    # the LSH prune typically leaves a tiny fraction of the corpus, and the
+    # shingle transform (interpreted substring-per-position) was the
+    # dominant cost of the verify step when run over every document. The
+    # member semi-join keys on the uniform doc id; candidates are
+    # checkpointed once so the (expensive) pair generation upstream is not
+    # re-run for each of its three consumers here.
+    candidates = candidates.localCheckpoint(eager=False)
+    members = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     # same round-robin spread as minhash_signature_table: the interpreted
-    # shingle transform must not run on the raw 1-2 scan partitions
+    # shingle transform must not run on 1-2 scan partitions
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)).repartition(
-        n_parts
-    ).select(
-        "doc_id",
-        F.array_distinct(shingles(normalize_text(F.col(text_col)), k)).alias("sh"),
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .join(members, "doc_id")
+        .repartition(n_parts)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                shingles(normalize_text(F.col(text_col)), k)).alias("sh"),
+        )
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -398,7 +430,9 @@ def hyperplane_band_buckets(
                 "band_hash": hashes.reshape(-1),
             })
 
-    return df.select(id_col, vec_col).mapInPandas(
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    return spread_small_scan(df.select(id_col, vec_col)).mapInPandas(
         fn, "vid long, band_id int, band_hash long")
 
 

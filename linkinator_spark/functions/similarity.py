@@ -456,7 +456,11 @@ def _nearest_lists_arrow(vecs: DataFrame, cents: DataFrame,
         raise ValueError("keep_vec requires nprobe=1")
     schema = (f"vid {id_type}, v array<double>, list_id int" if keep_vec
               else f"vid {id_type}, list_id int")
-    return vecs.mapInPandas(fn, schema)
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # spread a narrow scan so the GEMM batches use every core (no-op on
+    # already-wide inputs)
+    return spread_small_scan(vecs).mapInPandas(fn, schema)
 
 
 def semantic_dedup(
@@ -506,13 +510,51 @@ def semantic_dedup(
     else:
         member = vecs.join(
             _nearest_lists(vecs, cents, 1).select("vid", "list_id"), "vid")
-    a = member.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
-                      "list_id")
-    b = member.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
-                      "list_id")
+    # one materialization feeds the pair stage (twice) and the final
+    # keeper join — without it the assignment recomputes per consumer
+    member = member.localCheckpoint(eager=False)
+    # Within-cell pairwise prune, GEMM gear: the former expression-level
+    # cell self-join evaluated the interpreted zip_with cosine on every
+    # in-cell pair (O(sum |cell|^2 * dim) interpreted — 200s at sf1.0).
+    # Per cell, one numpy GEMM finds candidate pairs with normalized-dot
+    # >= eps - 1e-6 (a margin that provably captures every pair whose
+    # EXACT cosine could round up to >= eps at 6dp: round-up needs
+    # cos >= eps - 5e-7, GEMM accumulation differs by ~1e-13), and only
+    # those candidates are re-scored with the exact JVM cosine + round —
+    # the same filter expression as before, so the output is identical.
+    id_type = member.schema["vid"].dataType.simpleString()
+    margin = eps - 1e-6
+
+    def pair_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if n < 2:
+            return empty
+        ids = pdf["vid"].to_numpy(np.int64)
+        M = np.stack(pdf["v"].map(lambda v: np.asarray(v, np.float64)))
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        out_a, out_b = [], []
+        block = max(64, 4_000_000 // n)  # keep the score block ~32 MB
+        for lo in range(0, n, block):
+            S = Mn[lo:lo + block] @ Mn.T
+            ia, ib = np.nonzero(S >= margin)
+            ga, gb = ids[lo + ia], ids[ib]
+            m = ga < gb
+            if m.any():
+                out_a.append(ga[m])
+                out_b.append(gb[m])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    cand = member.groupBy("list_id").applyInPandas(
+        pair_fn, f"id_a {id_type}, id_b {id_type}")
+    va = member.select(F.col("vid").alias("id_a"), F.col("v").alias("va"))
+    vb = member.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"))
     dup = (
-        a.join(b, "list_id")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a").join(vb, "id_b")
         .filter(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= eps)
         .groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
     )

@@ -185,9 +185,15 @@ def word_ngram_hashes(df: DataFrame, text_col: str, n: int,
         lambda i: F.xxhash64(*[F.element_at(w, i + j) for j in range(n)]))
     grams = (F.when(F.size(w) < n, F.array().cast("array<bigint>"))
              .otherwise(grams))
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # the gram transform + explode is the heaviest map stage of the
+    # decontamination family; a single-row-group parquet scan would pin it
+    # onto 1-2 tasks (spread is a no-op on already-wide inputs)
+    base = spread_small_scan(df.select(id_col, F.col(text_col)))
     return (
-        df.select(id_col,
-                  F.split(normalize_text(F.col(text_col)), " ").alias("_w"))
+        base.select(id_col,
+                    F.split(normalize_text(F.col(text_col)), " ").alias("_w"))
         .select(id_col, F.explode(grams).alias("gram"))
     )
 
