@@ -15,6 +15,7 @@ Engine side: `url_hash` / `url_host` column helpers stay JVM-built-in.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
 
 from pyspark.sql import Column
@@ -185,10 +186,15 @@ def _normalize_host(host: str) -> str:
     return _maybe_ipv4(host) or host
 
 
+@lru_cache(maxsize=1 << 17)
 def canonicalize(href: str) -> str:
     """Normalize an absolute URL the way `new URL(x).href` would (subset):
     lowercase scheme + host, strip default port, '' path -> '/' for special
     schemes, encode spaces in path/query. Fragment is preserved if present.
+
+    Pure string -> string; memoized (bounded LRU) because crawl waves
+    resolve many links to the SAME target URL — the fused driver loop and
+    the Arrow extraction workers both hit the cache heavily.
     """
     pre = _pre_normalize(_clean(href))
     parts = urlsplit(pre)
@@ -245,8 +251,7 @@ def parse_link(link: str, base: str | None) -> dict:
     }
     try:
         cleaned = _clean(link)
-        if base and not _SCHEME_RE.match(cleaned) and urlsplit(
-                base).scheme.lower() in _SPECIAL_SCHEMES:
+        if base and not _SCHEME_RE.match(cleaned) and _base_is_special(base):
             # relative path parsing against a special base also treats
             # backslashes as slashes (new URL('b\\c', base) → .../b/c)
             cleaned = _slash_backslashes(cleaned)
@@ -260,8 +265,10 @@ def parse_link(link: str, base: str | None) -> dict:
             if not parts.netloc or not parts.hostname:
                 raise ValueError(f"missing host in URL: {link!r}")
         full = canonicalize(resolved)
-        frag_split = urlsplit(full)
-        fragment = frag_split.fragment or None
+        # fragment == everything after the FIRST '#' (what urlsplit
+        # returns for an absolute URL) — string split, no re-parse
+        fragment = full.split("#", 1)[1] if "#" in full else None
+        fragment = fragment or None
         # strip the fragment TEXTUALLY (the reference sets url.hash = ''
         # on the WHATWG object): a bare trailing '?' must survive into
         # the seen key, which a urlunsplit rebuild would drop
@@ -275,9 +282,21 @@ def parse_link(link: str, base: str | None) -> dict:
     return out
 
 
+@lru_cache(maxsize=1 << 17)
+def _base_is_special(base: str) -> bool:
+    """Memoized `urlsplit(base).scheme in special` — every link of a page
+    probes the same base."""
+    try:
+        return urlsplit(base).scheme.lower() in _SPECIAL_SCHEMES
+    except ValueError:
+        return False
+
+
+@lru_cache(maxsize=1 << 17)
 def url_host_py(url: str) -> str:
     """WHATWG `.host` — lowercase hostname incl. non-default port
-    (the reference keys its per-host delay cache on this, src/index.ts:326)."""
+    (the reference keys its per-host delay cache on this, src/index.ts:326).
+    Pure + memoized: the politeness twins call it per frontier row."""
     try:
         parts = urlsplit(url)
         host = (parts.hostname or "").lower()
