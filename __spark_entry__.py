@@ -1386,7 +1386,11 @@ def q_dedup_incremental(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    docs = _docs_with_dups(spark, sf_dir)
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # the 32-bit-majority simhash is a deep interpreted expression; spread
+    # the narrow scan across the cores first (no-op on wide inputs)
+    docs = spread_small_scan(_docs_with_dups(spark, sf_dir))
     return docs.select(
         "doc_id", D.simhash(F.col("text"), bits=SIMHASH_BITS).alias("simhash")
     )

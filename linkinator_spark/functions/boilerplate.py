@@ -93,6 +93,11 @@ def main_content(
     feats = F.filter(F.transform(blocks, featurize),
                      lambda s: s["text"] != "")
     kept = F.filter(feats, lambda s: s["keep"])
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # the block featurization is a deep interpreted higher-order tree;
+    # spread a narrow scan so it uses every core (no-op on wide inputs)
+    docs = spread_small_scan(docs.select(id_col, html_col))
     return docs.select(
         F.col(id_col),
         F.array_join(F.transform(kept, lambda s: s["text"]), "\n")

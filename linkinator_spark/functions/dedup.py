@@ -103,21 +103,33 @@ def minhash_signature_table(
     aggregation (Spark evaluates higher-order array functions interpreted —
     the column form measured ~30x slower on multi-KB documents), and the
     shuffle carries only n_hashes partial mins per doc."""
-    sh = F.array_distinct(shingles(normalize_text(F.col(text_col)), k))
-    # round-robin spread before the shingle projection: a small parquet
-    # input arrives as 1-2 partitions, which would pin the whole corpus's
-    # shingling (an interpreted higher-order transform) onto one task;
-    # scale-adaptive (no-op on an already-wide scan — a cluster-sized
-    # corpus must not pay a payload shuffle here). Deliberately NOT
-    # hash-partitioned on doc_id — pre-aligning with the groupBy key
-    # collapses the partial/final aggregate split and measured 10x slower
-    # than keeping map-side partial aggregation + tiny shuffle.
+    # Shingling as a pure-codegen position explode: `shingles()` builds a
+    # per-doc string array through an interpreted higher-order transform
+    # (~33us/shingle — 15.7s for the sf1.0 bucket table); exploding the
+    # POSITION sequence and slicing with a codegen substring computes the
+    # same shingle stream at expression speed. Duplicate shingles are NOT
+    # removed (the column form array_distincts first): min() is
+    # duplicate-insensitive, so the signature is identical.
+    # Round-robin spread before the explode: a small parquet input
+    # arrives as 1-2 partitions, which would pin the whole corpus's
+    # shingling onto one task; scale-adaptive (no-op on an already-wide
+    # scan — a cluster-sized corpus must not pay a payload shuffle here).
+    # Deliberately NOT hash-partitioned on doc_id — pre-aligning with the
+    # groupBy key collapses the partial/final aggregate split and
+    # measured 10x slower than keeping map-side partial aggregation +
+    # tiny shuffle.
     from linkinator_spark.functions.partitioning import spread_small_scan
 
     ex = (
         spread_small_scan(
             docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
-        .select("doc_id", F.explode(sh).alias("s"))
+        .select("doc_id", normalize_text(F.col(text_col)).alias("_t"))
+        .select(
+            "doc_id", "_t",
+            F.explode(F.sequence(
+                F.lit(1),
+                F.greatest(F.length("_t") - (k - 1), F.lit(1)))).alias("_i"))
+        .select("doc_id", F.expr(f"substring(_t, _i, {k})").alias("s"))
     )
     h = shingle_hash28(F.col("s"))
     mins = [

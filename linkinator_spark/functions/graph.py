@@ -17,10 +17,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Fused small-graph gear (same philosophy as dedup._cc_fused and the
+# fused BFS): a fixture/bench-scale edge list pays per-round shuffles and
+# checkpoints in the staged loop purely as scheduling latency. When the
+# (distinct) edge list fits one task, the whole fixed-round iteration
+# runs as vectorized numpy inside ONE executor task. The staged
+# DataFrame loop remains the at-scale path and the semantics reference;
+# float accumulation order differs only within the tolerance the
+# engine-vs-oracle compare already absorbs (all float outputs are
+# 6dp-rounded by their queries), and the integer label propagation is
+# bit-exact. tests/test_graph.py pins fused == staged on real data.
+GRAPH_FUSE_MAX_EDGES = 5_000_000  # ~80 MB of int64 pairs in one task
+
+
+def _edges_fused(e: DataFrame, compute, schema: str) -> DataFrame:
+    """Run `compute(src, dst)` (int64 arrays -> pandas DataFrame) over
+    the whole edge list in one executor task."""
+    def fn(batches):
+        import numpy as np
+
+        srcs, dsts = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy(np.int64))
+            dsts.append(pdf["dst"].to_numpy(np.int64))
+        yield compute(np.concatenate(srcs), np.concatenate(dsts))
+
+    return e.repartition(1).mapInPandas(fn, schema)
+
+
+def _node_index(np, src, dst):
+    nodes = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    outdeg = np.bincount(si, minlength=len(nodes))
+    return nodes, si, di, outdeg
+
 
 def pagerank(
     edges: DataFrame, iters: int = 5, damping: float = 0.85,
     src_col: str = "src", dst_col: str = "dst",
+    fuse_max_edges: int = GRAPH_FUSE_MAX_EDGES,
 ) -> DataFrame:
     """(node, pagerank) after `iters` power iterations at `damping`.
 
@@ -38,6 +74,28 @@ def pagerank(
     e = (edges.select(F.col(src_col).cast("long").alias("src"),
                       F.col(dst_col).cast("long").alias("dst"))
          .distinct())
+    if fuse_max_edges and e.count() <= fuse_max_edges:
+        def compute(src, dst):
+            import numpy as np
+            import pandas as pd
+
+            if len(src) == 0:
+                return pd.DataFrame({"node": np.empty(0, np.int64),
+                                     "pr": np.empty(0, np.float64)})
+            nodes, si, di, outdeg = _node_index(np, src, dst)
+            n = len(nodes)
+            pr = np.full(n, 1.0 / n)
+            base = (1.0 - damping) / n
+            dang = outdeg == 0
+            for _ in range(iters):
+                dangling = pr[dang].sum()
+                contrib = np.bincount(
+                    di, weights=pr[si] / outdeg[si], minlength=n)
+                pr = base + damping * (contrib + dangling / n)
+            return pd.DataFrame({"node": nodes, "pr": pr})
+
+        return _edges_fused(e, compute, "node long, pr double").select(
+            "node", F.col("pr").alias("pagerank"))
     nodes = (e.select(F.col("src").alias("id"))
              .union(e.select(F.col("dst").alias("id")))
              .distinct())
@@ -48,10 +106,13 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
         with_deg = ranks.join(deg, ranks["id"] == deg["src"], "left")
-        # dangling mass: ranks of nodes with no out-edges, spread evenly
-        dangling = (with_deg.filter(F.col("src").isNull())
-                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)))
-                    .collect()[0][0])
+        # dangling mass: ranks of nodes with no out-edges, spread evenly.
+        # Kept as a 1-row aggregate crossJoined into the round (NOT a
+        # per-round collect): the whole power iteration then runs as ONE
+        # Spark job — no driver barrier per round (same IEEE doubles, so
+        # results are bit-identical to the collected-literal form)
+        dmass = (with_deg.filter(F.col("src").isNull())
+                 .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")))
         contrib = (
             e.join(ranks, e["src"] == ranks["id"])
             .join(deg, "src")
@@ -60,14 +121,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .crossJoin(dmass)
             .select(
                 "id",
                 (F.lit(base)
                  + F.lit(damping)
                  * (F.coalesce(F.col("c"), F.lit(0.0))
-                    + F.lit(dangling / n_nodes))).alias("pr"),
+                    + F.col("_dm") / n_nodes)).alias("pr"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # lazy: truncates the logical
+        # plan immediately, materializes inside the single final job
     return ranks.select(F.col("id").alias("node"), F.col("pr").alias("pagerank"))
 
 
@@ -186,6 +249,7 @@ def anchor_text_agg_oracle_sql(edges_rel: str) -> str:
 def hits(
     edges: DataFrame, iters: int = 5,
     src_col: str = "src", dst_col: str = "dst",
+    fuse_max_edges: int = GRAPH_FUSE_MAX_EDGES,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) after `iters` mutual-
     reinforcement rounds: (node, hub, auth).
@@ -213,6 +277,27 @@ def hits(
     e = (edges.select(F.col(src_col).cast("long").alias("src"),
                       F.col(dst_col).cast("long").alias("dst"))
          .distinct())
+    if fuse_max_edges and e.count() <= fuse_max_edges:
+        def compute(src, dst):
+            import numpy as np
+            import pandas as pd
+
+            if len(src) == 0:
+                z = np.empty(0, np.float64)
+                return pd.DataFrame({"node": np.empty(0, np.int64),
+                                     "hub": z, "auth": z})
+            nodes, si, di, _ = _node_index(np, src, dst)
+            n = len(nodes)
+            hub = np.full(n, 1.0 / n)
+            for _ in range(iters):
+                a_raw = np.bincount(di, weights=hub[si], minlength=n)
+                auth = a_raw / a_raw.sum()
+                h_raw = np.bincount(si, weights=auth[di], minlength=n)
+                hub = h_raw / h_raw.sum()
+            return pd.DataFrame({"node": nodes, "hub": hub, "auth": auth})
+
+        return _edges_fused(
+            e, compute, "node long, hub double, auth double")
     nodes = (e.select(F.col("src").alias("id"))
              .union(e.select(F.col("dst").alias("id")))
              .distinct())
@@ -221,24 +306,28 @@ def hits(
         "id", (F.lit(1.0) / n_nodes).alias("hub"),
         (F.lit(1.0) / n_nodes).alias("auth"))
     for _ in range(iters):
-        # auth step: sum incoming hub mass, L1-normalize
+        # auth step: sum incoming hub mass, L1-normalize. The normalizer
+        # is a 1-row aggregate crossJoined in (pagerank's no-per-round-
+        # collect shape): the full mutual-reinforcement chain is ONE job
         a_raw = (e.join(scores.select(F.col("id").alias("src"), "hub"), "src")
                  .groupBy("dst").agg(F.sum("hub").alias("a")))
-        a_tot = a_raw.agg(F.coalesce(F.sum("a"), F.lit(1.0))).collect()[0][0]
+        a_tot = a_raw.agg(F.coalesce(F.sum("a"), F.lit(1.0)).alias("_at"))
         auth = (nodes.join(a_raw, nodes["id"] == a_raw["dst"], "left")
+                .crossJoin(a_tot)
                 .select("id", (F.coalesce(F.col("a"), F.lit(0.0))
-                               / F.lit(a_tot)).alias("auth")))
+                               / F.col("_at")).alias("auth")))
         # hub step: sum outgoing (new) auth mass, L1-normalize
         h_raw = (e.join(auth.select(F.col("id").alias("dst"),
                                     F.col("auth").alias("na")), "dst")
                  .groupBy("src").agg(F.sum("na").alias("h")))
-        h_tot = h_raw.agg(F.coalesce(F.sum("h"), F.lit(1.0))).collect()[0][0]
+        h_tot = h_raw.agg(F.coalesce(F.sum("h"), F.lit(1.0)).alias("_ht"))
         hub = (nodes.join(h_raw, nodes["id"] == h_raw["src"], "left")
+               .crossJoin(h_tot)
                .select("id", (F.coalesce(F.col("h"), F.lit(0.0))
-                              / F.lit(h_tot)).alias("hub")))
+                              / F.col("_ht")).alias("hub")))
         scores = (hub.join(auth, "id")
                   .select("id", "hub", "auth")
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
     return scores.select(F.col("id").alias("node"), "hub", "auth")
 
 
@@ -354,6 +443,7 @@ def link_spam_oracle_sql(edges_rel: str, min_out: int = 20,
 def label_propagation(
     edges: DataFrame, iters: int = 4,
     src_col: str = "src", dst_col: str = "dst",
+    fuse_max_edges: int = GRAPH_FUSE_MAX_EDGES,
 ) -> DataFrame:
     """(node, community) after `iters` synchronous label-propagation
     rounds (Raghavan et al. 2007) over the UNDIRECTED graph.
@@ -385,6 +475,43 @@ def label_propagation(
     e = (edges.select(F.col(src_col).cast("long").alias("src"),
                       F.col(dst_col).cast("long").alias("dst"))
          .distinct())
+    if fuse_max_edges and e.count() <= fuse_max_edges:
+        def compute(src, dst):
+            import numpy as np
+            import pandas as pd
+
+            if len(src) == 0:
+                return pd.DataFrame({"node": np.empty(0, np.int64),
+                                     "community": np.empty(0, np.int64)})
+            nodes = np.unique(np.concatenate([src, dst]))
+            n = len(nodes)
+            # undirected symmetrized edge set, self-loops dropped,
+            # deduplicated — the DF path's `sym`
+            ns = src != dst
+            u = np.concatenate([src[ns], dst[ns]])
+            v = np.concatenate([dst[ns], src[ns]])
+            pair = np.unique(np.stack(
+                [np.searchsorted(nodes, u),
+                 np.searchsorted(nodes, v)], axis=1), axis=0)
+            su, sv = pair[:, 0], pair[:, 1]
+            lab = nodes.copy()
+            self_ids = np.arange(n)
+            for _ in range(iters):
+                vid = np.concatenate([su, self_ids])
+                vlab = np.concatenate([lab[sv], lab])
+                rows, cnt = np.unique(np.stack([vid, vlab], axis=1),
+                                      axis=0, return_counts=True)
+                # argmax by (count desc, label asc) per node: lexsort is
+                # last-key-primary, rows already label-ascending per node
+                order = np.lexsort((rows[:, 1], -cnt, rows[:, 0]))
+                rid = rows[order, 0]
+                first = np.unique(rid, return_index=True)[1]
+                new = lab.copy()
+                new[rid[first]] = rows[order, 1][first]
+                lab = new
+            return pd.DataFrame({"node": nodes, "community": lab})
+
+        return _edges_fused(e, compute, "node long, community long")
     nodes = (e.select(F.col("src").alias("id"))
              .union(e.select(F.col("dst").alias("id")))
              .distinct())
@@ -409,7 +536,8 @@ def label_propagation(
         labels = (labels.join(best, "id", "left")
                   .select("id", F.coalesce("new_label", "label")
                           .alias("label"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))  # lazy: the fixed-round
+        # propagation runs as one job, no per-round driver barrier
     return labels.select(F.col("id").alias("node"),
                          F.col("label").alias("community"))
 
@@ -464,6 +592,7 @@ def trustrank(
     edges: DataFrame, seeds: DataFrame, iters: int = 5,
     damping: float = 0.85,
     src_col: str = "src", dst_col: str = "dst",
+    fuse_max_edges: int = GRAPH_FUSE_MAX_EDGES,
 ) -> DataFrame:
     """(node, trust) after `iters` biased power iterations (Gyongyi,
     Garcia-Molina & Pedersen, VLDB 2004): PageRank whose teleport vector
@@ -497,6 +626,33 @@ def trustrank(
     if n_seeds == 0:
         return nodes.select(F.col("id").alias("node"),
                             F.lit(0.0).alias("trust"))
+    if fuse_max_edges and e.count() <= fuse_max_edges:
+        # the seed dim is bounded (hand-vetted set) — same collect class
+        # as the broadcast it replaces
+        seed_arr = [r["id"] for r in seed_ids.collect()]
+
+        def compute(src, dst):
+            import numpy as np
+            import pandas as pd
+
+            if len(src) == 0:
+                return pd.DataFrame({"node": np.empty(0, np.int64),
+                                     "trust": np.empty(0, np.float64)})
+            nodes_a, si, di, outdeg = _node_index(np, src, dst)
+            n = len(nodes_a)
+            s = np.where(np.isin(nodes_a, np.asarray(seed_arr, np.int64)),
+                         1.0 / n_seeds, 0.0)
+            tr = s.copy()
+            dang = outdeg == 0
+            for _ in range(iters):
+                dangling = tr[dang].sum()
+                contrib = np.bincount(
+                    di, weights=tr[si] / outdeg[si], minlength=n)
+                tr = (((1.0 - damping) + damping * dangling) * s
+                      + damping * contrib)
+            return pd.DataFrame({"node": nodes_a, "trust": tr})
+
+        return _edges_fused(e, compute, "node long, trust double")
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # static distribution s: 1/|seeds| on seeds, 0 elsewhere
     s = (nodes.join(F.broadcast(seed_ids.withColumn("_s", F.lit(1))),
@@ -507,9 +663,10 @@ def trustrank(
     ranks = s.select("id", F.col("s").alias("tr"))
     for _ in range(iters):
         with_deg = ranks.join(deg, ranks["id"] == deg["src"], "left")
-        dangling = (with_deg.filter(F.col("src").isNull())
-                    .agg(F.coalesce(F.sum("tr"), F.lit(0.0)))
-                    .collect()[0][0])
+        # 1-row dangling aggregate crossJoined in (no per-round collect —
+        # pagerank's one-job shape; same IEEE arithmetic, identical result)
+        dmass = (with_deg.filter(F.col("src").isNull())
+                 .agg(F.coalesce(F.sum("tr"), F.lit(0.0)).alias("_dm")))
         contrib = (
             e.join(ranks, e["src"] == ranks["id"])
             .join(deg, "src")
@@ -518,14 +675,15 @@ def trustrank(
         )
         ranks = (
             s.join(contrib, s["id"] == contrib["dst"], "left")
+            .crossJoin(dmass)
             .select(
                 "id",
-                ((F.lit(1.0 - damping) + F.lit(damping * dangling))
+                ((F.lit(1.0 - damping) + F.lit(damping) * F.col("_dm"))
                  * F.col("s")
                  + F.lit(damping)
                  * F.coalesce(F.col("c"), F.lit(0.0))).alias("tr"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return ranks.select(F.col("id").alias("node"), F.col("tr").alias("trust"))
 
 
@@ -581,6 +739,7 @@ def trustrank_oracle_sql(
 def opic(
     edges: DataFrame, iters: int = 5,
     src_col: str = "src", dst_col: str = "dst",
+    fuse_max_edges: int = GRAPH_FUSE_MAX_EDGES,
 ) -> DataFrame:
     """(node, cash, history, importance) after `iters` synchronous OPIC
     rounds (Abiteboul, Preda & Cobena, WWW 2003): every node starts with
@@ -608,6 +767,34 @@ def opic(
     e = (edges.select(F.col(src_col).cast("long").alias("src"),
                       F.col(dst_col).cast("long").alias("dst"))
          .distinct())
+    if fuse_max_edges and e.count() <= fuse_max_edges:
+        def compute(src, dst):
+            import numpy as np
+            import pandas as pd
+
+            if len(src) == 0:
+                z = np.empty(0, np.float64)
+                return pd.DataFrame({
+                    "node": np.empty(0, np.int64), "cash": z,
+                    "history": z, "importance": z})
+            nodes_a, si, di, outdeg = _node_index(np, src, dst)
+            n = len(nodes_a)
+            cash = np.full(n, 1.0 / n)
+            hist = np.zeros(n)
+            dang = outdeg == 0
+            for _ in range(iters):
+                dangling = cash[dang].sum()
+                inflow = np.bincount(
+                    di, weights=cash[si] / outdeg[si], minlength=n)
+                hist = hist + cash
+                cash = inflow + dangling / n
+            return pd.DataFrame({
+                "node": nodes_a, "cash": cash, "history": hist,
+                "importance": (hist + cash) / (iters + 1)})
+
+        return _edges_fused(
+            e, compute,
+            "node long, cash double, history double, importance double")
     nodes = (e.select(F.col("src").alias("id"))
              .union(e.select(F.col("dst").alias("id")))
              .distinct())
@@ -618,9 +805,10 @@ def opic(
         F.lit(0.0).alias("hist"))
     for _ in range(iters):
         with_deg = state.join(deg, state["id"] == deg["src"], "left")
-        dangling = (with_deg.filter(F.col("src").isNull())
-                    .agg(F.coalesce(F.sum("cash"), F.lit(0.0)))
-                    .collect()[0][0])
+        # 1-row dangling-cash aggregate crossJoined in (no per-round
+        # collect — the fixed-round loop becomes ONE job)
+        dmass = (with_deg.filter(F.col("src").isNull())
+                 .agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("_dm")))
         inflow = (
             e.join(state, e["src"] == state["id"])
             .join(deg, "src")
@@ -629,13 +817,14 @@ def opic(
         )
         state = (
             state.join(inflow, state["id"] == inflow["dst"], "left")
+            .crossJoin(dmass)
             .select(
                 state["id"],
                 (F.coalesce(F.col("c"), F.lit(0.0))
-                 + F.lit(dangling / n_nodes)).alias("cash"),
+                 + F.col("_dm") / n_nodes).alias("cash"),
                 (F.col("hist") + F.col("cash")).alias("hist"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return state.select(
         F.col("id").alias("node"), "cash", F.col("hist").alias("history"),
         ((F.col("hist") + F.col("cash")) / (iters + 1)).alias("importance"))

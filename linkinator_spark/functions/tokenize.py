@@ -197,8 +197,11 @@ def bpe_token_count_sql(docs_table: str = "documents",
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) vocabulary: lowercase [a-z]+ runs, summed corpus-wide.
     The single corpus-scale stage of BPE training."""
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
     return (
-        docs.select(F.explode(
+        spread_small_scan(docs.select(F.col(text_col)))
+        .select(F.explode(
             F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
         ).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
@@ -297,7 +300,9 @@ def bpe_train(words: DataFrame, n_merges: int,
         for l, r, cnt in batch:
             learned.append((len(learned) + 1, l, r, l + r, cnt))
             col = _apply_merge(col, l, r)
-        vocab = vocab.withColumn("sym", col).localCheckpoint(eager=True)
+        # lazy checkpoint: the next round's argmax job materializes it —
+        # one job per round instead of two (plan still truncated here)
+        vocab = vocab.withColumn("sym", col).localCheckpoint(eager=False)
 
     merges = spark.createDataFrame(
         learned, "rank int, left string, right string, merged string, "

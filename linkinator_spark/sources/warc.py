@@ -100,6 +100,11 @@ def build_warc_records(
     byte length — ``octet_length``, not char length: multi-byte UTF-8
     must count as stored), and ``warc`` (the full record bytes).
     """
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # the record build (3 md5s + big concats per row) is map-side work;
+    # spread a narrow scan across the cores first (no-op on wide inputs)
+    captures = spread_small_scan(captures)
     url, ts = F.col(url_col), F.col(ts_col)
     status, body = F.col(status_col), F.col(body_col)
     http_block = F.concat(
@@ -179,20 +184,20 @@ def warc_files(
 
     Output: (shard, n_records, warc_file binary).
     """
-    grouped = (
-        records
-        .groupBy(F.col(shard_col).alias("shard"))
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col(ts_col).alias("ts"),
-                             F.col(url_col).alias("url"),
-                             F.col("warc").alias("warc")))
-            ).alias("_recs"),
-            F.count(F.lit(1)).cast("int").alias("n_records"),
-        )
-    )
     if not gzip_records:
+        grouped = (
+            records
+            .groupBy(F.col(shard_col).alias("shard"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(ts_col).alias("ts"),
+                                 F.col(url_col).alias("url"),
+                                 F.col("warc").alias("warc")))
+                ).alias("_recs"),
+                F.count(F.lit(1)).cast("int").alias("n_records"),
+            )
+        )
         blob = F.concat(
             F.encode(_warcinfo(F.col("shard"), F.col("n_records")), "UTF-8"),
             F.aggregate(
@@ -202,29 +207,59 @@ def warc_files(
         )
         return grouped.select("shard", "n_records", blob.alias("warc_file"))
 
-    out = grouped.withColumn(
-        "_info", F.encode(_warcinfo(F.col("shard"), F.col("n_records")),
-                          "UTF-8"))
+    # gzip each record as its own member BEFORE the shard shuffle: the
+    # per-member compression is embarrassingly parallel, so running it in
+    # the (spread) map stage uses every core instead of max-#shards
+    # tasks, and the shuffle then carries the smaller compressed bytes.
+    # Output bytes are identical: same GzipFile(mtime=0) per member, same
+    # (ts, url) sort inside the shard, same warcinfo member first.
+    from linkinator_spark.functions.partitioning import spread_small_scan
 
-    def gz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gz_member(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            gzs = []
+            for rec in pdf["warc"]:
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(bytes(rec))
+                gzs.append(buf.getvalue())
+            yield pd.DataFrame({
+                "shard": pdf[shard_col], "ts": pdf[ts_col],
+                "url": pdf[url_col], "gz": gzs,
+            })
+
+    members = spread_small_scan(
+        records.select(F.col(shard_col), F.col(ts_col), F.col(url_col),
+                       F.col("warc"))
+    ).mapInPandas(gz_member, "shard string, ts long, url string, gz binary")
+    grouped = (
+        members.groupBy("shard")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "url", "gz"))).alias("_recs"),
+            F.count(F.lit(1)).cast("int").alias("n_records"),
+        )
+        .withColumn("_info", F.encode(
+            _warcinfo(F.col("shard"), F.col("n_records")), "UTF-8"))
+    )
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
             for info, recs in zip(pdf["_info"], pdf["_recs"]):
                 buf = io.BytesIO()
-                for member in [bytes(info)] + [bytes(r["warc"])
-                                               for r in recs]:
-                    with gzip.GzipFile(fileobj=buf, mode="wb",
-                                       mtime=0) as g:
-                        g.write(member)
-                blobs.append(buf.getvalue())
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(bytes(info))
+                blobs.append(buf.getvalue()
+                             + b"".join(bytes(r["gz"]) for r in recs))
             yield pd.DataFrame({
                 "shard": pdf["shard"],
                 "n_records": pdf["n_records"],
                 "warc_file": blobs,
             })
 
-    return out.mapInPandas(
-        gz, "shard string, n_records int, warc_file binary")
+    return grouped.mapInPandas(
+        assemble, "shard string, n_records int, warc_file binary")
 
 
 def _inflate(blob: bytes) -> bytes:

@@ -232,3 +232,40 @@ def test_host_graph_stats_profile(spark):
     assert out["b"].internal_pct == 0 and out["b"].n_dst_hosts == 2
     assert out["c"].out_links == 0 and out["c"].in_links == 1
     assert out["c"].n_src_hosts == 1 and out["c"].internal_pct == 0
+
+
+def test_fused_gear_matches_staged(spark):
+    """The small-graph fused numpy gear must agree with the staged
+    DataFrame loop: bit-exact for integer label propagation, within the
+    6dp rounding the declared queries apply for the float algorithms."""
+    import random
+
+    from linkinator_spark.functions.graph import (
+        hits, label_propagation, opic, trustrank)
+
+    rng = random.Random(17)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(160)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(i,) for i in range(0, 40, 7)],
+                                  "id long")
+
+    def cmp(fused, staged, cols, exact=False):
+        f = {r["node"]: tuple(r[c] for c in cols) for r in fused.collect()}
+        s = {r["node"]: tuple(r[c] for c in cols) for r in staged.collect()}
+        assert set(f) == set(s)
+        for k in f:
+            for a, b in zip(f[k], s[k]):
+                if exact:
+                    assert a == b, (k, a, b)
+                else:
+                    assert round(a, 6) == round(b, 6), (k, a, b)
+
+    cmp(pagerank(df), pagerank(df, fuse_max_edges=0), ["pagerank"])
+    cmp(hits(df), hits(df, fuse_max_edges=0), ["hub", "auth"])
+    cmp(trustrank(df, seeds), trustrank(df, seeds, fuse_max_edges=0),
+        ["trust"])
+    cmp(opic(df), opic(df, fuse_max_edges=0),
+        ["cash", "history", "importance"])
+    cmp(label_propagation(df), label_propagation(df, fuse_max_edges=0),
+        ["community"], exact=True)
