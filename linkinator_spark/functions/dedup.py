@@ -247,22 +247,31 @@ def incremental_near_dups(
     cands = minhash_candidate_pairs_between(
         new_docs, corpus_docs, id_col, text_col, n_hashes, bands, k
     ).localCheckpoint(eager=False)
-    n_parts = new_docs.sparkSession.sparkContext.defaultParallelism
 
     def _sh(df, out_id):
         # shingle only the docs that actually appear in a candidate pair
         # (same verify-side prune as jaccard_pairs — the corpus side would
-        # otherwise re-shingle the standing corpus every day)
+        # otherwise re-shingle the standing corpus every day), with the
+        # same codegen position-explode + collect_set shingle sets
+        from linkinator_spark.functions.partitioning import spread_small_scan
+
         members = cands.select(out_id).distinct().withColumnRenamed(
             out_id, id_col)
         return (
-            df.select(F.col(id_col), F.col(text_col))
-            .join(members, id_col)
-            .withColumnRenamed(id_col, out_id)
-            .repartition(n_parts)
-            .select(out_id, F.array_distinct(
-                shingles(normalize_text(F.col(text_col)), k)).alias(
-                    f"_sh_{out_id}"))
+            spread_small_scan(
+                df.select(F.col(id_col), F.col(text_col))
+                .join(members, id_col))
+            .select(F.col(id_col).alias(out_id),
+                    normalize_text(F.col(text_col)).alias("_t"))
+            .select(
+                out_id, "_t",
+                F.explode(F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("_t") - (k - 1),
+                               F.lit(1)))).alias("_i"))
+            .select(out_id, F.expr(f"substring(_t, _i, {k})").alias("s"))
+            .groupBy(out_id).agg(
+                F.collect_set("s").alias(f"_sh_{out_id}"))
         )
 
     joined = (
@@ -303,18 +312,29 @@ def jaccard_pairs(
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # same round-robin spread as minhash_signature_table: the interpreted
-    # shingle transform must not run on 1-2 scan partitions
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # shingle SETS via the same codegen position-explode as
+    # minhash_signature_table (the interpreted per-doc transform was the
+    # verify step's dominant cost), aggregated with collect_set — set
+    # semantics identical to array_distinct, and intersect/union SIZES
+    # (all the jaccard needs) are order-independent. One lazy
+    # materialization feeds both pair sides instead of re-shingling per
+    # side.
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
     sh = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-        .join(members, "doc_id")
-        .repartition(n_parts)
+        spread_small_scan(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            .join(members, "doc_id"))
+        .select("doc_id",
+                normalize_text(F.col(text_col)).alias("_t"))
         .select(
-            "doc_id",
-            F.array_distinct(
-                shingles(normalize_text(F.col(text_col)), k)).alias("sh"),
-        )
+            "doc_id", "_t",
+            F.explode(F.sequence(
+                F.lit(1),
+                F.greatest(F.length("_t") - (k - 1), F.lit(1)))).alias("_i"))
+        .select("doc_id", F.expr(f"substring(_t, _i, {k})").alias("s"))
+        .groupBy("doc_id").agg(F.collect_set("s").alias("sh"))
+        .localCheckpoint(eager=False)
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

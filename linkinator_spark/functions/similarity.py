@@ -327,7 +327,11 @@ def _nearest_lists(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     Broadcast the codebook; nprobe=1 aggregates with a map-side-combined
     max_by (no per-vid shuffle group survives un-combined), the window
     rank form only runs for the (small) query side."""
-    scored = vecs.join(F.broadcast(cents)).select(
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # the interpreted per-element cosine must not run on 1-2 raw scan
+    # partitions (no-op on wide inputs)
+    scored = spread_small_scan(vecs).join(F.broadcast(cents)).select(
         "vid", "list_id",
         cosine_similarity(F.col("v"), F.col("centroid")).alias("cos"),
     )

@@ -640,12 +640,57 @@ class LinkChecker:
                             r["crawl_delay"])
                 for r in ctx["host_rules"].collect()
             }
+        # executor-side extraction for LARGE waves: the per-page link
+        # extraction (HTML parse + URL resolution) is the fused loop's
+        # dominant cost and is per-page pure, so a big wave ships slim
+        # (page_url, base_url, kind, doc_id) rows to the executors and
+        # resolves span bodies from the docs broadcast there — the
+        # driver never serializes bodies, and extraction runs on every
+        # core. Small waves stay inline (a Spark job per tail wave would
+        # cost more than it saves).
+        candidates_fn = ctx["candidates_udf"]
+        docs_bc = ctx["docs_bc"]
+        spark = self.spark
+
+        def _extract_distributed(pages):
+            import pyarrow as pa
+
+            tbl = pa.table({
+                "page_url": pa.array([p[0] for p in pages], pa.string()),
+                "base_url": pa.array([p[1] for p in pages], pa.string()),
+                "content_kind": pa.array([p[2] for p in pages], pa.string()),
+                "doc_id": pa.array([p[3] for p in pages], pa.string()),
+            })
+
+            def fn(batches):
+                import pandas as pd
+
+                docs = docs_bc.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    ext = pd.DataFrame({
+                        "page_url": pdf["page_url"],
+                        "base_url": pdf["base_url"],
+                        "content_kind": pdf["content_kind"],
+                        "spans": pdf["doc_id"].map(docs.get),
+                    })
+                    yield from candidates_fn([ext])
+
+            # createDataFrame(pa.Table) already slices into
+            # defaultParallelism partitions — no shuffle needed
+            out = spark.createDataFrame(tbl).mapInPandas(
+                fn, CANDIDATE_SCHEMA)
+            return out.toArrow().to_pylist()
+
         res_rows, ev_rows, dup_rows, waves, clock = run_crawl_fused(
             self._seed_frontier(cfg), ctx["chain_bc"].value,
             ctx["docs_bc"].value, cfg, ctx["candidates_udf"],
             anchors_fn=ctx["anchors_udf"],
             frag_skip_fn=_make_py_frag_skip(cfg.fragments_to_skip),
             robots_rules=robots_rules,
+            parallel_extract={"min_pages": 3000,
+                              "run": _extract_distributed},
         )
         # Arrow-table ingestion: the tuple createDataFrame path pickles
         # row-by-row through py4j (~4.2s for 50k result rows); building

@@ -451,18 +451,29 @@ def process_wave_rows(rows_in: list, fetcher, skip_fn, cfg: CheckOptions,
                 r["url"],
                 f["final_url"] if f["final_url"] is not None else r["url"],
                 "css" if is_css else "html",
-                docs_map.get(f["body_doc_id"]),
+                f["body_doc_id"],
                 r["seq"], r["root_path"],
             ))
 
     # ---- extraction: the staged UDF fn, called inline on the same
-    # (page_url, base_url, content_kind, spans) frame shape
+    # (page_url, base_url, content_kind, spans) frame shape. A large
+    # wave may instead be dispatched to the executors through
+    # retry_ctx["parallel_extract"] (fully-fused gear only): extraction
+    # is per-page pure, so chunking across tasks is semantics-free, and
+    # the downstream (parent_seq, ordinal) sort restores the total order
+    # the edge dedup walks.
     cand_rows = []
-    if ext_pages:
+    meta = {p[0]: (p[4], p[5]) for p in ext_pages}
+    par = (retry_ctx or {}).get("parallel_extract")
+    if ext_pages and par is not None and len(ext_pages) >= par["min_pages"]:
+        for c in par["run"]([(p[0], p[1], p[2], p[3]) for p in ext_pages]):
+            parent_seq, root_path = meta[c["page_url"]]
+            cand_rows.append(dict(c, parent_seq=parent_seq,
+                                  root_path=root_path))
+    elif ext_pages:
         ext_pdf = pd.DataFrame(
-            [(p[0], p[1], p[2], p[3]) for p in ext_pages],
+            [(p[0], p[1], p[2], docs_map.get(p[3])) for p in ext_pages],
             columns=["page_url", "base_url", "content_kind", "spans"])
-        meta = {p[0]: (p[4], p[5]) for p in ext_pages}
         for cpdf in candidates_fn([ext_pdf]):
             for c in cpdf.to_dict("records"):
                 parent_seq, root_path = meta[c["page_url"]]
@@ -576,7 +587,8 @@ def run_wave_fused(
 
 def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
                     cfg: CheckOptions, candidates_fn, anchors_fn=None,
-                    frag_skip_fn=None, robots_rules=None):
+                    frag_skip_fn=None, robots_rules=None,
+                    parallel_extract=None):
     """The whole wave loop in Python over the (gate-bounded) maps: for
     crawls whose scripted web fits the chain-map gate, every wave is
     driver-side vectorized work — zero Spark jobs in the loop. Returns
@@ -629,6 +641,7 @@ def run_crawl_fused(seeds: list, chain_map: dict, docs_map: dict,
             "pending_targets": {t for t, _ in pending},
             "frag_skip_fn": frag_skip_fn,
             "robots_rules": robots_rules,
+            "parallel_extract": parallel_extract,
         }
         (res, ev, cand, requeue, new_delays, page_meta,
          new_pending) = process_wave_rows(
