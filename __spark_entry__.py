@@ -1132,7 +1132,12 @@ def q_span_flatten(spark, sf_dir):
     40-char chunks, every 4th chunk a media_ref), explode with ordinality,
     and emit rows that must survive byte-identical — the per-row
     span-sequence invariant (kind, text, media_ref, order)."""
-    docs = _t(spark, sf_dir, "documents")
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # the chunk/span derivation is an interpreted nested transform (+ md5
+    # per media chunk); spread the narrow scan first (no-op when wide)
+    docs = spread_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
     n_chunks = F.ceil(F.greatest(F.length("text"), F.lit(1)) / 40).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -2067,8 +2072,8 @@ def q_corpus_build(spark, sf_dir):
     # — the pushed copy evaluated 16 full-text regexes per row over the
     # WHOLE corpus single-threaded, then the top projection evaluated
     # them again (the §4.4 filter-duplication shape, here with native
-    # expressions). With the barrier the gates run once, wide, on
-    # post-dedup survivors only (13.1s -> ~1s of the sf1.0 leg).
+    # expressions). With the barrier both evaluations run wide and on
+    # post-dedup rows only (13.1s -> ~1s of the sf1.0 leg).
     keyed = spread_small_scan(
         docs.select("doc_id", "text")
     ).select(

@@ -57,7 +57,11 @@ def tree_fold(
         if any_rows:
             yield pd.DataFrame({"blob": [pickle.dumps(acc)]})
 
-    frags = df.mapInPandas(_partial, _BLOB_SCHEMA)
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # full input parallelism for the partial fold even when the source is
+    # a narrow single-row-group scan (no-op on wide inputs)
+    frags = spread_small_scan(df).mapInPandas(_partial, _BLOB_SCHEMA)
 
     def _fanin(batches):
         acc = None
