@@ -2782,7 +2782,11 @@ def _ann_corpus(spark, sf_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # one lazy materialization: the ANN queries read the corpus for
+    # bucketing/assignment AND for the exact re-rank side, and the bench
+    # recall harness adds a third read — without this the union + the
+    # interpreted perturbation transform re-run per consumer
+    return out.localCheckpoint(eager=False)
 
 
 _ANN_CORPUS_SQL = """

