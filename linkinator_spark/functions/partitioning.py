@@ -22,6 +22,8 @@ def spread_small_scan(df: DataFrame, min_ratio: int = 1) -> DataFrame:
     """Repartition `df` to the default parallelism iff its current physical
     partitioning is narrower than `parallelism * min_ratio`. The partition
     count probe plans the query but runs no job."""
+    if df.isStreaming:  # micro-batch partitioning is the planner's call
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_ratio
     try:
