@@ -340,9 +340,13 @@ def registrable_domain_psl(
     semantics: each host emits its last 1..max_labels label tails, the
     tails broadcast-join the suffix dim, and the registrable domain is
     one label more than the longest matching suffix (the PSL algorithm).
-    Exception rules match as themselves. One broadcast join + a groupBy
-    on the frontier key — no shuffle of the dim, frontier shuffled once
-    on its own key."""
+    Exception rules match as themselves. The domain is a pure function
+    of the host, so it is computed once per DISTINCT host and joined
+    back onto the frontier — duplicate frontier rows keep their
+    multiplicity and non-groupable column types (maps) pass through
+    untouched (round-5 ADVICE #2; the previous all-columns groupBy
+    collapsed duplicates and failed on map columns), and the explode +
+    dim join run over the host dimension, not the full frontier."""
     host_nd = F.regexp_replace(F.col(host_col), r"\.$", "")
     labels = F.split(host_nd, r"\.")
     n = F.size(labels)
@@ -352,7 +356,8 @@ def registrable_domain_psl(
         lambda k: F.array_join(
             F.slice(labels, n - k + 1, k), "."),
     )
-    exploded = frontier.withColumn("_host_nd", host_nd).withColumn(
+    hosts = frontier.select(F.col(host_col)).distinct()
+    exploded = hosts.withColumn("_host_nd", host_nd).withColumn(
         "_tail", F.explode(tails))
     hit = exploded.join(
         F.broadcast(psl.select(F.col("suffix").alias("_tail"),
@@ -370,8 +375,7 @@ def registrable_domain_psl(
                   F.struct(F.lit(1).alias("exc"), mlen.alias("len")))
             .otherwise(F.struct(F.lit(0).alias("exc"), mlen.alias("len"))))
     scored = hit.withColumn("_cand", cand)
-    keys = [c for c in frontier.columns]
-    best = (scored.groupBy(*keys, "_host_nd")
+    best = (scored.groupBy(host_col, "_host_nd")
             .agg(F.max("_cand").alias("_best")))
     labels_b = F.split(F.col("_host_nd"), r"\.")
     n_b = F.size(labels_b)
@@ -380,10 +384,14 @@ def registrable_domain_psl(
     # keeps one label more than the suffix
     take = F.when(F.col("_best.exc") == 1, F.col("_best.len")).otherwise(
         F.least(F.col("_best.len") + 1, n_b))
-    return best.withColumn(
+    dom = best.withColumn(
         out_col,
         F.array_join(F.slice(labels_b, n_b - take + 1, take), "."),
     ).drop("_best", "_host_nd")
+    # inner join: a host that produced no tail rows (null host) dropped
+    # out of the old explode too — multiplicity of every surviving
+    # frontier row is preserved exactly
+    return frontier.join(dom, host_col)
 
 
 def resolve_server_ips(

@@ -103,3 +103,21 @@ def test_spread_small_scan_row_preserving_and_noop_when_wide(spark):
     assert sorted(r["id"] for r in spread.collect()) == list(range(1000))
     wide = df.repartition(spark.sparkContext.defaultParallelism * 2)
     assert spread_small_scan(wide) is wide
+
+
+def test_registrable_domain_psl_preserves_multiplicity_and_map_cols(spark):
+    """Round-5 ADVICE #2: duplicate frontier rows must keep their
+    multiplicity and non-groupable column types must pass through."""
+    from linkinator_spark.operators.politeness import registrable_domain_psl
+
+    psl = spark.createDataFrame(
+        [("co.uk", False)], "suffix string, is_exception boolean")
+    df = spark.createDataFrame(
+        [("foo.co.uk", {"a": 1}), ("foo.co.uk", {"a": 1}),
+         ("bar.example", {"b": 2})],
+        "host string, props map<string,int>")
+    out = registrable_domain_psl(df, psl).collect()
+    assert len(out) == 3  # duplicates preserved
+    doms = sorted(r["registrable_domain"] for r in out)
+    assert doms == ["bar.example", "foo.co.uk", "foo.co.uk"]
+    assert all(r["props"] is not None for r in out)
