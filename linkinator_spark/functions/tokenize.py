@@ -282,15 +282,24 @@ def bpe_train(words: DataFrame, n_merges: int,
         if not top:
             break
         used: set = set()
+        # batched mode also rejects candidates whose product collides
+        # with a PRIOR round's product (round-5 ADVICE #3: the
+        # unique-products invariant is otherwise only tripped far
+        # downstream at apply time). k=1 stays the canonical greedy
+        # argmax — never skipped — so the oracle configuration is
+        # untouched.
+        prior_products: set = (
+            {m[3] for m in learned} if merges_per_round > 1 else set())
         batch: list[tuple[str, str, int]] = []
         for row in top:
             l, r = row["l"], row["r"]
             # skip when an element was touched this round (stale count)
             # OR the PRODUCT collides with a symbol/product already in
-            # the batch — (ab,c) then (a,bc) would both mint 'abc',
-            # breaking the unique-products invariant the SQL replay
-            # asserts on
-            if l in used or r in used or (l + r) in used:
+            # the batch or a previously learned product — (ab,c) then
+            # (a,bc) would both mint 'abc', breaking the unique-products
+            # invariant the SQL replay asserts on
+            if (l in used or r in used or (l + r) in used
+                    or (l + r) in prior_products):
                 continue
             batch.append((l, r, int(row["cnt"])))
             used.update((l, r, l + r))
