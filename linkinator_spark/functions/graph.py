@@ -496,18 +496,24 @@ def label_propagation(
             su, sv = pair[:, 0], pair[:, 1]
             lab = nodes.copy()
             self_ids = np.arange(n)
+            # labels are always node ids, so votes pack losslessly into
+            # ONE int64 key (node_idx * n + label_idx): 1-D np.unique is
+            # ~10x the structured axis=0 form at fused-gate edge counts
             for _ in range(iters):
                 vid = np.concatenate([su, self_ids])
-                vlab = np.concatenate([lab[sv], lab])
-                rows, cnt = np.unique(np.stack([vid, vlab], axis=1),
-                                      axis=0, return_counts=True)
+                vlab_idx = np.searchsorted(
+                    nodes, np.concatenate([lab[sv], lab]))
+                key, cnt = np.unique(vid * np.int64(n) + vlab_idx,
+                                     return_counts=True)
+                kid, klab = key // n, nodes[key % n]
                 # argmax by (count desc, label asc) per node: lexsort is
-                # last-key-primary, rows already label-ascending per node
-                order = np.lexsort((rows[:, 1], -cnt, rows[:, 0]))
-                rid = rows[order, 0]
+                # last-key-primary; keys are already label-ascending
+                # within a node
+                order = np.lexsort((klab, -cnt, kid))
+                rid = kid[order]
                 first = np.unique(rid, return_index=True)[1]
                 new = lab.copy()
-                new[rid[first]] = rows[order, 1][first]
+                new[rid[first]] = klab[order][first]
                 lab = new
             return pd.DataFrame({"node": nodes, "community": lab})
 
