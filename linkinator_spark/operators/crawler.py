@@ -197,14 +197,14 @@ class LinkChecker:
             # both dims are re-broadcast by every wave's plan; the eager
             # checkpoint makes each broadcast job a cached-partition scan
             # instead of a recompute from source — matters when the scripted
-            # table is a real parquet scan, not a 3-row fixture
-            "pages_dim": None if live else
-            prepare_pages_dim(pages).localCheckpoint(eager=True),
+            # table is a real parquet scan, not a 3-row fixture. They are
+            # ONLY used by the staged wave loop, so materialization is
+            # deferred until the fully-fused attempt has NOT short-
+            # circuited the crawl (two wasted checkpoint jobs otherwise).
+            "pages_dim": None,
             # live mode: page bodies arrive as _live_spans on the fetch rows
             # and each wave derives its own docs dim (_run_wave)
-            "docs": None if live else documents.select(
-                F.col("doc_id").alias("body_doc_id"), F.col("spans")
-            ).localCheckpoint(eager=True),
+            "docs": None,
             "requester": requester if live else None,
             # table mode: redirect chains resolve against this broadcast map
             # in ONE batch per wave (no per-hop driver barriers). The map is
@@ -296,6 +296,16 @@ class LinkChecker:
                 # which holds that state as DataFrames (the fused loop has
                 # no side effects, so the re-run is clean)
                 pass
+
+        # staged loop from here on: materialize the per-wave broadcast
+        # dims it re-reads every wave (deferred past the fully-fused
+        # short-circuit above)
+        if not live:
+            ctx["pages_dim"] = prepare_pages_dim(pages).localCheckpoint(
+                eager=True)
+            ctx["docs"] = documents.select(
+                F.col("doc_id").alias("body_doc_id"), F.col("spans")
+            ).localCheckpoint(eager=True)
 
         if resume and store and store.latest_wave() is not None:
             manifest, state = store.load(spark, store.latest_wave())
