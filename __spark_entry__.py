@@ -1221,7 +1221,9 @@ def q_span_extract(spark, sf_dir):
         F.lit("html").alias("content_kind"),
         spans.alias("spans"),
     )
-    out = pages.mapInPandas(
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    out = spread_small_scan(pages).mapInPandas(
         EX.make_candidate_links_udf(check_css=False, markdown=True),
         EX.CANDIDATE_SCHEMA)
     return out.select("page_url", "ordinal", "raw_link", "resolved_url")
@@ -1492,16 +1494,39 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_text_langid(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # 4 full-text regex passes per row, interpreted — spread the scan
+    docs = spread_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def q_text_fingerprint(spark, sf_dir):
+    """Same values as content_fingerprint + kgram_min_fingerprint, but
+    the k-gram min runs as a codegen position-explode + min aggregate
+    (the minhash_signature_table shape): the column form's interpreted
+    transform re-evaluates normalize_text per element AND pays an
+    interpreted md5 per gram — the 151s sf1.0 leg. min over the exploded
+    (possibly duplicated) gram stream equals array_min over the gram
+    array, and the normalized text is bound to a real column once."""
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        T.content_fingerprint(F.col("text")).alias("fingerprint"),
-        T.kgram_min_fingerprint(F.col("text"), k=8).alias("kgram_fp"),
+    base = spread_small_scan(docs.select("doc_id", "text")).select(
+        "doc_id", T.normalize_text(F.col("text")).alias("_t"))
+    ex = base.select(
+        "doc_id", "_t",
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(F.length("_t") - 7, F.lit(1)))).alias("_i"))
+    kmin = ex.groupBy("doc_id").agg(
+        F.min(T.portable_hash64(F.expr("substring(_t, _i, 8)")))
+        .alias("kgram_fp"))
+    return (
+        base.select("doc_id",
+                    T.portable_hash64(F.col("_t")).alias("fingerprint"))
+        .join(kmin, "doc_id")
+        .select("doc_id", "fingerprint", "kgram_fp")
     )
 
 
@@ -1846,8 +1871,12 @@ def q_corpus_build_v4(spark, sf_dir):
         F.lit("<html><body>" + _MAIN_TEXT_NAV + "<p>"), para1,
         F.lit("</p><p>"), para2, F.lit("</p>" + _MAIN_TEXT_TAIL))
     mc = BP.main_content(docs.select("doc_id", html.alias("html")))
+    # materialize the cleaned text once: the PII filter + the md5 keeper
+    # key would otherwise re-evaluate the whole boilerplate+normalize
+    # chain per consumer (the corpus_build §4.4 duplication shape)
     cl = mc.select("doc_id",
-                   NM.clean_text(F.col("main_text")).alias("clean"))
+                   NM.clean_text(F.col("main_text")).alias("clean")
+                   ).localCheckpoint(eager=False)
     gated = cl.filter(
         F.size(F.regexp_extract_all("clean", F.lit(PII_EMAIL_RE),
                                     F.lit(0))) == 0)
@@ -2299,14 +2328,22 @@ def q_text_repetition(spark, sf_dir):
     (doc_id, gram): partial map-side combine collapses within-doc repeats
     before the shuffle, so shuffle volume is O(distinct grams per doc) and
     the keys are doc-scoped — no global hot key at any corpus size."""
-    docs = _t(spark, sf_dir, "documents")
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    docs = spread_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
     lined = _lined_text()
     rep = T.repetition_line_features(lined)
+    # bind the word array to a real column before the bigram transform
+    # (no CSE inside transform lambdas — see text.word_ngrams_of)
     base = docs.select(
         "doc_id",
         rep["n_lines"].alias("n_lines"),
         rep["dup_line_frac"].alias("dup_line_frac"),
-        T.word_bigrams(F.col("text")).alias("bigrams"),
+        F.split(T.normalize_text(F.col("text")), " ").alias("_w"),
+    ).select(
+        "doc_id", "n_lines", "dup_line_frac",
+        T.word_ngrams_of(F.col("_w"), 2).alias("bigrams"),
     )
     ex = base.select(
         "doc_id", "n_lines", "dup_line_frac",
@@ -2403,7 +2440,10 @@ def q_gopher_gate(spark, sf_dir):
     naturally. Scale: pure projection — gates at parquet scan speed."""
     from linkinator_spark.functions import gopher as GP
 
-    docs = _t(spark, sf_dir, "documents")
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    docs = spread_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
     return GP.gopher_gate(
         docs.select("doc_id", _gopher_demo_text().alias("text")))
 
@@ -2585,7 +2625,9 @@ def q_anchor_agg(spark, sf_dir):
         F.lit(None).cast("string").alias("base_url"),
         spans.alias("spans"),
     )
-    edges = pages.mapInPandas(
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    edges = spread_small_scan(pages).mapInPandas(
         EX.make_anchor_edges_udf(markdown=True), EX.ANCHOR_EDGES_SCHEMA)
     return GRF.anchor_text_agg(edges)
 

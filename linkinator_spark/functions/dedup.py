@@ -482,19 +482,52 @@ def embedding_near_dup_pairs(
     misses with (1-p^R)^B. At the thresholds this engine dedups at
     (c >= 0.95), that miss rate is < 1e-6; exact duplicates (identical
     vectors) produce identical signs, so their recall is exactly 1."""
+    import numpy as np
+    import pandas as pd
+
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     bb = hyperplane_band_buckets(
         embeddings, dim, bands, rows_per_band, seed, id_col, vec_col)
-    cand = (
-        bb.alias("l").join(
-            bb.alias("r"),
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.vid") < F.col("r.vid")),
-        )
-        .select(F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"))
-        .distinct()
-    )
+    # Per-bucket GEMM pre-verify (the semantic_dedup shape): the bucket
+    # self-join used to fan every in-bucket pair (random vectors give
+    # ~|bucket|^2/2 pairs per bucket — millions at bench scale) into an
+    # interpreted per-pair cosine. Instead the vectors ride to their
+    # buckets once and one numpy GEMM per bucket keeps only pairs with
+    # normalized-dot >= threshold - 1e-9 — a margin that provably
+    # captures every pair whose EXACT cosine passes the raw >= threshold
+    # filter (GEMM accumulation differs by ~1e-13). The surviving
+    # candidates (the actual near-dups) then pass through the SAME exact
+    # JVM cosine filter + projection as before, so output is identical.
+    margin = threshold - 1e-9
+    vecs = e.join(bb, "vid").select("band_id", "band_hash", "vid", "v")
+
+    def bucket_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["vid"].to_numpy(np.int64)
+        M = np.stack(pdf["v"].map(lambda v: np.asarray(v, np.float64)))
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        out_a, out_b = [], []
+        block = max(64, 4_000_000 // n)
+        for lo in range(0, n, block):
+            S = Mn[lo:lo + block] @ Mn.T
+            ia, ib = np.nonzero(S >= margin)
+            ga, gb = ids[lo + ia], ids[ib]
+            m = ga < gb
+            if m.any():
+                out_a.append(ga[m])
+                out_b.append(gb[m])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    cand = (vecs.groupBy("band_id", "band_hash")
+            .applyInPandas(bucket_pairs, "id_a long, id_b long")
+            .distinct())
     pairs = (
         cand.join(e.select(F.col("vid").alias("id_a"), F.col("v").alias("va")),
                   "id_a")
@@ -812,9 +845,16 @@ def remove_duplicate_spans(
     ).otherwise(F.transform(
         F.sequence(F.lit(1), F.size(w) - (k - 1)),
         lambda i: F.xxhash64(*[F.element_at(w, i + j) for j in range(k)])))
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("_w"))
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # spread the narrow scan under the positional-gram explode, and
+    # materialize the tokenized base once (it feeds the gram explode AND
+    # the final reassembly join)
+    base = spread_small_scan(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select(
+        "id", F.split(normalize_text(F.col(text_col)), " ").alias("_w")
+    ).localCheckpoint(eager=False)
     pos_grams = base.select(
         "id", F.posexplode(gram_arr).alias("_p0", "gram"))
     dpos = (

@@ -50,8 +50,10 @@ def _bucket_counts(df: DataFrame, n_buckets: int,
                    text_col: str) -> DataFrame:
     """(bucket, c) — hashed-bigram occurrence counts. Map-side combine
     collapses to ≤ n_buckets rows per task before the shuffle."""
-    grams = df.select(
-        F.explode(word_bigrams(F.col(text_col))).alias("g"))
+    from linkinator_spark.functions.text import word_ngram_rows
+
+    grams = word_ngram_rows(df, text_col, 2).select(
+        F.col("gram").alias("g"))
     return (
         grams.select(
             F.pmod(portable_hash64(F.col("g"), prefix="dsir:"),
@@ -91,9 +93,11 @@ def dsir_weights(
             ) * 1e6, 0).cast("long").alias("ratio_micro"),
         )
     )
+    from linkinator_spark.functions.text import word_ngram_rows
+
     doc_tf = (
-        docs.select(F.col(id_col).alias("id"),
-                    F.explode(word_bigrams(F.col(text_col))).alias("g"))
+        word_ngram_rows(docs, text_col, 2, keep_cols=(id_col,))
+        .select(F.col(id_col).alias("id"), F.col("gram").alias("g"))
         .select("id",
                 F.pmod(portable_hash64(F.col("g"), prefix="dsir:"),
                        F.lit(n_buckets)).alias("bucket"))

@@ -55,7 +55,10 @@ LINE_KEY_SQL = "regexp_replace(lower(trim(l)), '[0-9]', '0', 'g')"
 
 
 def _exploded_lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return docs.select(
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    # spread a narrow scan under the line explode (no-op on wide inputs)
+    return spread_small_scan(docs.select(id_col, text_col)).select(
         id_col,
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("line_hash", F.xxhash64(line_key(F.col("line"))))

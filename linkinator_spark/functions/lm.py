@@ -60,19 +60,26 @@ def lm_nll(
     (float, derived — filter thresholds should use the integer columns).
     Docs with fewer than two tokens score (0, 0, 0, 1.0).
     """
+    from linkinator_spark.functions.partitioning import spread_small_scan
+    from linkinator_spark.functions.text import word_ngram_rows
+
     words = F.split(normalize_text(F.col(text_col)), " ")
     uni = (
-        train.select(F.explode(words).alias("w1"))
+        spread_small_scan(train.select(F.col(text_col)))
+        .select(F.explode(words).alias("w1"))
         .groupBy("w1").agg(F.count("*").alias("c1"))
     )
     vstats = uni.agg(F.count("*").alias("v"))
+    # bigram rows via the bound-word-array fast path (word_ngrams inline
+    # re-splits the text per element -- the 80s sf1.0 leg)
     bi = (
-        train.select(F.explode(word_bigrams(F.col(text_col))).alias("g"))
+        word_ngram_rows(train, text_col, 2)
+        .select(F.col("gram").alias("g"))
         .groupBy("g").agg(F.count("*").alias("c12"))
     )
     doc_tf = (
-        docs.select(F.col(id_col).alias("id"),
-                    F.explode(word_bigrams(F.col(text_col))).alias("g"))
+        word_ngram_rows(docs, text_col, 2, keep_cols=(id_col,))
+        .select(F.col(id_col).alias("id"), F.col("gram").alias("g"))
         .groupBy("id", "g").agg(F.count("*").alias("tf"))
     )
     p = (F.coalesce("c12", F.lit(0)) + alpha) / \

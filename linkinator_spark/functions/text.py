@@ -145,11 +145,15 @@ def repetition_line_features(col: Column) -> dict[str, Column]:
     }
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Word n-grams of normalized text as an array column (JVM transform,
-    whole-stage codegen). Guarded by a CASE: Spark's sequence(1, 0) would
-    *descend* ([1, 0]), so <n-word docs short-circuit to an empty array."""
-    w = F.split(normalize_text(col), " ")
+def word_ngrams_of(w: Column, n: int) -> Column:
+    """Word n-grams over an ALREADY-BOUND word-array column. Catalyst
+    does no CSE inside transform() lambdas, so callers must bind the
+    split to a real column in its own projection first — passing
+    `split(normalize(text))` inline re-evaluates the regexp+split once
+    per element_at, O(grams * n * doclen) instead of O(doclen + grams)
+    (the word_ngram_hashes lesson; measured 70-150s legs at sf1.0).
+    Guarded by a CASE: Spark's sequence(1, 0) would *descend* ([1, 0]),
+    so <n-word docs short-circuit to an empty array."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(
@@ -157,6 +161,33 @@ def word_ngrams(col: Column, n: int) -> Column:
     )
     return (F.when(F.size(w) < n, F.array().cast("array<string>"))
             .otherwise(grams))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of normalized text as an array column. NOTE: inline
+    form — fine for occasional use, but hot paths should bind the word
+    array to a column and use `word_ngrams_of` / `word_ngram_rows` (see
+    word_ngrams_of docstring for why)."""
+    return word_ngrams_of(F.split(normalize_text(col), " "), n)
+
+
+def word_ngram_rows(df: DataFrame, text_col: str, n: int,
+                    keep_cols: tuple = ()) -> DataFrame:
+    """(keep_cols..., gram string) — one exploded row per word n-gram,
+    with the word array bound to a real column first and the narrow
+    scan spread (the fast-gram shape of word_ngram_hashes, for callers
+    that need gram STRINGS). Same values as
+    explode(word_ngrams(text_col, n))."""
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
+    base = spread_small_scan(
+        df.select(*keep_cols, F.col(text_col)))
+    return (
+        base.select(*keep_cols,
+                    F.split(normalize_text(F.col(text_col)), " ").alias("_w"))
+        .select(*keep_cols,
+                F.explode(word_ngrams_of(F.col("_w"), n)).alias("gram"))
+    )
 
 
 def word_bigrams(col: Column) -> Column:
