@@ -606,8 +606,12 @@ def kmeans_train(
     with the smallest ids (TakeOrdered, never a full sort), quantized.
     Empty cells drop out of the codebook (both engines agree, because
     the assignment itself agrees). DuckDB twin: kmeans_oracle_sql."""
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
     q = float(KMEANS_QUANT)
-    vecs = corpus.select(
+    # spread the narrow scan: every Lloyd round evaluates the interpreted
+    # per-element cosine against the broadcast codebook over these rows
+    vecs = spread_small_scan(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("vid"),
         F.transform(
             F.col(vec_col).cast("array<double>"),

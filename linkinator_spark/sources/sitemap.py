@@ -80,10 +80,16 @@ def parse_urlsets(
     optional fields. priority is fixed-point micro (int) so the value
     check is float-free; absent → 0.5 per the protocol.
     """
+    from linkinator_spark.functions.partitioning import spread_small_scan
+
     blk = F.explode(
         F.regexp_extract_all(_stripped(F.col(xml_col)),
                              F.lit(_URL_BLOCK_RE), 0)).alias("_blk")
-    raw = sitemaps.select(F.col(url_col).alias("sitemap_url"), blk)
+    # spread the exploded blocks before the per-entry xpath triple: the
+    # parallelism of the raw frame is the sitemap FILE count (often a
+    # handful), while entries number in the tens of thousands
+    raw = spread_small_scan(
+        sitemaps.select(F.col(url_col).alias("sitemap_url"), blk))
     loc = F.expr("xpath_string(_blk, 'url/loc')")
     lastmod = F.expr("xpath_string(_blk, 'url/lastmod')")
     pri = F.expr("xpath_string(_blk, 'url/priority')")
